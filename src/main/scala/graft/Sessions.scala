@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build sessions so every entry point (Verify, Bench, tests)
+  * carries the same scale-relevant config.
+  *
+  * - shuffle.partitions sized to the local core count (not the 200 default);
+  *   on a real cluster this would be tuned to ~2-3× total cores or left to AQE
+  *   coalescing, which is enabled here and does the right thing at any SF.
+  * - nanosAsLong: the driver corpus stores `events.ts` as parquet
+  *   TIMESTAMP(NANOS), which Spark 4 refuses by default; we read it as a
+  *   nanosecond Long and convert once at the loader (Tables.events).
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

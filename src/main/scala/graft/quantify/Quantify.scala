@@ -1,0 +1,169 @@
+package graft.quantify
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kmer.Kmers
+import graft.model.{Read, Transcript}
+
+/** Sailfish-style EM abundance quantification — the Spark-SQL re-expression
+  * of the reference's Quantify (rice-core .../algorithms/Quantify.scala:42-295).
+  *
+  * Every groupByKey of the reference becomes a hash aggregate with partial
+  * (map-side) aggregation; the E-step's per-class normalization
+  * (Quantify.scala:200-212, SURVEY A6) is a ratio-to-partition-total window;
+  * the M-step normalizer (Quantify.scala:263-274, SURVEY A8) is a global-window
+  * scalar over the tiny per-transcript frame.
+  *
+  * Scale design: the only large relation is the (ec, tid, kj) membership edge
+  * table, cached once and shuffled twice per EM iteration (window by ec +
+  * aggregate by tid) — the same shuffle count as the reference but with
+  * partial aggregation and AQE. The µ̂ state is one row per transcript
+  * (small even at 100 TB read sets), broadcast-joined into each iteration and
+  * localCheckpoint()ed so the Catalyst plan does not grow with iterations
+  * (SURVEY §7.4 risk I1).
+  */
+object Quantify {
+
+  /** Count k-mers across a read set — ADAM's adamCountKmers re-expressed
+    * (reference Quantify.scala:57-60, SURVEY A3).
+    * @param reads DataFrame with a `sequence` string column
+    * @return DataFrame(kmer string, count long)
+    */
+  def countKmers(reads: DataFrame, k: Int): DataFrame =
+    reads
+      .select(explode(Kmers.kmers(col("sequence"), k)).as("kmer"))
+      .groupBy("kmer")
+      .agg(count(lit(1)).as("count"))
+
+  /** Total count of read k-mers per equivalence class (reference
+    * Quantify.scala:153-158, SURVEY J1+A4). The kmer→class relation is
+    * many-to-one by design: a k-mer shared by N transcripts appears in N
+    * classes and its count is credited to each.
+    * @param kmerCounts DataFrame(kmer, count)
+    * @param kmerToEc   DataFrame(kmer, ec)
+    * @return DataFrame(ec long, count long)
+    */
+  def mapKmersToClasses(kmerCounts: DataFrame, kmerToEc: DataFrame): DataFrame =
+    kmerToEc.join(kmerCounts, "kmer")
+      .groupBy("ec")
+      .agg(sum("count").as("count"))
+
+  /** Split each equivalence-class count equally across its member
+    * transcripts (reference Quantify.scala:175-184, SURVEY F9). Raw counts,
+    * not normalized — the first M step applies k_j and length adjustment.
+    * @param ecCounts DataFrame(ec, count)
+    * @param ecToTx   DataFrame(ec, tid) — flat membership edge table
+    * @return DataFrame(ec, tid, alpha)
+    */
+  def initializeEM(ecCounts: DataFrame, ecToTx: DataFrame): DataFrame = {
+    val classSize = Window.partitionBy("ec")
+    ecToTx.join(ecCounts, "ec")
+      .withColumn("alpha", col("count").cast("double") / count(lit(1)).over(classSize))
+      .select("ec", "tid", "alpha")
+  }
+
+  /** E step: α(j,i) = µ̂ᵢ / Σ_{t ⊇ sⱼ} µ̂ₜ per class j (reference
+    * Quantify.scala:200-212). The reference's flatMap+groupByKey becomes a
+    * single partition-sum window over the membership edges.
+    * @param weights DataFrame(tid, muHat)
+    * @param ecToTx  DataFrame(ec, tid)
+    * @return DataFrame(ec, tid, alpha)
+    */
+  def eStep(weights: DataFrame, ecToTx: DataFrame): DataFrame = {
+    val perClass = Window.partitionBy("ec")
+    ecToTx.join(broadcast(weights), "tid")
+      .withColumn("alpha", col("muHat") / sum("muHat").over(perClass))
+      .select("ec", "tid", "alpha")
+  }
+
+  /** M step: µᵢ = (Σ_{sⱼ ⊆ tᵢ} α(j,i)·kⱼ) / (lᵢ − k + 1), then
+    * µ̂ᵢ = µᵢ / Σµ (reference Quantify.scala:238-275). `relEc` carries
+    * k_j = relative k-mer count of class j (Quantify.scala:79-87); `tLen`
+    * is the broadcast transcript-length dim (J4).
+    * @param alpha DataFrame(ec, tid, alpha)
+    * @param relEc DataFrame(ec, kj double)
+    * @param tLen  DataFrame(tid, len long)
+    * @return DataFrame(tid, muHat)
+    */
+  def mStep(alpha: DataFrame, relEc: DataFrame, tLen: DataFrame, k: Int): DataFrame = {
+    val mus = alpha
+      .join(broadcast(relEc), "ec")
+      .groupBy("tid")
+      .agg(sum(col("alpha") * col("kj")).as("sumAlpha"))
+      .join(broadcast(tLen), "tid")
+      .withColumn("mu", col("sumAlpha") / (col("len") - k + 1).cast("double"))
+    mus
+      .withColumn("muHat", col("mu") / sum("mu").over(Window.partitionBy()))
+      .select("tid", "muHat")
+  }
+
+  /** Transcript length = Σ over exons of (region.width − 1) — exactly the
+    * reference's Σ(end − start − 1) (Quantify.scala:137-141 with
+    * QuantifySuite.scala:322-339; SURVEY A9). Computed with the `aggregate`
+    * higher-order function over the nested exon array: no shuffle at all.
+    * @return DataFrame(tid, len)
+    */
+  def transcriptLengths(transcripts: Dataset[Transcript]): DataFrame =
+    transcripts.select(col("id").as("tid"),
+      expr("aggregate(exons, 0L, (acc, e) -> acc + (e.region.end - e.region.start - 1))").as("len"))
+
+  /** End-to-end quantification (reference Quantify.scala:42-127).
+    *
+    * @param reads    read set (only `.sequence` is consumed)
+    * @param kmerToEc index half 1: DataFrame(kmer, ec)
+    * @param ecToTx   class membership: DataFrame(ec, tid)
+    * @param transcripts transcript descriptors (for lengths + final join)
+    * @return DataFrame(tid, abundance) with Σ abundance = 1
+    */
+  def apply(
+      reads: Dataset[Read],
+      kmerToEc: DataFrame,
+      ecToTx: DataFrame,
+      transcripts: Dataset[Transcript],
+      kmerLength: Int,
+      maxIterations: Int,
+      calibrateKmerBias: Boolean = true,
+      calibrateLengthBias: Boolean = true): DataFrame = {
+
+    val spark = reads.sparkSession
+    val tLen = transcriptLengths(transcripts).cache()
+
+    val readKmers = countKmers(reads.toDF(), kmerLength)
+    val calibrated =
+      if (calibrateKmerBias) graft.calibrate.Tare.calibrateKmers(readKmers)
+      else readKmers
+
+    val ecCounts = mapKmersToClasses(calibrated, kmerToEc).cache()
+
+    // k_j = relative k-mer count of each class (Quantify.scala:79-87).
+    // A scalar agg + broadcast replaces the reference's reduce+collectAsMap.
+    val relEc = ecCounts
+      .withColumn("kj", col("count").cast("double") / sum("count").over(Window.partitionBy()))
+      .select("ec", "kj")
+      .cache()
+
+    val edges = ecToTx.join(ecCounts.select("ec"), "ec").cache()
+
+    // init: equal split + one M step (Quantify.scala:89-102)
+    var muHat = mStep(initializeEM(ecCounts, ecToTx), relEc, tLen, kmerLength)
+      .localCheckpoint()
+
+    // EM loop — driver-side iteration over a constant-depth plan: muHat is
+    // one small row per transcript and localCheckpoint() truncates lineage
+    // each iteration (one eager job per iter, as the reference's µ reduce).
+    (0 until maxIterations).foreach { _ =>
+      val alpha = eStep(muHat, edges)
+      muHat = mStep(alpha, relEc, tLen, kmerLength).localCheckpoint()
+    }
+
+    val calibratedMu =
+      if (calibrateLengthBias) graft.calibrate.Tare.calibrateTxLenBias(muHat, tLen)
+      else muHat
+
+    // final join against full transcript descriptors (Quantify.scala:286-295)
+    transcripts.select(col("id").as("tid"))
+      .join(calibratedMu, "tid")
+      .select(col("tid"), col("muHat").as("abundance"))
+  }
+}

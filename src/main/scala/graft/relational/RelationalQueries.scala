@@ -1,0 +1,343 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Relational query surface over the driver corpus (TESTDATA.md).
+  *
+  * Each query maps one or more operators from SURVEY.md §2 (scan, filter,
+  * projection, equi-join, broadcast join, semi/anti join, hash aggregation,
+  * scalar aggregation, window partition-sum — the E-step shape A6 —, top-k,
+  * distinct aggregation, rollup, time-window aggregation, sessionization,
+  * JSON extraction) onto `org.apache.spark.sql` declarative plans so
+  * Catalyst/AQE picks the physical strategy.
+  *
+  * Determinism contract with the DuckDB oracle: every floating-point
+  * aggregate is rounded (sum→2–4 dp, avg→6 dp) so that engine-specific
+  * summation order can't flip the hash; every output is totally ordered by
+  * a unique key combination.
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 6).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q02_filter_project",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .filter($"l_returnflag" === "R" && $"l_quantity" >= 30 && $"l_quantity" <= 40 &&
+            $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 40
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q03_shipping_priority",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val o = Tables.orders(s, d).filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+        val l = li(s, d).filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15'
+             |  AND l_shipdate > TIMESTAMP '1998-03-15'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    Q("q04_order_priority",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1997-07-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-10-01").cast("timestamp"))
+        val l = li(s, d).filter($"l_quantity" > 45)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q05_nation_revenue",
+      (s, d) => {
+        import s.implicits._
+        val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val o = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        li(s, d)
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(c, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    Q("q06_forecast_revenue",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+            $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+          .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // A6's shape from SURVEY §2.4: ratio-to-partition-total window (the EM
+    // E-step pattern), folded into a small aggregate so output stays bounded.
+    Q("q07_window_share",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_orderkey")
+        li(s, d)
+          .withColumn("share", $"l_quantity" / sum($"l_quantity").over(w))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"share"), 4).as("sum_share"),
+            round(avg($"share"), 6).as("avg_share"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(share), 4) AS sum_share,
+             |  round(avg(share), 6) AS avg_share,
+             |  count(*) AS n
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus,
+             |    l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey) AS share
+             |  FROM lineitem)
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q08_topk_per_group",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        li(s, d)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .orderBy($"l_suppkey", $"rnk")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rnk
+             |FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+             |  FROM lineitem)
+             |WHERE rnk <= 3
+             |ORDER BY l_suppkey, rnk""".stripMargin)),
+
+    Q("q09_semi_join",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter($"o_totalprice" > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q10_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter($"o_totalprice" > 300000)
+        val n = Tables.nation(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    Q("q11_distinct_agg",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"),
+            countDistinct($"l_orderkey").as("n_orders"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q12_events_hourly",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q13_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec"))
+          .withColumn("prev", lag($"sec", 1).over(byUser))
+          .withColumn("new_s",
+            when($"prev".isNull || $"sec" - $"prev" > 1800, 1).otherwise(0))
+          .withColumn("sid", sum($"new_s").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id")
+          .agg(max($"sid").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS sec FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, sec,
+             |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+             |  FROM e),
+             |f AS (
+             |  SELECT user_id, event_id, sec,
+             |    CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_s
+             |  FROM l),
+             |s AS (
+             |  SELECT user_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q14_rollup",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(round(sum($"c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n"))
+          .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    Q("q15_json_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(round(avg($"k"), 6).as("avg_k"), sum($"k").as("sum_k"), count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, round(avg(k), 6) AS avg_k, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n
+             |FROM (SELECT event_type, CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/<name>/ parquet (Spark results) and
+<verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB over views of the
+parquet tables in <sfDir>, and compares: column set (sorted by name),
+row count, and exact values after sorting rows. Reports per-query status.
+"""
+import sys, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and format compactly
+        if v == 0:
+            return "0"
+        return repr(v)
+    return str(v)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+        if ocols != scols:
+            print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_bad += 1
+            continue
+        orows = sorted(tuple(norm(v) for v in r)
+                       for r in odf[ocols].itertuples(index=False))
+        srows = sorted(tuple(norm(v) for v in r)
+                       for r in sdf[ocols].itertuples(index=False))
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
+            n_bad += 1
+            continue
+        diffs = [(a, b) for a, b in zip(orows, srows) if a != b]
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)}/{len(orows)} rows differ; first: "
+                  f"oracle={diffs[0][0]} spark={diffs[0][1]}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(orows)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
