@@ -12,7 +12,13 @@ object SparkEntry {
 
   /** All declared queries, in registration order. */
   def allQueries: Seq[Q] =
-    relational.RelationalQueries.all
+    relational.RelationalQueries.all ++
+      relational.GenomicsQueries.queries ++
+      ops.TextAnalysis.queries ++
+      ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.Multimodal.queries ++
+      streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

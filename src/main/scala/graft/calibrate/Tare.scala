@@ -2,7 +2,6 @@ package graft.calibrate
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.ml.functions.array_to_vector
 import graft.kmer.Kmers
@@ -88,8 +87,8 @@ object Tare {
 
     val cal = muHat.withColumn("cal",
       exp(lit(mean) + (lit(slope) * col("muHat") + lit(intercept)) - col("muHat")))
-    cal
-      .withColumn("muHat", col("cal") / sum("cal").over(Window.partitionBy()))
-      .select("tid", "muHat")
+    // Σ=1 renormalization (Tare.scala:189-192) via broadcast scalar agg
+    cal.crossJoin(broadcast(cal.agg(sum("cal").as("totalCal"))))
+      .select(col("tid"), (col("cal") / col("totalCal")).as("muHat"))
   }
 }

@@ -73,8 +73,12 @@ object Indexer {
   def fromGenome(spark: SparkSession, transcripts: DataFrame, genome: String, k: Int,
       deterministicIds: Boolean = false): Result = {
     val bc = spark.sparkContext.broadcast(genome)
+    // the reference extracts the transcript's full region — the hull of its
+    // exons (Index.scala:85 uses t.region) — not a per-exon splice
     val extract = udf { exons: Seq[org.apache.spark.sql.Row] =>
-      exons.map(e => bc.value.substring(e.getLong(0).toInt, e.getLong(1).toInt)).mkString
+      val starts = exons.map(_.getLong(0))
+      val ends = exons.map(_.getLong(1))
+      bc.value.substring(starts.min.toInt, ends.max.toInt)
     }
     apply(transcripts.select(col("id"), extract(col("exons")).as("sequence")), k, deterministicIds)
   }

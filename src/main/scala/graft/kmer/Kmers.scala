@@ -44,8 +44,13 @@ object Kmers {
     */
   def dinucFeatures(kmer: Column): Column = {
     val contexts = kmers(kmer, 2)
-    val idxs = transform(contexts, c =>
-      baseIdx(substring(c, lit(1), lit(1))) * 4 + baseIdx(substring(c, lit(2), lit(1))))
+    // validity is per base (isValidContext, Tare.scala:73-77): encoding the
+    // pair as 4·i₀+i₁ alone would let e.g. "TN" (3·4 + -1 = 11) through
+    val idxs = transform(contexts, c => {
+      val i0 = baseIdx(substring(c, lit(1), lit(1)))
+      val i1 = baseIdx(substring(c, lit(2), lit(1)))
+      when(i0 >= 0 && i1 >= 0, i0 * 4 + i1).otherwise(-1)
+    })
     val valid = filter(idxs, i => i >= 0)
     val n = size(valid)
     val hist = transform(sequence(lit(0), lit(15)), b =>

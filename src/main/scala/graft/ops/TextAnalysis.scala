@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (BASELINE.json north star): token counting, quality
+  * scoring, n-gram language ID, and document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs); every query has a DuckDB oracle.
+  *
+  * Scale notes: everything here is embarrassingly parallel per document
+  * except the language-ID profile build, which aggregates a bounded
+  * (5 langs × top-20 trigram) dim that is then broadcast-joined.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "value", "data", "table")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  val queries: Seq[Q] = Seq(
+    Q("q30_token_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang", size(tokens($"text")).as("n_tok"), $"n_chars")
+          .groupBy($"lang")
+          .agg(sum($"n_tok").as("total_tokens"),
+            round(avg($"n_tok"), 6).as("avg_tokens"),
+            round(avg($"n_chars"), 6).as("avg_chars"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"lang")
+      },
+      Some(s"""SELECT lang,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+             |  round(avg(n_chars), 6) AS avg_chars,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("q31_quality_score",
+      (s, d) => {
+        import s.implicits._
+        val toks = tokens($"text")
+        Tables.documents(s, d)
+          .select($"source",
+            size(toks).as("n_tok"),
+            size(filter(toks, w => w.isInCollection(stopwords))).as("n_stop"),
+            size(array_distinct(toks)).as("n_uniq"))
+          .groupBy($"source")
+          .agg(round(avg($"n_stop".cast("double") / $"n_tok"), 6).as("stop_ratio"),
+            round(avg($"n_uniq".cast("double") / $"n_tok"), 6).as("uniq_ratio"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT source,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    len(list_filter(string_split(text, ' '), w -> w IN ($stopwordsSql))) AS n_stop,
+             |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+             |  FROM documents)
+             |SELECT source, round(avg(n_stop * 1.0 / n_tok), 6) AS stop_ratio,
+             |  round(avg(n_uniq * 1.0 / n_tok), 6) AS uniq_ratio, count(*) AS n_docs
+             |FROM q GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Language ID via character-trigram profiles: build top-20 trigram
+    // profile per language from the corpus, score each doc by profile
+    // overlap, predict argmax. Output is the confusion matrix.
+    Q("q32_lang_id",
+      (s, d) => {
+        import s.implicits._
+        val tri = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            explode(graft.kmer.Kmers.kmers($"text", 3)).as("g"))
+        val prof = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")))
+          .filter($"rn" <= 20)
+          .select($"lang".as("cand"), $"g")
+        val docTri = tri.select($"doc_id", $"lang".as("actual"), $"g").distinct()
+        val scores = docTri.join(broadcast(prof), "g")
+          .groupBy($"doc_id", $"actual", $"cand")
+          .agg(count(lit(1)).as("score"))
+        val pred = scores
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
+          .filter($"rn" === 1)
+        pred.groupBy($"actual", $"cand".as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"actual", $"predicted")
+      },
+      Some("""WITH tri AS (
+             |  SELECT doc_id, lang, substr(text, i, 3) AS g
+             |  FROM (SELECT doc_id, lang, text,
+             |          unnest(generate_series(1, length(text) - 2)) AS i
+             |        FROM documents)),
+             |prof AS (
+             |  SELECT lang AS cand, g FROM (
+             |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+             |      ORDER BY count(*) DESC, g) AS rn
+             |    FROM tri GROUP BY lang, g) WHERE rn <= 20),
+             |doctri AS (SELECT DISTINCT doc_id, lang AS actual, g FROM tri),
+             |scores AS (
+             |  SELECT t.doc_id, t.actual, p.cand, count(*) AS score
+             |  FROM doctri t JOIN prof p USING (g) GROUP BY 1, 2, 3),
+             |pred AS (
+             |  SELECT doc_id, actual, cand AS predicted FROM (
+             |    SELECT doc_id, actual, cand, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, cand) AS rn
+             |    FROM scores) WHERE rn = 1)
+             |SELECT actual, predicted, count(*) AS n
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text —
+    // deterministic and identical across engines (SURVEY F10-adjacent;
+    // groundwork for q40 exact dedup).
+    Q("q33_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -93,9 +93,11 @@ object Quantify {
       .agg(sum(col("alpha") * col("kj")).as("sumAlpha"))
       .join(broadcast(tLen), "tid")
       .withColumn("mu", col("sumAlpha") / (col("len") - k + 1).cast("double"))
-    mus
-      .withColumn("muHat", col("mu") / sum("mu").over(Window.partitionBy()))
-      .select("tid", "muHat")
+    // scalar normalizer as a broadcast 1-row cross join — a global window here
+    // would funnel every row through one partition (Quantify.scala:263-274's
+    // reduce, without the single-partition hazard)
+    mus.crossJoin(broadcast(mus.agg(sum("mu").as("totalMu"))))
+      .select(col("tid"), (col("mu") / col("totalMu")).as("muHat"))
   }
 
   /** Transcript length = Σ over exons of (region.width − 1) — exactly the
@@ -137,10 +139,11 @@ object Quantify {
     val ecCounts = mapKmersToClasses(calibrated, kmerToEc).cache()
 
     // k_j = relative k-mer count of each class (Quantify.scala:79-87).
-    // A scalar agg + broadcast replaces the reference's reduce+collectAsMap.
+    // A scalar agg + broadcast cross join replaces the reference's
+    // reduce+collectAsMap without a single-partition window.
     val relEc = ecCounts
-      .withColumn("kj", col("count").cast("double") / sum("count").over(Window.partitionBy()))
-      .select("ec", "kj")
+      .crossJoin(broadcast(ecCounts.agg(sum("count").as("totalCount"))))
+      .select(col("ec"), (col("count").cast("double") / col("totalCount")).as("kj"))
       .cache()
 
     val edges = ecToTx.join(ecCounts.select("ec"), "ec").cache()

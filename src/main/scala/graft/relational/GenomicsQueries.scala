@@ -1,0 +1,130 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.index.Indexer
+import graft.quantify.Quantify
+
+/** The genomics operators (SURVEY §2: F1 k-merization, A1-A5 aggregation
+  * chain, J1 many-to-one join, F9 init split, A7/A8 M-step) exercised over
+  * the `documents` corpus so the DuckDB oracle can value-check the REAL
+  * Indexer/Quantify code paths: documents play transcripts, 8-char shingles
+  * play k-mers.
+  *
+  * Equivalence-class ids use Indexer's deterministic mode (dense_rank over
+  * (tid, mult)) so both engines number classes identically.
+  */
+object GenomicsQueries {
+
+  private val K = 8
+
+  /** documents as (id, sequence) transcript input. */
+  private def docSeqs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id").as("id"), col("text").as("sequence"))
+
+  private val kmSql =
+    """km AS (
+      |  SELECT doc_id, substr(text, i, 8) AS kmer
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text) - 7)) AS i
+      |        FROM documents))""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // A3/F1: corpus-wide k-mer histogram through Quantify.countKmers.
+    Q("q20_kmer_histogram",
+      (s, d) => {
+        import s.implicits._
+        Quantify.countKmers(
+            Tables.documents(s, d).select($"text".as("sequence")), K)
+          .filter($"count" >= 3)
+          .orderBy($"count".desc, $"kmer")
+          .limit(100)
+      },
+      Some(s"""WITH $kmSql
+             |SELECT kmer, count(*) AS count FROM km
+             |GROUP BY kmer HAVING count(*) >= 3
+             |ORDER BY count DESC, kmer LIMIT 100""".stripMargin)),
+
+    // A1/A2: per-document multiplicity classes (the EC construction run
+    // through Indexer), summarized per document.
+    Q("q21_ec_summary",
+      (s, d) => {
+        import s.implicits._
+        val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
+        idx.kmerToEc.join(idx.ecToTx, "ec")
+          .groupBy($"tid".as("doc_id"))
+          .agg(count(lit(1)).as("n_kmers"),
+            countDistinct($"ec").as("n_classes"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $kmSql,
+             |mult AS (SELECT doc_id, kmer, count(*) AS mult FROM km GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_kmers, count(DISTINCT mult) AS n_classes
+             |FROM mult GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // J1+A4+A5+F9+A7+A8: one full EM initialization round (init split + M
+    // step) through the real Quantify functions, oracle-checked end to end.
+    Q("q22_em_init_round",
+      (s, d) => {
+        import s.implicits._
+        val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
+        val kmerCounts = Quantify.countKmers(
+          Tables.documents(s, d).select($"text".as("sequence")), K)
+        val ecCounts = Quantify.mapKmersToClasses(kmerCounts, idx.kmerToEc).cache()
+        val relEc = ecCounts
+          .crossJoin(broadcast(ecCounts.agg(sum("count").as("tc"))))
+          .select($"ec", ($"count".cast("double") / $"tc").as("kj"))
+        val alpha0 = Quantify.initializeEM(ecCounts, idx.ecToTx)
+        val tLen = Tables.documents(s, d)
+          .select($"doc_id".as("tid"), $"n_chars".as("len"))
+        Quantify.mStep(alpha0, relEc, tLen, K)
+          .select($"tid".as("doc_id"), round($"muHat", 6).as("mu_hat"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $kmSql,
+             |mult AS (SELECT doc_id, kmer, count(*) AS mult FROM km GROUP BY 1, 2),
+             |classes AS (
+             |  SELECT doc_id, mult, dense_rank() OVER (ORDER BY doc_id, mult) - 1 AS ec
+             |  FROM (SELECT DISTINCT doc_id, mult FROM mult)),
+             |k2e AS (
+             |  SELECT m.kmer, c.ec FROM mult m
+             |  JOIN classes c ON m.doc_id = c.doc_id AND m.mult = c.mult),
+             |kc AS (SELECT kmer, count(*) AS count FROM km GROUP BY kmer),
+             |ecc AS (
+             |  SELECT ec, CAST(sum(count) AS BIGINT) AS count
+             |  FROM k2e JOIN kc USING (kmer) GROUP BY ec),
+             |rel AS (SELECT ec, count * 1.0 / (SELECT sum(count) FROM ecc) AS kj FROM ecc),
+             |alpha AS (
+             |  SELECT c.ec, c.doc_id AS tid,
+             |    e.count * 1.0 / count(*) OVER (PARTITION BY c.ec) AS alpha
+             |  FROM classes c JOIN ecc e USING (ec)),
+             |mus AS (
+             |  SELECT a.tid, sum(a.alpha * r.kj) / (d.n_chars - 8 + 1) AS mu
+             |  FROM alpha a JOIN rel r USING (ec)
+             |  JOIN documents d ON a.tid = d.doc_id
+             |  GROUP BY a.tid, d.n_chars)
+             |SELECT tid AS doc_id, round(mu / (SELECT sum(mu) FROM mus), 6) AS mu_hat
+             |FROM mus ORDER BY doc_id""".stripMargin)),
+
+    // A6: the E-step ratio-to-class-total, value-checked on lineitem-derived
+    // relations (tid=l_suppkey, ec=l_partkey, µ̂=Σ quantity) through
+    // Quantify.eStep.
+    Q("q23_estep",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val edges = li.select($"l_partkey".as("ec"), $"l_suppkey".as("tid")).distinct()
+        val weights = li.groupBy($"l_suppkey".as("tid"))
+          .agg(sum($"l_quantity").as("muHat"))
+        Quantify.eStep(weights, edges)
+          .select($"ec", $"tid", round($"alpha", 6).as("alpha"))
+          .orderBy($"ec", $"tid")
+      },
+      Some("""WITH edges AS (SELECT DISTINCT l_partkey AS ec, l_suppkey AS tid FROM lineitem),
+             |w AS (SELECT l_suppkey AS tid, sum(l_quantity) AS muHat FROM lineitem GROUP BY 1)
+             |SELECT e.ec, e.tid,
+             |  round(w.muHat / sum(w.muHat) OVER (PARTITION BY e.ec), 6) AS alpha
+             |FROM edges e JOIN w USING (tid) ORDER BY ec, tid""".stripMargin))
+  )
+}

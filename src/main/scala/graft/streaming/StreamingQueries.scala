@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Structured Streaming surface. The reference has no streaming
+  * (SURVEY §2.8) — this is the scale extension: the same events aggregation
+  * as a `readStream` → agg → `writeStream(memory)` pipeline, driven to
+  * completion synchronously so the correctness gate can oracle-check the
+  * final table. On a real cluster the memory sink becomes a kafka/delta
+  * sink and the batch-complete drive becomes a continuous trigger.
+  */
+object StreamingQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q("q70_stream_hourly",
+      (s, d) => {
+        import s.implicits._
+        // file-source schema comes from the static footer (ts arrives as
+        // nanosecond Long under the session's nanosAsLong, same as Tables)
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        // the file stream source wants a directory of files — stage the
+        // single-table file into a temp dir (symlink; copy as fallback)
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+        val target = dir.resolve("events.parquet")
+        val src = java.nio.file.Paths.get(s"$d/events.parquet")
+        try java.nio.file.Files.createSymbolicLink(target, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+        val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+        val withTs = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = withTs
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+
+        val name = "q70_stream_hourly_sink"
+        val query = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name)
+          .select($"hour", $"event_type", $"n", round($"sv", 4).as("total_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin))
+  )
+}
