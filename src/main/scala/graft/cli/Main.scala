@@ -1,0 +1,87 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.index.Indexer
+import graft.model.Read
+import graft.quantify.Quantify
+
+/** CLI mirroring the reference's `rice index` / `rice quantify` commands
+  * (rice-cli/.../RiceMain.scala:29-64, cli/Index.scala:41-93,
+  * cli/Quantify.scala:32-108 — SURVEY §3.1-3.2).
+  *
+  * index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT
+  *   → writes OUTPUT_kmers (kmer, ec) and OUTPUT_classes (ec, kmers)
+  *     parquet — the same two-table index layout as the reference
+  *     (cli/Index.scala:83,92, SURVEY S6), plus OUTPUT_tx (ec, tid).
+  *
+  * quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
+  *         [-max_iterations N] [-disable_kmer_calibration]
+  *         [-disable_length_calibration]
+  *   → writes "<id>, <abundance>" text (cli/Quantify.scala:107-108,
+  *     SURVEY S7/F10).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "index" :: genome :: gtf :: k :: out :: Nil =>
+      runIndex(genome, gtf, k.toInt, out)
+    case "quantify" :: reads :: index :: gtf :: k :: out :: rest =>
+      val maxIter = rest.sliding(2).collectFirst {
+        case "-max_iterations" :: n :: Nil => n.toInt
+      }.getOrElse(50) // reference default, cli/Quantify.scala:57-58
+      runQuantify(reads, index, gtf, k.toInt, out, maxIter,
+        calibrateKmers = !rest.contains("-disable_kmer_calibration"),
+        calibrateLength = !rest.contains("-disable_length_calibration"))
+    case _ =>
+      System.err.println(
+        """usage:
+          |  index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT
+          |  quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
+          |           [-max_iterations N] [-disable_kmer_calibration]
+          |           [-disable_length_calibration]""".stripMargin)
+      sys.exit(1)
+  }
+
+  private def runIndex(genomePath: String, gtfPath: String, k: Int, out: String): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // driver-side genome load + broadcast, as the reference does
+    // (cli/Index.scala:59-62 then Index.scala:76-78)
+    val genome = graft.io.Fasta.read(genomePath)
+    val bc = spark.sparkContext.broadcast(genome)
+    val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)
+    val extract = udf { (exons: Seq[org.apache.spark.sql.Row]) =>
+      // transcript hull on its reference sequence (Index.scala:85 uses t.region)
+      val regions = exons.map(_.getStruct(3))
+      val name = regions.head.getString(0)
+      val start = regions.map(_.getLong(1)).min
+      val end = regions.map(_.getLong(2)).max
+      bc.value(name).substring(start.toInt, end.toInt)
+    }
+    val seqs = transcripts.select(col("id"), extract(col("exons")).as("sequence"))
+    val idx = Indexer(seqs, k)
+    idx.kmerToEc.write.mode("overwrite").parquet(out + "_kmers")
+    idx.ecToKmers.write.mode("overwrite").parquet(out + "_classes")
+    idx.ecToTx.write.mode("overwrite").parquet(out + "_tx")
+  }
+
+  private def runQuantify(readsPath: String, indexPath: String, gtfPath: String,
+      k: Int, out: String, maxIterations: Int,
+      calibrateKmers: Boolean, calibrateLength: Boolean): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    import spark.implicits._
+    val reads = spark.read.parquet(readsPath).select("sequence").as[Read]
+    val kmerToEc = spark.read.parquet(indexPath + "_kmers")
+    val ecToTx = spark.read.parquet(indexPath + "_tx")
+    val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)
+      .as[graft.model.Transcript]
+    val abundances = Quantify(reads, kmerToEc, ecToTx, transcripts, k,
+      maxIterations, calibrateKmers, calibrateLength)
+    // "<id>, <abundance>" text lines, as cli/Quantify.scala:107-108
+    abundances
+      .select(concat_ws(", ", col("tid"), col("abundance")).as("value"))
+      .write.mode("overwrite").text(out)
+    // no spark.stop(): the session is getOrCreate-shared (tests reuse it);
+    // standalone CLI JVMs tear it down at exit
+  }
+}

@@ -42,6 +42,7 @@ object Indexer {
       .select(col("id").as("tid"), explode(Kmers.kmers(col("sequence"), k)).as("kmer"))
       .groupBy("tid", "kmer")
       .agg(count(lit(1)).as("mult"))
+      .cache() // consumed twice: class-key derivation + the id join below
 
     // one row per equivalence class, keyed by (tid, mult)
     val classIds =

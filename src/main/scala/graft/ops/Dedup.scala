@@ -27,15 +27,20 @@ object Dedup {
       explode(graft.kmer.Kmers.kmers(col("text"), k)).as("s"))
       .distinct()
 
-  /** MinHash signatures: for hash function i (0..h-1), the minimum of
-    * md5(i:shingle) over the doc's shingle set. DataFrame(doc_id, i, mh). */
-  def minhash(docs: DataFrame, k: Int, h: Int): DataFrame =
-    shingles(docs, k)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(h - 1))).as("i"), col("s"))
-      .select(col("doc_id"), col("i"),
-        md5(concat(col("i").cast("string"), lit(":"), col("s"))).as("hv"))
-      .groupBy("doc_id", "i")
-      .agg(min("hv").as("mh"))
+  /** MinHash signatures via Kirsch-Mitzenmacher double hashing: two md5s
+    * per shingle give base hashes a, b (56-bit, from 14 hex chars so
+    * a + 15·b stays in a signed long), and h_i = a + i·b. The 16 minima are
+    * computed as ONE wide aggregate — no per-hash-function explode, so the
+    * shuffle input is |shingles| rows, not 16×.
+    * DataFrame(doc_id, mh0..mh{h-1}).
+    */
+  def minhashWide(docs: DataFrame, k: Int, h: Int): DataFrame = {
+    val hx = shingles(docs, k).select(col("doc_id"),
+      expr("cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)").as("a"),
+      expr("cast(conv(substring(md5(concat('x', s)), 1, 14), 16, 10) as bigint)").as("b"))
+    val mins = (0 until h).map(i => min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
+    hx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact",
@@ -59,90 +64,103 @@ object Dedup {
     Q("q41_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        val mh = minhash(Tables.documents(s, d), 12, 16).cache()
-        // LSH: bands of 2 rows → bucket id = md5(band || mh_even || mh_odd)
-        val even = mh.filter($"i" % 2 === 0)
-          .select($"doc_id", ($"i" / 2).cast("int").as("band"), $"mh".as("mh0"))
-        val odd = mh.filter($"i" % 2 === 1)
-          .select($"doc_id", (($"i" - 1) / 2).cast("int").as("band"), $"mh".as("mh1"))
-        val bands = even.join(odd, Seq("doc_id", "band"))
-          .select($"doc_id", $"band",
-            md5(concat($"band".cast("string"), lit("|"), $"mh0", lit("|"), $"mh1")).as("bucket"))
+        val mh = minhashWide(Tables.documents(s, d), 12, 16).cache()
+        // LSH: 8 bands of 2 signature rows; bucket = md5(mh_even | mh_odd)
+        val bandCols = (0 until 8).map { j =>
+          struct(lit(j).as("band"),
+            md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
+        }
+        val bands = mh.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
         val cand = bands.as("x").join(bands.as("y"),
-            $"x.bucket" === $"y.bucket" && $"x.band" === $"y.band" &&
+            $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
               $"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
           .distinct()
-        val sim = cand
-          .join(mh.select($"doc_id".as("a"), $"i", $"mh".as("ma")), Seq("a"))
-          .join(mh.select($"doc_id".as("b"), $"i", $"mh".as("mb")), Seq("b", "i"))
-          .groupBy($"a", $"b")
-          .agg((sum(when($"ma" === $"mb", 1).otherwise(0)) / 16.0).as("est_j"))
-        sim.filter($"est_j" >= 0.25)
+        val xa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "a" else c + "_a"): _*)
+        val xb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "b" else c + "_b"): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(xa, "a").join(xb, "b")
+          .withColumn("est_j", matches / lit(16.0))
+          .filter($"est_j" >= 0.25)
           .select($"a", $"b", round($"est_j", 4).as("est_jaccard"))
           .orderBy($"a", $"b")
       },
-      Some("""WITH sh AS (
-             |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
-             |  FROM (SELECT doc_id, text,
-             |          unnest(generate_series(1, length(text) - 11)) AS i
-             |        FROM documents)),
-             |mh AS (
-             |  SELECT doc_id, h.i AS i, min(md5(h.i || ':' || s)) AS mh
-             |  FROM sh, generate_series(0, 15) AS h(i) GROUP BY doc_id, h.i),
-             |bands AS (
-             |  SELECT e.doc_id, e.i // 2 AS band,
-             |    md5((e.i // 2) || '|' || e.mh || '|' || o.mh) AS bucket
-             |  FROM mh e JOIN mh o ON e.doc_id = o.doc_id AND o.i = e.i + 1
-             |  WHERE e.i % 2 = 0),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM bands x JOIN bands y
-             |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
-             |sim AS (
-             |  SELECT c.a, c.b,
-             |    sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS est_j
-             |  FROM cand c
-             |  JOIN mh ma ON ma.doc_id = c.a
-             |  JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
-             |  GROUP BY c.a, c.b)
-             |SELECT a, b, round(est_j, 4) AS est_jaccard
-             |FROM sim WHERE est_j >= 0.25 ORDER BY a, b""".stripMargin)),
+      Some {
+        val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
+        val bandCases = (0 until 8)
+          .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
+        val eqSum = (0 until 16)
+          .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
+           |  FROM (SELECT doc_id, text,
+           |          unnest(generate_series(1, length(text) - 11)) AS i
+           |        FROM documents)),
+           |hx AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
+           |    ('0x' || substr(md5('x' || s), 1, 14))::BIGINT AS b
+           |  FROM sh),
+           |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, t.i AS band, CASE t.i $bandCases END AS bucket
+           |  FROM mh, generate_series(0, 7) AS t(i)),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+           |sim AS (
+           |  SELECT c.a, c.b, ($eqSum) / 16.0 AS est_j
+           |  FROM cand c JOIN mh x ON x.doc_id = c.a JOIN mh y ON y.doc_id = c.b)
+           |SELECT a, b, round(est_j, 4) AS est_jaccard
+           |FROM sim WHERE est_j >= 0.25 ORDER BY a, b""".stripMargin
+      }),
 
     Q("q42_simhash",
       (s, d) => {
         import s.implicits._
-        val sh = Tables.documents(s, d)
+        val hh = Tables.documents(s, d)
           .select($"doc_id", explode(graft.kmer.Kmers.kmers($"text", 12)).as("s"))
-        val bits = sh
-          .select($"doc_id", explode(sequence(lit(0), lit(15))).as("bit"), md5($"s").as("h"))
-          .withColumn("nib",
-            expr("instr('0123456789abcdef', substring(h, bit + 1, 1)) - 1"))
-          .groupBy($"doc_id", $"bit")
-          .agg(sum(when($"nib" % 2 === 1, 1).otherwise(-1)).as("v"))
-        bits
-          .groupBy($"doc_id")
-          .agg(sum(when($"v" > 0, pow(lit(2), $"bit")).otherwise(0)).cast("long").as("simhash"))
+          .select($"doc_id", md5($"s").as("h"))
+        // one wide aggregate: per bit b, sum of ±1 by parity of md5 nibble b —
+        // no per-bit explode, shuffle input stays |shingles| rows
+        val vcols = (0 until 16).map { b =>
+          sum(when(expr(
+            s"(instr('0123456789abcdef', substring(h, ${b + 1}, 1)) - 1) % 2 = 1"),
+            1).otherwise(-1)).as(s"v$b")
+        }
+        val bits = hh.groupBy($"doc_id").agg(vcols.head, vcols.tail: _*)
+        val simhash = (0 until 16)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        bits.select($"doc_id", simhash.as("simhash"))
           .groupBy($"simhash")
           .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
           .orderBy($"simhash")
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, substr(text, i, 12) AS s
-             |  FROM (SELECT doc_id, text,
-             |          unnest(generate_series(1, length(text) - 11)) AS i
-             |        FROM documents)),
-             |bits AS (
-             |  SELECT doc_id, b.i AS bit,
-             |    sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(s), b.i + 1, 1)) - 1) % 2 = 1
-             |        THEN 1 ELSE -1 END) AS v
-             |  FROM sh, generate_series(0, 15) AS b(i) GROUP BY doc_id, b.i),
-             |simhash AS (
-             |  SELECT doc_id,
-             |    CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS simhash
-             |  FROM bits GROUP BY doc_id)
-             |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
-             |FROM simhash GROUP BY simhash ORDER BY simhash""".stripMargin)),
+      Some {
+        val vbs = (0 until 16).map(b =>
+          s"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n|    ")
+        val simExpr = (0 until 16)
+          .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH sh AS (
+           |  SELECT doc_id, substr(text, i, 12) AS s
+           |  FROM (SELECT doc_id, text,
+           |          unnest(generate_series(1, length(text) - 11)) AS i
+           |        FROM documents)),
+           |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $vbs
+           |  FROM hh GROUP BY doc_id),
+           |simhash AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+           |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+           |FROM simhash GROUP BY simhash ORDER BY simhash""".stripMargin
+      }),
 
     Q("q43_ngram_jaccard",
       (s, d) => {
