@@ -39,7 +39,7 @@ object Indexer {
     */
   def apply(transcriptSeqs: DataFrame, k: Int, deterministicIds: Boolean = false): Result = {
     val kmerMult = transcriptSeqs
-      .select(col("id").as("tid"), explode(Kmers.kmers(col("sequence"), k)).as("kmer"))
+      .select(col("id").as("tid"), Kmers.kmerExplode(col("sequence"), k).as("kmer"))
       .groupBy("tid", "kmer")
       .agg(count(lit(1)).as("mult"))
       .cache() // consumed twice: class-key derivation + the id join below

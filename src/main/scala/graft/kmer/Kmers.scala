@@ -23,6 +23,12 @@ object Kmers {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Generator form — one sequence row → (len−k+1) kmer rows, streamed by
+    * the custom Catalyst expression (no intermediate array). Use this in
+    * explode positions; use `kmers` where an array value is needed. */
+  def kmerExplode(seq: Column, k: Int): Column =
+    KmerGenerator.kmer_explode(seq, k)
+
   /** substring that accepts a Column start position (functions.substring
     * only takes Int literals). 1-based, like SQL. */
   private def substring(str: Column, pos: Column, len: Column): Column =

@@ -32,7 +32,7 @@ object Quantify {
     */
   def countKmers(reads: DataFrame, k: Int): DataFrame =
     reads
-      .select(explode(Kmers.kmers(col("sequence"), k)).as("kmer"))
+      .select(Kmers.kmerExplode(col("sequence"), k).as("kmer"))
       .groupBy("kmer")
       .agg(count(lit(1)).as("count"))
 

@@ -125,7 +125,8 @@ class QuantifySuite extends SparkSuite {
   /** Shared e2e runner: quantify generated reads and return tid → abundance. */
   private def runQuantify(transcripts: Seq[String], names: Seq[String],
       kmerMap: Map[String, Long], classMap: Map[Long, Iterable[String]],
-      reads: Seq[Read], k: Int, iterations: Int): Map[String, Double] = {
+      reads: Seq[Read], k: Int, iterations: Int,
+      calibrate: Boolean = false): Map[String, Double] = {
     val readsDs = reads.toDS()
     val kmerToEc = kmerMap.toSeq.toDF("kmer", "ec")
     val ecToTx = classMap.toSeq.flatMap { case (ec, ts) => ts.map(t => (ec, t)) }.toDF("ec", "tid")
@@ -134,7 +135,7 @@ class QuantifySuite extends SparkSuite {
         Seq(Exon(n + "exon", n, true, ReferenceRegion(n, 0L, len.toLong))))
     }.toDS()
     Quantify(readsDs, kmerToEc, ecToTx, txDs, k, iterations,
-      calibrateKmerBias = false, calibrateLengthBias = false)
+      calibrateKmerBias = calibrate, calibrateLengthBias = calibrate)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
@@ -151,6 +152,32 @@ class QuantifySuite extends SparkSuite {
     assert(fpEquals(ab("3"), 0.2, 0.05))
     assert(fpEquals(ab("4"), 0.1, 0.05))
     assert(fpEquals(ab("5"), 0.1, 0.05))
+  }
+
+  test("quantify where all abundance variation is due to length bias") { // :589-630
+    val tLen = Seq(1000, 600, 400, 550, 1275, 1400)
+    val (transcripts, names, kmerMap, classMap) =
+      TranscriptGenerator.generateIndependentTranscripts(20, tLen, Some(1234L))
+    val totLen = tLen.sum.toDouble
+    val reads = ReadGenerator(transcripts, tLen.map(_ / totLen), 10000, 75, Some(4321L))
+    val ab = runQuantify(transcripts, names, kmerMap, classMap, reads, 20, 20,
+      calibrate = true)
+    assert(ab.size === 6)
+    names.foreach(n => assert(fpEquals(ab(n), 1.0 / 6, 0.05), s"at $n"))
+  }
+
+  test("quantify with a weaker length bias: calibration moves directionally") { // :632-677
+    val tLen = Seq(1000, 600, 400, 550, 1275, 1400)
+    val (transcripts, names, kmerMap, classMap) =
+      TranscriptGenerator.generateIndependentTranscripts(20, tLen, Some(1234L))
+    val reads = ReadGenerator(transcripts, Seq(0.2, 0.1, 0.05, 0.2, 0.05, 0.4), 10000, 75, Some(4321L))
+    val ab = runQuantify(transcripts, names, kmerMap, classMap, reads, 20, 20,
+      calibrate = true)
+    assert(ab.size === 6)
+    // shortest transcript: length bias depressed it → calibration raises it
+    assert(ab("2") > 0.05)
+    // longest transcript: length bias inflated it → calibration lowers it
+    assert(ab("5") < 0.4)
   }
 
   test("quantify a small set of more realistic but unbiased transcripts") { // :484-544
