@@ -107,6 +107,32 @@ object GenomicsQueries {
              |SELECT tid AS doc_id, round(mu / (SELECT sum(mu) FROM mus), 6) AS mu_hat
              |FROM mus ORDER BY doc_id""".stripMargin)),
 
+    // I1/§2.9: the FULL iterative EM (5 iterations) through Quantify.apply,
+    // documents playing both transcripts and reads. Not SQL-expressible
+    // (driver-side iteration) → no oracle; the driver records a rows-only
+    // check, and the per-step math is value-checked by q22/q23 + the
+    // reference-ported exact-fraction specs.
+    Q("q24_em_full",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val seqs = docs.select($"doc_id".cast("string").as("id"), $"text".as("sequence"))
+        val idx = Indexer(seqs, K, deterministicIds = true)
+        val reads = docs.select($"text".as("sequence")).as[graft.model.Read]
+        val tx = docs.select($"doc_id".cast("string").as("id"), $"n_chars").map { r =>
+          val id = r.getString(0)
+          // region [0, n_chars+1) so Σ(width−1) gives the true length
+          graft.model.Transcript(id, Seq(id), id, strand = true,
+            Seq(graft.model.Exon(id, id, strand = true,
+              graft.model.ReferenceRegion(id, 0L, r.getLong(1) + 1))))
+        }
+        Quantify(reads, idx.kmerToEc, idx.ecToTx, tx, K, maxIterations = 5,
+            calibrateKmerBias = false, calibrateLengthBias = false)
+          .select($"tid".cast("long").as("doc_id"), round($"abundance", 6).as("abundance"))
+          .orderBy($"doc_id")
+      },
+      None),
+
     // A6: the E-step ratio-to-class-total, value-checked on lineitem-derived
     // relations (tid=l_suppkey, ec=l_partkey, µ̂=Σ quantity) through
     // Quantify.eStep.
