@@ -70,7 +70,9 @@ object Main {
       calibrateKmers: Boolean, calibrateLength: Boolean): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     import spark.implicits._
-    val reads = spark.read.parquet(readsPath).select("sequence").as[Read]
+    // extension dispatch as the reference's loadAlignments (SURVEY S1):
+    // parquet or FASTQ text
+    val reads = graft.io.Fastq.loadReads(spark, readsPath).as[Read]
     val kmerToEc = spark.read.parquet(indexPath + "_kmers")
     val ecToTx = spark.read.parquet(indexPath + "_tx")
     val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)

@@ -128,15 +128,22 @@ object Quantify {
       calibrateKmerBias: Boolean = true,
       calibrateLengthBias: Boolean = true): DataFrame = {
 
+    import graft.util.Timers
     val spark = reads.sparkSession
-    val tLen = transcriptLengths(transcripts).cache()
+    val tLen = Timers.time("extractTranscriptLengths") {
+      transcriptLengths(transcripts).cache()
+    }
 
-    val readKmers = countKmers(reads.toDF(), kmerLength)
+    val readKmers = Timers.time("countKmers") { countKmers(reads.toDF(), kmerLength) }
     val calibrated =
-      if (calibrateKmerBias) graft.calibrate.Tare.calibrateKmers(readKmers)
+      if (calibrateKmerBias) Timers.time("tareKmers") {
+        graft.calibrate.Tare.calibrateKmers(readKmers)
+      }
       else readKmers
 
-    val ecCounts = mapKmersToClasses(calibrated, kmerToEc).cache()
+    val ecCounts = Timers.time("mapKmersToClasses") {
+      mapKmersToClasses(calibrated, kmerToEc).cache()
+    }
 
     // k_j = relative k-mer count of each class (Quantify.scala:79-87).
     // A scalar agg + broadcast cross join replaces the reference's
@@ -149,19 +156,25 @@ object Quantify {
     val edges = ecToTx.join(ecCounts.select("ec"), "ec").cache()
 
     // init: equal split + one M step (Quantify.scala:89-102)
-    var muHat = mStep(initializeEM(ecCounts, ecToTx), relEc, tLen, kmerLength)
-      .localCheckpoint()
+    var muHat = Timers.time("initializeEM") {
+      mStep(initializeEM(ecCounts, ecToTx), relEc, tLen, kmerLength)
+        .localCheckpoint()
+    }
 
     // EM loop — driver-side iteration over a constant-depth plan: muHat is
     // one small row per transcript and localCheckpoint() truncates lineage
     // each iteration (one eager job per iter, as the reference's µ reduce).
     (0 until maxIterations).foreach { _ =>
-      val alpha = eStep(muHat, edges)
-      muHat = mStep(alpha, relEc, tLen, kmerLength).localCheckpoint()
+      Timers.time("emIteration") {
+        val alpha = eStep(muHat, edges)
+        muHat = mStep(alpha, relEc, tLen, kmerLength).localCheckpoint()
+      }
     }
 
     val calibratedMu =
-      if (calibrateLengthBias) graft.calibrate.Tare.calibrateTxLenBias(muHat, tLen)
+      if (calibrateLengthBias) Timers.time("calibrateTxLenBias") {
+        graft.calibrate.Tare.calibrateTxLenBias(muHat, tLen)
+      }
       else muHat
 
     // final join against full transcript descriptors (Quantify.scala:286-295)

@@ -49,6 +49,15 @@ class IoSuite extends SparkSuite {
     assert(genome === Map("chr1" -> "CAATCCTTCG", "chr2" -> "GCAGTGCA"))
   }
 
+  test("FASTQ reader extracts sequence lines, loader dispatches by extension") {
+    val fq = Files.createTempFile("graft_reads", ".fastq")
+    Files.writeString(fq,
+      "@r1\nCAATCCTTCG\n+\nIIIIIIIIII\n@r2\nGCAGTGCA\n+\nIIIIIIII\n")
+    val seqs = graft.io.Fastq.loadReads(spark, fq.toString)
+      .collect().map(_.getString(0)).sorted
+    assert(seqs.toSeq === Seq("CAATCCTTCG", "GCAGTGCA"))
+  }
+
   test("cli index + quantify end to end on the stub fixture") {
     // the QuantifySuite stub genome laid out as chr1 (QuantifySuite.scala:31-37)
     val fa = write("genome", ">chr1\nCAATCCTTCGCCGCAGTGCA\n")
