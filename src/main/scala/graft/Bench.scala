@@ -1,9 +1,31 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
+  * emits ONE machine-readable JSON line. The line is (a) printed to stdout
+  * and (b) written to BENCH.json (or SPARK_GRAFT_BENCH_OUT) so the driver
+  * never has to scrape it out of sbt's log prefix.
+  *
+  * A query that throws is NOT timed-as-crashed-and-forgotten: it is excluded
+  * from `queries`/total and its message lands in `errors`, and the process
+  * exits non-zero so the failure is loud.
+  */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
     val spark = Sessions.local(cpus)
     // warm-up: touch every table (page cache + parquet footers) and run one
     // cheap aggregation so JIT/codegen startup doesn't land on the first
@@ -15,13 +37,24 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._3.isEmpty)
+    val failed = results.collect { case (n, _, Some(m)) => n -> m }
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), line + "\n")
+    println(line)
     spark.stop()
+    if (failed.nonEmpty) {
+      failed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
+      sys.exit(1)
+    }
   }
 }

@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.kmer.Kmers
 
 /** Equivalence-class index construction — the Spark-SQL re-expression of
@@ -28,37 +27,37 @@ object Indexer {
 
   /** @param transcriptSeqs DataFrame(id string, sequence string)
     * @param k k-mer length
-    * @param deterministicIds when true, class ids are assigned by a global
-    *   dense_rank over (tid, multiplicity) — fully deterministic and
-    *   oracle-friendly, at the cost of a single-partition sort of the
-    *   (tid, mult) class keys (small: #classes ≪ #kmers). When false, ids
-    *   come from monotonically_increasing_id(), the scale path — same
-    *   unique+stable contract as the reference's zipWithUniqueId
-    *   (Index.scala:98; only distinctness is contractually tested,
-    *   QuantifySuite.scala:467-471).
+    * @param deterministicIds class ids are a pure function of the class key
+    *   (tid, multiplicity) in BOTH modes — no global sort, no id-assignment
+    *   join, nothing to shuffle for numbering. This satisfies the reference's
+    *   zipWithUniqueId contract (Index.scala:98; only distinctness is
+    *   contractually tested, QuantifySuite.scala:467-471) while being
+    *   narrow-computable on every row.
+    *   - true  → 56-bit md5 hash of "tid:mult" — bit-identical in Spark and
+    *     DuckDB (`conv(substring(md5(..),1,14),16,10)` ↔
+    *     `('0x'||substr(md5(..),1,14))::BIGINT`), the oracle path.
+    *   - false → xxhash64 of the same key — faster (no hex round-trip), the
+    *     scale path. Collision odds at 10⁸ classes: ~n²/2⁶⁵ ≈ 3·10⁻⁴.
     */
   def apply(transcriptSeqs: DataFrame, k: Int, deterministicIds: Boolean = false): Result = {
     val kmerMult = transcriptSeqs
       .select(col("id").as("tid"), Kmers.kmerExplode(col("sequence"), k).as("kmer"))
       .groupBy("tid", "kmer")
       .agg(count(lit(1)).as("mult"))
-      .cache() // consumed twice: class-key derivation + the id join below
 
-    // one row per equivalence class, keyed by (tid, mult)
-    val classIds =
+    val ecId =
       if (deterministicIds)
-        kmerMult.select("tid", "mult").distinct()
-          .withColumn("ec", dense_rank().over(Window.orderBy("tid", "mult")).cast("long") - 1)
+        expr("cast(conv(substring(md5(concat(tid, ':', mult)), 1, 14), 16, 10) as bigint)")
       else
-        kmerMult.select("tid", "mult").distinct()
-          .withColumn("ec", monotonically_increasing_id())
+        xxhash64(concat(col("tid"), lit(":"), col("mult")))
 
-    val withEc = kmerMult.join(classIds, Seq("tid", "mult"))
+    val withEc = kmerMult.withColumn("ec", ecId)
+      .cache() // consumed by all three output relations
 
     Result(
       kmerToEc = withEc.select("kmer", "ec"),
       ecToKmers = withEc.groupBy("ec").agg(sort_array(collect_list("kmer")).as("kmers")),
-      ecToTx = classIds.select("ec", "tid"))
+      ecToTx = withEc.select("ec", "tid").distinct())
   }
 
   /** Convenience: index transcripts laid out on a reference genome.

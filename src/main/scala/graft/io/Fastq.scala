@@ -26,9 +26,12 @@ object Fastq {
       .toDF("sequence")
   }
 
-  /** Extension-dispatching read loader (SURVEY S1): parquet with a
-    * `sequence` column, or FASTQ text. */
+  /** Extension-dispatching read loader (SURVEY S1) — the reference's
+    * three-format `loadAlignments` contract (cli/Quantify.scala:73):
+    * parquet with a `sequence` column, FASTQ text, SAM text, or BAM. */
   def loadReads(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".fastq") || path.endsWith(".fq")) reads(spark, path)
+    else if (path.endsWith(".sam")) Sam.reads(spark, path)
+    else if (path.endsWith(".bam")) Bam.reads(spark, path)
     else spark.read.parquet(path).select("sequence")
 }

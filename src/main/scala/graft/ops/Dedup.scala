@@ -21,23 +21,25 @@ import graft.{Q, Tables}
 object Dedup {
 
   /** Character shingles of length `k`, distinct per doc:
-    * DataFrame(doc_id, s). */
+    * DataFrame(doc_id, s). Shingling streams through the native
+    * KmerGenerator — no intermediate array materialization per document. */
   private def shingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
-      explode(graft.kmer.Kmers.kmers(col("text"), k)).as("s"))
+      graft.kmer.Kmers.kmerExplode(col("text"), k).as("s"))
       .distinct()
 
-  /** MinHash signatures via Kirsch-Mitzenmacher double hashing: two md5s
-    * per shingle give base hashes a, b (56-bit, from 14 hex chars so
-    * a + 15·b stays in a signed long), and h_i = a + i·b. The 16 minima are
-    * computed as ONE wide aggregate — no per-hash-function explode, so the
-    * shuffle input is |shingles| rows, not 16×.
+  /** MinHash signatures via Kirsch-Mitzenmacher double hashing: ONE md5
+    * per shingle yields both base hashes — a from hex chars 1-14, b from
+    * chars 15-28 (each 56-bit, so a + 15·b stays in a signed long) — and
+    * h_i = a + i·b. The 16 minima are computed as ONE wide aggregate — no
+    * per-hash-function explode, so the shuffle input is |shingles| rows,
+    * not 16×, and the dominant cost is a single digest per shingle.
     * DataFrame(doc_id, mh0..mh{h-1}).
     */
   def minhashWide(docs: DataFrame, k: Int, h: Int): DataFrame = {
     val hx = shingles(docs, k).select(col("doc_id"),
       expr("cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)").as("a"),
-      expr("cast(conv(substring(md5(concat('x', s)), 1, 14), 16, 10) as bigint)").as("b"))
+      expr("cast(conv(substring(md5(s), 15, 14), 16, 10) as bigint)").as("b"))
     val mins = (0 until h).map(i => min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
     hx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -102,7 +104,7 @@ object Dedup {
            |hx AS (
            |  SELECT doc_id,
            |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
-           |    ('0x' || substr(md5('x' || s), 1, 14))::BIGINT AS b
+           |    ('0x' || substr(md5(s), 15, 14))::BIGINT AS b
            |  FROM sh),
            |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
            |bands AS (
@@ -123,7 +125,7 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         val hh = Tables.documents(s, d)
-          .select($"doc_id", explode(graft.kmer.Kmers.kmers($"text", 12)).as("s"))
+          .select($"doc_id", graft.kmer.Kmers.kmerExplode($"text", 12).as("s"))
           .select($"doc_id", md5($"s").as("h"))
         // one wide aggregate: per bit b, sum of ±1 by parity of md5 nibble b —
         // no per-bit explode, shuffle input stays |shingles| rows

@@ -74,7 +74,7 @@ object TextAnalysis {
         import s.implicits._
         val tri = Tables.documents(s, d)
           .select($"doc_id", $"lang",
-            explode(graft.kmer.Kmers.kmers($"text", 3)).as("g"))
+            graft.kmer.Kmers.kmerExplode($"text", 3).as("g"))
         val prof = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")))

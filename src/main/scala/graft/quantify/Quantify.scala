@@ -72,7 +72,10 @@ object Quantify {
     */
   def eStep(weights: DataFrame, ecToTx: DataFrame): DataFrame = {
     val perClass = Window.partitionBy("ec")
-    ecToTx.join(broadcast(weights), "tid")
+    // no broadcast hint: weights is one row per transcript — usually tiny,
+    // but at extreme transcript cardinality a forced broadcast would OOM
+    // where AQE's runtime size check gracefully falls back to SMJ
+    ecToTx.join(weights, "tid")
       .withColumn("alpha", col("muHat") / sum("muHat").over(perClass))
       .select("ec", "tid", "alpha")
   }
@@ -87,8 +90,10 @@ object Quantify {
     * @return DataFrame(tid, muHat)
     */
   def mStep(alpha: DataFrame, relEc: DataFrame, tLen: DataFrame, k: Int): DataFrame = {
+    // relEc is one row per equivalence class — not provably tiny, so no
+    // broadcast hint; AQE picks broadcast when the runtime size allows
     val mus = alpha
-      .join(broadcast(relEc), "ec")
+      .join(relEc, "ec")
       .groupBy("tid")
       .agg(sum(col("alpha") * col("kj")).as("sumAlpha"))
       .join(broadcast(tLen), "tid")
@@ -116,7 +121,9 @@ object Quantify {
     * @param kmerToEc index half 1: DataFrame(kmer, ec)
     * @param ecToTx   class membership: DataFrame(ec, tid)
     * @param transcripts transcript descriptors (for lengths + final join)
-    * @return DataFrame(tid, abundance) with Σ abundance = 1
+    * @return DataFrame(tid, names, geneId, strand, exons, abundance) — the
+    *   full transcript descriptor plus abundance (Σ abundance = 1), as the
+    *   reference's RDD[(Transcript, Double)]
     */
   def apply(
       reads: Dataset[Read],
@@ -177,9 +184,14 @@ object Quantify {
       }
       else muHat
 
-    // final join against full transcript descriptors (Quantify.scala:286-295)
-    transcripts.select(col("id").as("tid"))
+    // final join against full transcript descriptors (Quantify.scala:286-295):
+    // the reference returns RDD[(Transcript, Double)] — the COMPLETE
+    // descriptor (names, geneId, strand, exons) rides along with the
+    // abundance so gene-level rollups need no second join
+    transcripts.select(col("id").as("tid"), col("names"), col("geneId"),
+        col("strand"), col("exons"))
       .join(calibratedMu, "tid")
-      .select(col("tid"), col("muHat").as("abundance"))
+      .select(col("tid"), col("names"), col("geneId"), col("strand"),
+        col("exons"), col("muHat").as("abundance"))
   }
 }

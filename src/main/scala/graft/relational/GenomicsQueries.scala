@@ -12,8 +12,9 @@ import graft.quantify.Quantify
   * Indexer/Quantify code paths: documents play transcripts, 8-char shingles
   * play k-mers.
   *
-  * Equivalence-class ids use Indexer's deterministic mode (dense_rank over
-  * (tid, mult)) so both engines number classes identically.
+  * Equivalence-class ids use Indexer's deterministic mode: 56-bit md5 of
+  * the class key "tid:mult", computable narrowly on every row and
+  * bit-identical in Spark and DuckDB — no global sort anywhere in the plan.
   */
 object GenomicsQueries {
 
@@ -29,6 +30,48 @@ object GenomicsQueries {
       |  FROM (SELECT doc_id, text,
       |          unnest(generate_series(1, length(text) - 7)) AS i
       |        FROM documents))""".stripMargin
+
+  /** Unrolled-EM oracle: init + `iters` e/m iterations as repeated CTE
+    * blocks. The driver-side loop in Quantify.apply is finite, so the whole
+    * computation IS SQL-expressible — each block mirrors
+    * Quantify.initializeEM / eStep / mStep exactly, with the portable
+    * md5-56 class ids. */
+  private def emOracleSql(iters: Int): String = {
+    val base = s"""WITH $kmSql,
+      |mult AS (SELECT doc_id, kmer, count(*) AS mult FROM km GROUP BY 1, 2),
+      |classes AS (
+      |  SELECT doc_id, mult,
+      |    ('0x' || substr(md5(doc_id || ':' || mult), 1, 14))::BIGINT AS ec
+      |  FROM (SELECT DISTINCT doc_id, mult FROM mult)),
+      |k2e AS (
+      |  SELECT m.kmer, c.ec FROM mult m
+      |  JOIN classes c ON m.doc_id = c.doc_id AND m.mult = c.mult),
+      |kc AS (SELECT kmer, count(*) AS count FROM km GROUP BY kmer),
+      |ecc AS (
+      |  SELECT ec, CAST(sum(count) AS BIGINT) AS count
+      |  FROM k2e JOIN kc USING (kmer) GROUP BY ec),
+      |rel AS (SELECT ec, count * 1.0 / (SELECT sum(count) FROM ecc) AS kj FROM ecc),
+      |edges AS (SELECT c.ec, c.doc_id AS tid FROM classes c JOIN ecc e USING (ec)),
+      |alpha0 AS (
+      |  SELECT c.ec, c.doc_id AS tid,
+      |    e.count * 1.0 / count(*) OVER (PARTITION BY c.ec) AS alpha
+      |  FROM classes c JOIN ecc e USING (ec)),""".stripMargin
+    def mBlock(i: Int) = s"""
+      |mus$i AS (
+      |  SELECT a.tid, sum(a.alpha * r.kj) / (d.n_chars - $K + 1) AS mu
+      |  FROM alpha$i a JOIN rel r USING (ec)
+      |  JOIN documents d ON a.tid = d.doc_id
+      |  GROUP BY a.tid, d.n_chars),
+      |w$i AS (SELECT tid, mu / (SELECT sum(mu) FROM mus$i) AS muhat FROM mus$i)""".stripMargin
+    def eBlock(i: Int) = s"""
+      |alpha$i AS (
+      |  SELECT e.ec, e.tid,
+      |    w.muhat / sum(w.muhat) OVER (PARTITION BY e.ec) AS alpha
+      |  FROM edges e JOIN w${i - 1} w USING (tid)),""".stripMargin
+    val loop = (1 to iters).map(i => eBlock(i) + mBlock(i)).mkString(",")
+    base + mBlock(0) + "," + loop + s"""
+      |SELECT tid AS doc_id, round(muhat, 6) AS abundance FROM w$iters ORDER BY doc_id""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
     // A3/F1: corpus-wide k-mer histogram through Quantify.countKmers.
@@ -85,7 +128,8 @@ object GenomicsQueries {
       Some(s"""WITH $kmSql,
              |mult AS (SELECT doc_id, kmer, count(*) AS mult FROM km GROUP BY 1, 2),
              |classes AS (
-             |  SELECT doc_id, mult, dense_rank() OVER (ORDER BY doc_id, mult) - 1 AS ec
+             |  SELECT doc_id, mult,
+             |    ('0x' || substr(md5(doc_id || ':' || mult), 1, 14))::BIGINT AS ec
              |  FROM (SELECT DISTINCT doc_id, mult FROM mult)),
              |k2e AS (
              |  SELECT m.kmer, c.ec FROM mult m
@@ -108,10 +152,9 @@ object GenomicsQueries {
              |FROM mus ORDER BY doc_id""".stripMargin)),
 
     // I1/§2.9: the FULL iterative EM (5 iterations) through Quantify.apply,
-    // documents playing both transcripts and reads. Not SQL-expressible
-    // (driver-side iteration) → no oracle; the driver records a rows-only
-    // check, and the per-step math is value-checked by q22/q23 + the
-    // reference-ported exact-fraction specs.
+    // documents playing both transcripts and reads. The driver-side loop is
+    // finite, so the oracle unrolls init + 5 e/m iterations as repeated CTE
+    // blocks (emOracleSql below) — full rows+schema+hash check.
     Q("q24_em_full",
       (s, d) => {
         import s.implicits._
@@ -131,7 +174,7 @@ object GenomicsQueries {
           .select($"tid".cast("long").as("doc_id"), round($"abundance", 6).as("abundance"))
           .orderBy($"doc_id")
       },
-      None),
+      Some(emOracleSql(5))),
 
     // A6: the E-step ratio-to-class-total, value-checked on lineitem-derived
     // relations (tid=l_suppkey, ec=l_partkey, µ̂=Σ quantity) through
@@ -151,6 +194,44 @@ object GenomicsQueries {
              |w AS (SELECT l_suppkey AS tid, sum(l_quantity) AS muHat FROM lineitem GROUP BY 1)
              |SELECT e.ec, e.tid,
              |  round(w.muHat / sum(w.muHat) OVER (PARTITION BY e.ec), 6) AS alpha
-             |FROM edges e JOIN w USING (tid) ORDER BY ec, tid""".stripMargin))
+             |FROM edges e JOIN w USING (tid) ORDER BY ec, tid""".stripMargin)),
+
+    // I4/A12/F6: Tare.calibrateTxLenBias under the oracle gate. µ̂ is the
+    // token-count share of the 20 lowest-id documents (positive, non-linear
+    // in length, identical in both engines); len is n_chars. The driver-side
+    // closed-form OLS of log(µ̂) on log(len) is reproduced by DuckDB's
+    // regr_slope/regr_intercept (same normal equations), and the as-built
+    // quirk — the fitted line applied to µ̂ itself, not log-length
+    // (reference Tare.scala:187) — plus the Σ=1 renormalization
+    // (Tare.scala:189-192) are both in the SQL.
+    Q("q25_length_calibration",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter($"doc_id" < 20)
+        val nt = docs.select($"doc_id".cast("string").as("tid"),
+          size(split($"text", " ")).cast("double").as("nt"))
+        val mu = nt.crossJoin(broadcast(nt.agg(sum($"nt").as("tot"))))
+          .select($"tid", ($"nt" / $"tot").as("muHat"))
+        val tLen = docs.select($"doc_id".cast("string").as("tid"),
+          $"n_chars".as("len"))
+        graft.calibrate.Tare.calibrateTxLenBias(mu, tLen)
+          .select($"tid".cast("long").as("doc_id"), round($"muHat", 6).as("mu_cal"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH nt AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS nt, n_chars
+             |  FROM documents WHERE doc_id < 20),
+             |mu AS (
+             |  SELECT doc_id, nt / (SELECT sum(nt) FROM nt) AS mu, n_chars FROM nt),
+             |fit AS (
+             |  SELECT regr_slope(ln(mu), ln(n_chars)) AS slope,
+             |    regr_intercept(ln(mu), ln(n_chars)) AS icept,
+             |    -ln(count(*)) AS mean
+             |  FROM mu),
+             |cal AS (
+             |  SELECT m.doc_id, exp(f.mean + f.slope * m.mu + f.icept - m.mu) AS cal
+             |  FROM mu m, fit f)
+             |SELECT doc_id, round(cal / (SELECT sum(cal) FROM cal), 6) AS mu_cal
+             |FROM cal ORDER BY doc_id""".stripMargin))
   )
 }

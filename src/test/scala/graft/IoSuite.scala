@@ -58,6 +58,55 @@ class IoSuite extends SparkSuite {
     assert(seqs.toSeq === Seq("CAATCCTTCG", "GCAGTGCA"))
   }
 
+  test("SAM reader extracts SEQ column, loader dispatches .sam") {
+    val sam = Files.createTempFile("graft_reads", ".sam")
+    Files.writeString(sam,
+      "@HD\tVN:1.6\tSO:unsorted\n" +
+        "@SQ\tSN:chr1\tLN:20\n" +
+        "r1\t0\tchr1\t1\t60\t10M\t*\t0\t0\tCAATCCTTCG\tIIIIIIIIII\n" +
+        "r2\t4\t*\t0\t0\t*\t*\t0\t0\tGCAGTGCA\tIIIIIIII\n" +
+        "r3\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n") // SEQ '*' → dropped
+    val seqs = graft.io.Fastq.loadReads(spark, sam.toString)
+      .collect().map(_.getString(0)).sorted
+    assert(seqs.toSeq === Seq("CAATCCTTCG", "GCAGTGCA"))
+  }
+
+  test("BAM reader decodes 4-bit packed sequences, loader dispatches .bam") {
+    // hand-built BAM (spec v1.6 §4.2): BGZF is concatenated gzip members,
+    // so a plain GZIPOutputStream stream is a valid input to the decoder
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val bases = "=ACMGRSVTWYHKDNB"
+    def record(name: String, seq: String): Array[Byte] = {
+      val packed = seq.grouped(2).map { pair =>
+        val hi = bases.indexOf(pair(0))
+        val lo = if (pair.length > 1) bases.indexOf(pair(1)) else 0
+        ((hi << 4) | lo).toByte
+      }.toArray
+      val nameZ = (name + "\u0000").getBytes("ISO-8859-1")
+      val qual = Array.fill[Byte](seq.length)(0xff.toByte)
+      val body = le32(-1) ++ le32(-1) ++ // refID, pos
+        Array(nameZ.length.toByte, 0.toByte) ++ // l_read_name, mapq
+        Array(0.toByte, 0.toByte) ++ // bin
+        Array(0.toByte, 0.toByte) ++ // n_cigar_op
+        le32(4).take(2) ++ // flag = 4 (unmapped), 2 bytes
+        le32(seq.length) ++ le32(-1) ++ le32(-1) ++ le32(0) ++ // l_seq, next*, tlen
+        nameZ ++ packed ++ qual
+      le32(body.length) ++ body
+    }
+    val payload = "BAM\u0001".getBytes("ISO-8859-1") ++
+      le32(0) ++ // empty header text
+      le32(1) ++ le32(5) ++ "chr1\u0000".getBytes("ISO-8859-1") ++ le32(20) ++
+      record("r1", "CAATCCTTCG") ++ record("r2", "GCAGTGCA")
+    val bam = Files.createTempFile("graft_reads", ".bam")
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(bam))
+    gz.write(payload); gz.close()
+    val seqs = graft.io.Fastq.loadReads(spark, bam.toString)
+      .collect().map(_.getString(0)).sorted
+    assert(seqs.toSeq === Seq("CAATCCTTCG", "GCAGTGCA"))
+  }
+
   test("cli index + quantify end to end on the stub fixture") {
     // the QuantifySuite stub genome laid out as chr1 (QuantifySuite.scala:31-37)
     val fa = write("genome", ">chr1\nCAATCCTTCGCCGCAGTGCA\n")

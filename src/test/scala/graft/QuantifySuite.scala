@@ -134,8 +134,13 @@ class QuantifySuite extends SparkSuite {
       Transcript(n, Seq(n), n, true,
         Seq(Exon(n + "exon", n, true, ReferenceRegion(n, 0L, len.toLong))))
     }.toDS()
-    Quantify(readsDs, kmerToEc, ecToTx, txDs, k, iterations,
+    val out = Quantify(readsDs, kmerToEc, ecToTx, txDs, k, iterations,
       calibrateKmerBias = calibrate, calibrateLengthBias = calibrate)
+    // J3 parity: the full transcript descriptor rides along with the
+    // abundance (reference Quantify.scala:286-295 returns (Transcript, Double))
+    assert(out.columns.toSeq ===
+      Seq("tid", "names", "geneId", "strand", "exons", "abundance"))
+    out.select("tid", "abundance")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
