@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -200,6 +200,79 @@ object Dedup {
              |SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
              |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
              |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.12
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // SimHash near-dup retrieval: 63-bit signature (bit 63 left clear so the
+    // value stays non-negative in both engines), banded Hamming-distance
+    // probes. 4 bands of 16/16/16/15 bits: by pigeonhole, any pair with
+    // Hamming distance ≤ 3 matches exactly in at least one band, so the
+    // banded join is EXACT for radius 3 — candidates meet on (band, value)
+    // keys, never all-pairs, and the final bit_count(xor) check filters
+    // false candidates. At 100 TB the band tables shard on (band, value).
+    Q("q44_simhash_neardup",
+      (s, d) => {
+        import s.implicits._
+        val hh = Tables.documents(s, d)
+          .select($"doc_id", graft.kmer.Kmers.kmerExplode($"text", 12).as("sh"))
+          .select($"doc_id", md5($"sh").as("h"))
+        // bit b of md5: nibble b/4, bit b%4 within it; v_b = Σ ±1 over
+        // shingles — one 63-column wide aggregate, no per-bit explode
+        val vcols = (0 until 63).map { b =>
+          sum(when(expr(
+            s"((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) div ${1 << (b % 4)}) % 2 = 1"),
+            1).otherwise(-1)).as(s"v$b")
+        }
+        val bits = hh.groupBy($"doc_id").agg(vcols.head, vcols.tail: _*)
+        def sigBits(lo: Int, hi: Int): Column =
+          (lo until hi).map(b =>
+            when(col(s"v$b") > 0, lit(1L << (b - lo))).otherwise(lit(0L))).reduce(_ + _)
+        val sig = bits.select(
+          ($"doc_id" +: sigBits(0, 63).as("sig") +:
+            (0 until 4).map(j => sigBits(16 * j, math.min(16 * j + 16, 63)).as(s"band$j"))): _*)
+        val bands = sig.select($"doc_id", $"sig", explode(array(
+            (0 until 4).map(j => struct(lit(j).as("band"), col(s"band$j").as("bv"))): _*)).as("bb"))
+          .select($"doc_id", $"sig", $"bb.band".as("band"), $"bb.bv".as("bv"))
+        bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+            $"x.sig".as("siga"), $"y.sig".as("sigb"))
+          .distinct() // a pair can collide in several bands
+          .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+          .filter($"hamming" <= 3)
+          .select($"a", $"b", $"hamming")
+          .orderBy($"a", $"b")
+      },
+      Some {
+        val vbs = (0 until 63).map(b =>
+          s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n|    ")
+        def sigBits(lo: Int, hi: Int) = (lo until hi)
+          .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << (b - lo)} ELSE 0 END)").mkString(" + ")
+        val bandCases = (0 until 4)
+          .map(j => s"WHEN $j THEN b$j").mkString(" ")
+        s"""WITH sh AS (
+           |  SELECT doc_id, substr(text, i, 12) AS s
+           |  FROM (SELECT doc_id, text,
+           |          unnest(generate_series(1, length(text) - 11)) AS i
+           |        FROM documents)),
+           |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $vbs
+           |  FROM hh GROUP BY doc_id),
+           |sig AS (
+           |  SELECT doc_id, CAST(${sigBits(0, 63)} AS BIGINT) AS sig,
+           |    ${(0 until 4).map(j => s"CAST(${sigBits(16 * j, math.min(16 * j + 16, 63))} AS BIGINT) AS b$j").mkString(",\n|    ")}
+           |  FROM bits),
+           |bands AS (
+           |  SELECT doc_id, sig, t.j AS band, CASE t.j $bandCases END AS bv
+           |  FROM sig, generate_series(0, 3) AS t(j)),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+           |SELECT a, b, CAST(bit_count(xor(siga, sigb)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3 ORDER BY a, b""".stripMargin
+      })
   )
 }

@@ -30,6 +30,38 @@ object Similarity {
 
   def norm(x: Column): Column = sqrt(dot(x, x))
 
+  /** Assign every vector to its nearest centroid (cosine rounded to 4 dp,
+    * centroid-id tiebreak — deterministic in both engines).
+    * @param e    DataFrame(vec_id, embedding)
+    * @param cent DataFrame(cid, ce) — centroids, broadcast (≪ vectors)
+    * @return DataFrame(vec_id, embedding, cid)
+    */
+  def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(dot(col("embedding"), col("ce")) /
+          (norm(col("embedding")) * norm(col("ce"))), 4).as("cc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+  /** One Lloyd (k-means) update: each centroid becomes the component-wise
+    * mean of its cell's members. Components are rounded to 6 dp so the
+    * trained centroids are bit-identical across engines regardless of
+    * summation order — that is what keeps the whole training loop
+    * oracle-checkable. The posexplode/re-collect shuffles (cid, i) keys —
+    * |cells|·dim rows, tiny next to the corpus.
+    * @return DataFrame(cid, ce array<double>)
+    */
+  def lloydUpdate(assign: DataFrame): DataFrame =
+    assign.select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("cid"), col("i"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
+      .select(col("cid"), expr("transform(pairs, p -> p.cv)").as("ce"))
+
   val queries: Seq[Q] = Seq(
     Q("q50_knn_brute",
       (s, d) => {
@@ -71,29 +103,34 @@ object Similarity {
              |SELECT qid, did, round(c, 4) AS cosine, rnk
              |FROM topk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
-    // IVF-style: centroids = vectors whose vec_id % 100 == 0 (deterministic
-    // stand-in for k-means at this corpus size); probe only the query's cell.
+    // IVF with TRAINED coarse centroids: deterministic k-means — seeds are
+    // the vec_id % 100 == 0 vectors, then 2 Lloyd iterations with centroid
+    // components rounded to 6 dp, making the training reproducible
+    // bit-for-bit in DuckDB (same seeds, same unrolled iterations). Data
+    // vectors live in exactly one cell; queries multi-probe their nprobe=3
+    // nearest cells (the standard IVF recall lever). At 100 TB the cell id
+    // is the partition key, so a probe touches nprobe/C of the data.
     Q("q51_knn_ivf",
       (s, d) => {
         import s.implicits._
-        val e = Tables.embeddings(s, d)
-        val cent = e.filter($"vec_id" % 100 === 0)
-          .select($"vec_id".as("cid"), $"embedding".as("ce"))
-        // nearest centroid per vector (rounded cosine, cid tiebreak)
-        val assign = e.select($"vec_id", $"embedding")
-          .crossJoin(broadcast(cent))
-          .select($"vec_id", $"embedding", $"cid",
-            round(dot($"embedding", $"ce") / (norm($"embedding") * norm($"ce")), 4).as("cc"))
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cent0 = e.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("cid"),
+            expr("transform(embedding, x -> cast(x as double))").as("ce"))
+        val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
+        val assign = assignCells(e, cent).cache()
+        // query side: top-nprobe cells by (rounded) centroid cosine
+        val qcells = e.filter($"vec_id" < 8).crossJoin(broadcast(cent))
+          .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid",
+            round(dot($"embedding", $"ce") /
+              (norm($"embedding") * norm($"ce")), 4).as("cc"))
           .withColumn("rn", row_number().over(
-            Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
-          .filter($"rn" === 1)
-          .select($"vec_id", $"embedding", $"cid")
-          .cache()
-        val q = assign.filter($"vec_id" < 8)
-          .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid")
+            Window.partitionBy($"qid").orderBy($"cc".desc, $"cid")))
+          .filter($"rn" <= 3)
+          .select($"qid", $"qe", $"cid")
         val probe = assign
           .select($"vec_id".as("did"), $"embedding".as("de"), $"cid")
-          .join(broadcast(q), "cid")
+          .join(broadcast(qcells), "cid")
           .filter($"did" =!= $"qid")
           .select($"qid", $"did",
             (dot($"qe", $"de") / (norm($"qe") * norm($"de"))).as("c"))
@@ -104,43 +141,63 @@ object Similarity {
           .select($"qid", $"did", round($"c", 4).as("cosine"), $"rnk")
           .orderBy($"qid", $"rnk")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-             |  FROM embeddings),
-             |nrm AS (
-             |  SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-             |  FROM e GROUP BY vec_id),
-             |cent AS (SELECT * FROM e WHERE vec_id % 100 = 0),
-             |cc AS (
-             |  SELECT e.vec_id, c.vec_id AS cid,
-             |    round(sum(CAST(e.v AS DOUBLE) * CAST(c.v AS DOUBLE))
-             |      / (ne.nrm * nc.nrm), 4) AS cc
-             |  FROM e JOIN cent c USING (i)
-             |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN nrm nc ON nc.vec_id = c.vec_id
-             |  GROUP BY e.vec_id, c.vec_id, ne.nrm, nc.nrm),
-             |assign AS (
-             |  SELECT vec_id, cid FROM (
-             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY cc DESC, cid) AS rn
-             |    FROM cc) WHERE rn = 1),
-             |q AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id < 8),
-             |cand AS (
-             |  SELECT q.qid, a.vec_id AS did
-             |  FROM q JOIN assign a USING (cid) WHERE a.vec_id != q.qid),
-             |dots AS (
-             |  SELECT c.qid, c.did, sum(CAST(eq.v AS DOUBLE) * CAST(ed.v AS DOUBLE)) AS dot
-             |  FROM cand c
-             |  JOIN e eq ON eq.vec_id = c.qid
-             |  JOIN e ed ON ed.vec_id = c.did AND ed.i = eq.i
-             |  GROUP BY c.qid, c.did),
-             |cos AS (
-             |  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS c
-             |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nd ON nd.vec_id = did),
-             |topk AS (
-             |  SELECT qid, did, c,
-             |    row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, did) AS rnk
-             |  FROM cos)
-             |SELECT qid, did, round(c, 4) AS cosine, rnk
-             |FROM topk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin))
+      Some(ivfOracleSql(2)))
   )
+
+  /** Unrolled deterministic-k-means oracle for q51: seeds → `iters` Lloyd
+    * updates (centroid components rounded to 6 dp, mirroring lloydUpdate) →
+    * final cell assignment → probe-own-cell top-k. */
+  private def ivfOracleSql(iters: Int): String = {
+    def assignBlock(t: Int, centFrom: String) = s"""
+      |cn$t AS (SELECT cid, sqrt(sum(cv * cv)) AS cnrm FROM $centFrom GROUP BY cid),
+      |cc$t AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(sum(e.v * c.cv) / (ne.nrm * cn.cnrm), 4) AS cc
+      |  FROM e JOIN $centFrom c USING (i)
+      |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN cn$t cn ON cn.cid = c.cid
+      |  GROUP BY e.vec_id, c.cid, ne.nrm, cn.cnrm),
+      |a$t AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cc DESC, cid) AS rn
+      |    FROM cc$t) WHERE rn = 1)""".stripMargin
+    def centBlock(t: Int) = s"""
+      |cent$t AS (
+      |  SELECT a.cid, e.i, round(avg(e.v), 6) AS cv
+      |  FROM e JOIN a${t - 1} a ON a.vec_id = e.vec_id
+      |  GROUP BY a.cid, e.i)""".stripMargin
+    val train = (0 to iters).map { t =>
+      (if (t == 0) "" else centBlock(t) + ",") + assignBlock(t, s"cent$t")
+    }.mkString(",")
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+      |cent0 AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE vec_id % 100 = 0),""".stripMargin +
+      train + s"""
+      |,q AS (
+      |  SELECT vec_id AS qid, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cc DESC, cid) AS rn
+      |    FROM cc$iters WHERE vec_id < 8) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT q.qid, a.vec_id AS did
+      |  FROM q JOIN a$iters a USING (cid) WHERE a.vec_id != q.qid),
+      |dots AS (
+      |  SELECT c.qid, c.did, sum(eq.v * ed.v) AS dot
+      |  FROM cand c
+      |  JOIN e eq ON eq.vec_id = c.qid
+      |  JOIN e ed ON ed.vec_id = c.did AND ed.i = eq.i
+      |  GROUP BY c.qid, c.did),
+      |cos AS (
+      |  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS c
+      |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nd ON nd.vec_id = did),
+      |topk AS (
+      |  SELECT qid, did, c,
+      |    row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, did) AS rnk
+      |  FROM cos)
+      |SELECT qid, did, round(c, 4) AS cosine, rnk
+      |FROM topk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
 }
