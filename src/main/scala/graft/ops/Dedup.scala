@@ -124,15 +124,21 @@ object Dedup {
     Q("q42_simhash",
       (s, d) => {
         import s.implicits._
+        // the md5 is decoded ONCE into two 32-bit words; each bit test is a
+        // shift+mask on a long instead of an instr/substring string op —
+        // nibble b of the digest sits at shift 4·(7−b) of its word
         val hh = Tables.documents(s, d)
           .select($"doc_id", graft.kmer.Kmers.kmerExplode($"text", 12).as("s"))
-          .select($"doc_id", md5($"s").as("h"))
+          .select($"doc_id",
+            expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)").as("h1"),
+            expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)").as("h2"))
         // one wide aggregate: per bit b, sum of ±1 by parity of md5 nibble b —
         // no per-bit explode, shuffle input stays |shingles| rows
         val vcols = (0 until 16).map { b =>
-          sum(when(expr(
-            s"(instr('0123456789abcdef', substring(h, ${b + 1}, 1)) - 1) % 2 = 1"),
-            1).otherwise(-1)).as(s"v$b")
+          val (word, shift) =
+            if (b < 8) ("h1", 4 * (7 - b)) else ("h2", 4 * (15 - b))
+          sum(when(expr(s"(shiftright($word, $shift) & 1) = 1"), 1).otherwise(-1))
+            .as(s"v$b")
         }
         val bits = hh.groupBy($"doc_id").agg(vcols.head, vcols.tail: _*)
         val simhash = (0 until 16)
@@ -144,9 +150,11 @@ object Dedup {
           .orderBy($"simhash")
       },
       Some {
-        val vbs = (0 until 16).map(b =>
-          s"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
-          .mkString(",\n|    ")
+        val vbs = (0 until 16).map { b =>
+          val (word, shift) =
+            if (b < 8) ("h1", 4 * (7 - b)) else ("h2", 4 * (15 - b))
+          s"sum(CASE WHEN ((($word >> $shift) & 1) = 1) THEN 1 ELSE -1 END) AS v$b"
+        }.mkString(",\n|    ")
         val simExpr = (0 until 16)
           .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
         s"""WITH sh AS (
@@ -154,7 +162,11 @@ object Dedup {
            |  FROM (SELECT doc_id, text,
            |          unnest(generate_series(1, length(text) - 11)) AS i
            |        FROM documents)),
-           |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+           |hh AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+           |    ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+           |  FROM sh),
            |bits AS (
            |  SELECT doc_id,
            |    $vbs
@@ -212,15 +224,22 @@ object Dedup {
     Q("q44_simhash_neardup",
       (s, d) => {
         import s.implicits._
+        // digest decoded ONCE into two 32-bit words; every bit test is a
+        // shift+mask on a long, not a string op (nibble i sits at shift
+        // 4·(7−i) of its word, bit b lives in nibble b/4 at offset b%4)
         val hh = Tables.documents(s, d)
           .select($"doc_id", graft.kmer.Kmers.kmerExplode($"text", 12).as("sh"))
-          .select($"doc_id", md5($"sh").as("h"))
-        // bit b of md5: nibble b/4, bit b%4 within it; v_b = Σ ±1 over
-        // shingles — one 63-column wide aggregate, no per-bit explode
+          .select($"doc_id",
+            expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)").as("h1"),
+            expr("cast(conv(substring(md5(sh), 9, 8), 16, 10) as bigint)").as("h2"))
+        // v_b = Σ ±1 over shingles — one 63-column wide aggregate, no
+        // per-bit explode
         val vcols = (0 until 63).map { b =>
-          sum(when(expr(
-            s"((instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1) div ${1 << (b % 4)}) % 2 = 1"),
-            1).otherwise(-1)).as(s"v$b")
+          val nib = b / 4
+          val (word, shift) =
+            if (nib < 8) ("h1", 4 * (7 - nib) + b % 4) else ("h2", 4 * (15 - nib) + b % 4)
+          sum(when(expr(s"(shiftright($word, $shift) & 1) = 1"), 1).otherwise(-1))
+            .as(s"v$b")
         }
         val bits = hh.groupBy($"doc_id").agg(vcols.head, vcols.tail: _*)
         def sigBits(lo: Int, hi: Int): Column =
@@ -243,9 +262,12 @@ object Dedup {
           .orderBy($"a", $"b")
       },
       Some {
-        val vbs = (0 until 63).map(b =>
-          s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
-          .mkString(",\n|    ")
+        val vbs = (0 until 63).map { b =>
+          val nib = b / 4
+          val (word, shift) =
+            if (nib < 8) ("h1", 4 * (7 - nib) + b % 4) else ("h2", 4 * (15 - nib) + b % 4)
+          s"sum(CASE WHEN ((($word >> $shift) & 1) = 1) THEN 1 ELSE -1 END) AS v$b"
+        }.mkString(",\n|    ")
         def sigBits(lo: Int, hi: Int) = (lo until hi)
           .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << (b - lo)} ELSE 0 END)").mkString(" + ")
         val bandCases = (0 until 4)
@@ -255,7 +277,11 @@ object Dedup {
            |  FROM (SELECT doc_id, text,
            |          unnest(generate_series(1, length(text) - 11)) AS i
            |        FROM documents)),
-           |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+           |hh AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+           |    ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+           |  FROM sh),
            |bits AS (
            |  SELECT doc_id,
            |    $vbs
