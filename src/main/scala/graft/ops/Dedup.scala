@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
@@ -299,6 +300,75 @@ object Dedup {
            |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
            |SELECT a, b, CAST(bit_count(xor(siga, sigb)) AS INT) AS hamming
            |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3 ORDER BY a, b""".stripMargin
-      })
+      }),
+
+    // Embedding-cosine near-dup — the fifth dedup modality: coarse-quantizer
+    // cells as BLOCKS (each vector lands in its top-2 cells so boundary
+    // pairs aren't lost), pairwise cosine computed only within a block,
+    // never all-pairs. This is the shape embedding dedup takes at 100 TB:
+    // candidate generation is a self-join on the cell key, verification is
+    // the exact rounded cosine against a corpus-calibrated threshold (the
+    // synthetic embeddings are near-orthogonal — max pairwise cosine ≈ 0.51
+    // — so 0.42 plays the "near duplicate" role the 0.95+ band plays for
+    // real embedding corpora).
+    Q("q45_embed_neardup",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.Similarity.{dot, norm}
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cent = e.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("cid"),
+            expr("transform(embedding, x -> cast(x as double))").as("ce"))
+        val cells = e.crossJoin(broadcast(cent))
+          .select($"vec_id", $"cid",
+            round(dot($"embedding", $"ce") /
+              (norm($"embedding") * norm($"ce")), 4).as("cc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
+          .filter($"rn" <= 2)
+          .select($"vec_id", $"cid")
+        val cand = cells.as("x").join(cells.as("y"),
+            $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
+          .select($"x.vec_id".as("a"), $"y.vec_id".as("b"))
+          .distinct()
+        val ea = e.select($"vec_id".as("a"), $"embedding".as("ea"))
+        val eb = e.select($"vec_id".as("b"), $"embedding".as("eb"))
+        cand.join(ea, "a").join(eb, "b")
+          .select($"a", $"b",
+            round(dot($"ea", $"eb") / (norm($"ea") * norm($"eb")), 4).as("cosine"))
+          .filter($"cosine" >= 0.42)
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+             |cent AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE vec_id % 100 = 0),
+             |cn AS (SELECT cid, sqrt(sum(cv * cv)) AS cnrm FROM cent GROUP BY cid),
+             |cc AS (
+             |  SELECT e.vec_id, c.cid,
+             |    round(sum(e.v * c.cv) / (ne.nrm * cn.cnrm), 4) AS cc
+             |  FROM e JOIN cent c USING (i)
+             |  JOIN nrm ne ON ne.vec_id = e.vec_id JOIN cn ON cn.cid = c.cid
+             |  GROUP BY e.vec_id, c.cid, ne.nrm, cn.cnrm),
+             |cells AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cc DESC, cid) AS rn
+             |    FROM cc) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+             |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+             |dots AS (
+             |  SELECT c.a, c.b, sum(ea.v * eb.v) AS d
+             |  FROM cand c
+             |  JOIN e ea ON ea.vec_id = c.a
+             |  JOIN e eb ON eb.vec_id = c.b AND eb.i = ea.i
+             |  GROUP BY c.a, c.b),
+             |cos AS (
+             |  SELECT a, b, round(d / (na.nrm * nb.nrm), 4) AS cosine
+             |  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
+             |SELECT a, b, cosine FROM cos WHERE cosine >= 0.42 ORDER BY a, b""".stripMargin))
   )
 }
