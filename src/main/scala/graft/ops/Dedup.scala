@@ -319,10 +319,10 @@ object Dedup {
         val cent = e.filter($"vec_id" % 100 === 0)
           .select($"vec_id".as("cid"),
             expr("transform(embedding, x -> cast(x as double))").as("ce"))
-        val cells = e.crossJoin(broadcast(cent))
+        val cells = e.withColumn("vnrm", norm($"embedding"))
+          .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
           .select($"vec_id", $"cid",
-            round(dot($"embedding", $"ce") /
-              (norm($"embedding") * norm($"ce")), 4).as("cc"))
+            round(dot($"embedding", $"ce") / ($"vnrm" * $"cnrm"), 4).as("cc"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
           .filter($"rn" <= 2)
@@ -331,11 +331,15 @@ object Dedup {
             $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
           .select($"x.vec_id".as("a"), $"y.vec_id".as("b"))
           .distinct()
-        val ea = e.select($"vec_id".as("a"), $"embedding".as("ea"))
-        val eb = e.select($"vec_id".as("b"), $"embedding".as("eb"))
+        // norms projected once per vector, below the candidate joins —
+        // a vector in k candidate pairs must not pay k norm evaluations
+        val ea = e.select($"vec_id".as("a"), $"embedding".as("ea"),
+          norm($"embedding").as("na"))
+        val eb = e.select($"vec_id".as("b"), $"embedding".as("eb"),
+          norm($"embedding").as("nb"))
         cand.join(ea, "a").join(eb, "b")
           .select($"a", $"b",
-            round(dot($"ea", $"eb") / (norm($"ea") * norm($"eb")), 4).as("cosine"))
+            round(dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cosine"))
           .filter($"cosine" >= 0.42)
           .orderBy($"a", $"b")
       },

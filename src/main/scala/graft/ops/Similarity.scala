@@ -31,16 +31,19 @@ object Similarity {
   def norm(x: Column): Column = sqrt(dot(x, x))
 
   /** Assign every vector to its nearest centroid (cosine rounded to 4 dp,
-    * centroid-id tiebreak — deterministic in both engines).
+    * centroid-id tiebreak — deterministic in both engines). Norms are
+    * projected BELOW the cross join, so each is computed once per vector /
+    * centroid — not once per (vector, centroid) pair.
     * @param e    DataFrame(vec_id, embedding)
     * @param cent DataFrame(cid, ce) — centroids, broadcast (≪ vectors)
     * @return DataFrame(vec_id, embedding, cid)
     */
   def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
+    e.withColumn("vnrm", norm(col("embedding")))
+      .crossJoin(broadcast(cent.withColumn("cnrm", norm(col("ce")))))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(dot(col("embedding"), col("ce")) /
-          (norm(col("embedding")) * norm(col("ce"))), 4).as("cc"))
+          (col("vnrm") * col("cnrm")), 4).as("cc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid"))))
       .filter(col("rn") === 1)
@@ -68,12 +71,13 @@ object Similarity {
         import s.implicits._
         val e = Tables.embeddings(s, d)
         val q = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("qid"), $"embedding".as("qe"))
-        val pairs = e.select($"vec_id".as("did"), $"embedding".as("de"))
+          .select($"vec_id".as("qid"), $"embedding".as("qe"),
+            norm($"embedding").as("qn"))
+        val pairs = e.select($"vec_id".as("did"), $"embedding".as("de"),
+            norm($"embedding").as("dn"))
           .crossJoin(broadcast(q))
           .filter($"did" =!= $"qid")
-          .select($"qid", $"did",
-            (dot($"qe", $"de") / (norm($"qe") * norm($"de"))).as("c"))
+          .select($"qid", $"did", (dot($"qe", $"de") / ($"qn" * $"dn")).as("c"))
         pairs
           .withColumn("rnk", row_number().over(
             Window.partitionBy($"qid").orderBy(round($"c", 4).desc, $"did")))
@@ -120,20 +124,21 @@ object Similarity {
         val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
         val assign = assignCells(e, cent).cache()
         // query side: top-nprobe cells by (rounded) centroid cosine
-        val qcells = e.filter($"vec_id" < 8).crossJoin(broadcast(cent))
-          .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid",
-            round(dot($"embedding", $"ce") /
-              (norm($"embedding") * norm($"ce")), 4).as("cc"))
+        val qcells = e.filter($"vec_id" < 8)
+          .withColumn("qn", norm($"embedding"))
+          .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
+          .select($"vec_id".as("qid"), $"embedding".as("qe"), $"qn", $"cid",
+            round(dot($"embedding", $"ce") / ($"qn" * $"cnrm"), 4).as("cc"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"qid").orderBy($"cc".desc, $"cid")))
           .filter($"rn" <= 3)
-          .select($"qid", $"qe", $"cid")
+          .select($"qid", $"qe", $"qn", $"cid")
         val probe = assign
-          .select($"vec_id".as("did"), $"embedding".as("de"), $"cid")
+          .select($"vec_id".as("did"), $"embedding".as("de"), $"cid",
+            norm($"embedding").as("dn"))
           .join(broadcast(qcells), "cid")
           .filter($"did" =!= $"qid")
-          .select($"qid", $"did",
-            (dot($"qe", $"de") / (norm($"qe") * norm($"de"))).as("c"))
+          .select($"qid", $"did", (dot($"qe", $"de") / ($"qn" * $"dn")).as("c"))
         probe
           .withColumn("rnk", row_number().over(
             Window.partitionBy($"qid").orderBy(round($"c", 4).desc, $"did")))

@@ -127,6 +127,57 @@ object TextAnalysis {
       },
       Some("""SELECT doc_id,
              |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BPE-ish tokenization: letter runs, digit runs, and single punctuation
+    // marks each count as one token (the pre-tokenizer split BPE vocabularies
+    // are trained over), vs the naive whitespace count. Pure regex column
+    // expression — identical ASCII character classes in both engines.
+    Q("q34_token_bpe",
+      (s, d) => {
+        import s.implicits._
+        val bpe = expr(
+          "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+        Tables.documents(s, d)
+          .select($"source", bpe.as("n_bpe"), size(split($"text", " ")).as("n_ws"))
+          .groupBy($"source")
+          .agg(sum($"n_bpe").as("total_bpe_tokens"),
+            round(avg($"n_bpe".cast("double") / $"n_ws"), 6).as("bpe_per_word"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe,
+             |    len(string_split(text, ' ')) AS n_ws
+             |  FROM documents)
+             |SELECT source, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+             |  round(avg(n_bpe * 1.0 / n_ws), 6) AS bpe_per_word, count(*) AS n_docs
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Rolling-hash document fingerprint: a polynomial (Rabin-Karp-style)
+    // hash folded left-to-right over per-word codes — order-sensitive, unlike
+    // the md5-of-normalized-text fingerprint (q33), so swapped words change
+    // it. Computed with the `aggregate` higher-order function: one pass,
+    // no shuffle, codegen'd.
+    Q("q35_rolling_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val rh = expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |    w -> cast(length(w) * 131 + ascii(substring(w, 1, 1)) as bigint)),
+            |  7L, (acc, x) -> (acc * 1000003 + x) % 1000000007)""".stripMargin)
+        Tables.documents(s, d)
+          .select($"doc_id", rh.as("rhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(string_split(text, ' '),
+             |        w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+             |    (acc, x) -> (acc * 1000003 + x) % 1000000007) AS rhash
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

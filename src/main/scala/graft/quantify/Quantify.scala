@@ -91,13 +91,20 @@ object Quantify {
     */
   def mStep(alpha: DataFrame, relEc: DataFrame, tLen: DataFrame, k: Int): DataFrame = {
     // relEc is one row per equivalence class — not provably tiny, so no
-    // broadcast hint; AQE picks broadcast when the runtime size allows
+    // broadcast hint; AQE picks broadcast when the runtime size allows.
+    // mus is referenced twice below (its rows AND its scalar total), so it
+    // is materialized ONCE via localCheckpoint — without it the whole
+    // join/aggregate chain would execute twice per EM iteration. The
+    // checkpoint also truncates lineage, which is what keeps the driver
+    // EM loop's plan constant-depth (SURVEY §7.4 risk I1) — callers need
+    // no further checkpointing.
     val mus = alpha
       .join(relEc, "ec")
       .groupBy("tid")
       .agg(sum(col("alpha") * col("kj")).as("sumAlpha"))
       .join(broadcast(tLen), "tid")
       .withColumn("mu", col("sumAlpha") / (col("len") - k + 1).cast("double"))
+      .localCheckpoint() // small: one row per transcript
     // scalar normalizer as a broadcast 1-row cross join — a global window here
     // would funnel every row through one partition (Quantify.scala:263-274's
     // reduce, without the single-partition hazard)
@@ -165,16 +172,16 @@ object Quantify {
     // init: equal split + one M step (Quantify.scala:89-102)
     var muHat = Timers.time("initializeEM") {
       mStep(initializeEM(ecCounts, ecToTx), relEc, tLen, kmerLength)
-        .localCheckpoint()
     }
 
-    // EM loop — driver-side iteration over a constant-depth plan: muHat is
-    // one small row per transcript and localCheckpoint() truncates lineage
-    // each iteration (one eager job per iter, as the reference's µ reduce).
+    // EM loop — driver-side iteration over a constant-depth plan: mStep
+    // localCheckpoints its per-transcript state internally (one eager job
+    // per iteration, as the reference's µ reduce), so each iteration's plan
+    // roots at the previous checkpoint and never grows.
     (0 until maxIterations).foreach { _ =>
       Timers.time("emIteration") {
         val alpha = eStep(muHat, edges)
-        muHat = mStep(alpha, relEc, tLen, kmerLength).localCheckpoint()
+        muHat = mStep(alpha, relEc, tLen, kmerLength)
       }
     }
 
