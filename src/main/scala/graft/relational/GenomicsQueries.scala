@@ -38,33 +38,33 @@ object GenomicsQueries {
     * md5-56 class ids. */
   private def emOracleSql(iters: Int): String = {
     val base = s"""WITH $kmSql,
-      |mult AS (SELECT doc_id, kmer, count(*) AS mult FROM km GROUP BY 1, 2),
-      |classes AS (
+      |mult AS MATERIALIZED (SELECT doc_id, kmer, count(*) AS mult FROM km GROUP BY 1, 2),
+      |classes AS MATERIALIZED (
       |  SELECT doc_id, mult,
       |    ('0x' || substr(md5(doc_id || ':' || mult), 1, 14))::BIGINT AS ec
       |  FROM (SELECT DISTINCT doc_id, mult FROM mult)),
-      |k2e AS (
+      |k2e AS MATERIALIZED (
       |  SELECT m.kmer, c.ec FROM mult m
       |  JOIN classes c ON m.doc_id = c.doc_id AND m.mult = c.mult),
-      |kc AS (SELECT kmer, count(*) AS count FROM km GROUP BY kmer),
-      |ecc AS (
+      |kc AS MATERIALIZED (SELECT kmer, count(*) AS count FROM km GROUP BY kmer),
+      |ecc AS MATERIALIZED (
       |  SELECT ec, CAST(sum(count) AS BIGINT) AS count
       |  FROM k2e JOIN kc USING (kmer) GROUP BY ec),
-      |rel AS (SELECT ec, count * 1.0 / (SELECT sum(count) FROM ecc) AS kj FROM ecc),
-      |edges AS (SELECT c.ec, c.doc_id AS tid FROM classes c JOIN ecc e USING (ec)),
-      |alpha0 AS (
+      |rel AS MATERIALIZED (SELECT ec, count * 1.0 / (SELECT sum(count) FROM ecc) AS kj FROM ecc),
+      |edges AS MATERIALIZED (SELECT c.ec, c.doc_id AS tid FROM classes c JOIN ecc e USING (ec)),
+      |alpha0 AS MATERIALIZED (
       |  SELECT c.ec, c.doc_id AS tid,
       |    e.count * 1.0 / count(*) OVER (PARTITION BY c.ec) AS alpha
       |  FROM classes c JOIN ecc e USING (ec)),""".stripMargin
     def mBlock(i: Int) = s"""
-      |mus$i AS (
+      |mus$i AS MATERIALIZED (
       |  SELECT a.tid, sum(a.alpha * r.kj) / (d.n_chars - $K + 1) AS mu
       |  FROM alpha$i a JOIN rel r USING (ec)
       |  JOIN documents d ON a.tid = d.doc_id
       |  GROUP BY a.tid, d.n_chars),
-      |w$i AS (SELECT tid, mu / (SELECT sum(mu) FROM mus$i) AS muhat FROM mus$i)""".stripMargin
+      |w$i AS MATERIALIZED (SELECT tid, mu / (SELECT sum(mu) FROM mus$i) AS muhat FROM mus$i)""".stripMargin
     def eBlock(i: Int) = s"""
-      |alpha$i AS (
+      |alpha$i AS MATERIALIZED (
       |  SELECT e.ec, e.tid,
       |    w.muhat / sum(w.muhat) OVER (PARTITION BY e.ec) AS alpha
       |  FROM edges e JOIN w${i - 1} w USING (tid)),""".stripMargin
