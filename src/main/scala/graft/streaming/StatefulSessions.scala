@@ -42,4 +42,45 @@ object StatefulSessions {
     finally query.stop()
     s.table(sinkName)
   }
+
+  /** `flatMapGroupsWithState` variant — the 0..n-rows-per-group state
+    * surface: per user, emits a milestone row each time the running event
+    * count crosses a multiple of `every`. Unlike mapGroupsWithState (exactly
+    * one row per group per batch), the iterator return lets a group stay
+    * silent or emit several rows — the shape session-close/alert emission
+    * takes.
+    * @return DataFrame(user_id, milestone) via the named memory sink
+    */
+  def countMilestones(s: SparkSession, d: String, sinkName: String,
+      every: Long): DataFrame = {
+    import s.implicits._
+    val staticDf = s.read.parquet(s"$d/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_milestone_events")
+    val target = dir.resolve("events.parquet")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    try java.nio.file.Files.createSymbolicLink(target, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+
+    val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+    val milestones = stream.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + events.size
+          state.update(after)
+          // every milestone crossed within this batch, possibly none or many
+          ((before / every + 1) to (after / every)).map(m => (uid, m * every)).iterator
+      }
+      .toDF("user_id", "milestone")
+
+    val query = milestones.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName)
+  }
 }

@@ -21,4 +21,43 @@ class StreamingSuite extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("flatMapGroupsWithState emits one milestone row per threshold crossed") {
+    val d = "/root/testdata/sf0.001"
+    val every = 5L
+    val sink = StatefulSessions.countMilestones(spark, d, "milestones_test", every)
+    val streamed = sink.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Tables.events(spark, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect()
+      .flatMap(r => (1L to r.getLong(1) / every).map(m => (r.getLong(0), m * every)))
+      .toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermark drops late events in append-mode windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(v: String) = java.sql.Timestamp.valueOf(v)
+    val mem = MemoryStream[java.sql.Timestamp]
+    val agg = graft.streaming.Watermarks.hourlyWindowCounts(mem.toDF().toDF("ts"))
+    val query = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    try {
+      // batch 1: two on-time events in the 10:00 window; 12:05 pushes the
+      // watermark to 11:05, past the 10:00 window's end — it finalizes
+      mem.addData(t("2026-01-01 10:00:00"), t("2026-01-01 10:30:00"),
+        t("2026-01-01 12:05:00"))
+      query.processAllAvailable()
+      // batch 2: 10:15 is LATE (its window end 11:00 <= watermark 11:05)
+      // and must be dropped; 14:00 just advances the clock
+      mem.addData(t("2026-01-01 10:15:00"), t("2026-01-01 14:00:00"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("wm_test").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(rows("2026-01-01 10:00:00.0") === 2) // the late event did not count
+  }
 }
