@@ -30,16 +30,37 @@ case class KmerGenerator(child: Expression, k: Int)
     if (v == null) Iterator.empty
     else {
       val s = v.asInstanceOf[UTF8String]
-      val n = s.numBytes()
-      if (n < k) Iterator.empty
-      else new Iterator[InternalRow] {
-        private var i = 0
-        private val last = n - k
-        override def hasNext: Boolean = i <= last
-        override def next(): InternalRow = {
-          val row = InternalRow(s.substring(i, i + k))
-          i += 1
-          row
+      val nBytes = s.numBytes()
+      val nChars = s.numChars()
+      if (nChars < k) Iterator.empty
+      else if (nChars == nBytes) {
+        // ASCII fast path: slice the backing bytes directly — O(k) per
+        // k-mer. UTF8String.substring is char-indexed and rescans from the
+        // string head each call, which would make a full k-merization
+        // O(len²) per document.
+        val bytes = s.getBytes // at most one copy per row; slices share it
+        new Iterator[InternalRow] {
+          private var i = 0
+          private val last = nBytes - k
+          override def hasNext: Boolean = i <= last
+          override def next(): InternalRow = {
+            val row = InternalRow(UTF8String.fromBytes(bytes, i, k))
+            i += 1
+            row
+          }
+        }
+      } else {
+        // multibyte text: char-indexed substring keeps the same semantics
+        // as SQL substr in both engines
+        new Iterator[InternalRow] {
+          private var i = 0
+          private val last = nChars - k
+          override def hasNext: Boolean = i <= last
+          override def next(): InternalRow = {
+            val row = InternalRow(s.substring(i, i + k))
+            i += 1
+            row
+          }
         }
       }
     }
