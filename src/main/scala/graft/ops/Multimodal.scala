@@ -56,6 +56,31 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, sha: String)
+
+  /** Frame sampling: treats the payload as a fixed-size frame container
+    * (video-style) and emits every `stride`-th complete frame with its
+    * digest — the 1-row→N-rows shape of real frame extraction, batched per
+    * partition like extractFeatures. The "codec" is the same stub contract:
+    * fixed `frameBytes` per frame instead of container parsing. */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          digest.reset()
+          val frame = java.util.Arrays.copyOfRange(
+            r.payload, i * frameBytes, (i + 1) * frameBytes)
+          Frame(r.doc_id, i, frameBytes, hex(digest.digest(frame)))
+        }
+      }
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     // documents.text cast to binary stands in for the media payload; the
     // oracle recomputes the stub's arithmetic with ascii()/sha256().
@@ -77,6 +102,28 @@ object Multimodal {
              |  CAST(ascii(substr(text, 1, 1)) // 2 AS INT) AS thumb_w,
              |  CAST(ascii(substr(text, 2, 1)) // 2 AS INT) AS thumb_h,
              |  sha256(text) AS sha
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // frame sampling over the same stand-in payloads: 256-byte frames,
+    // every 4th one. ASCII text means the byte frames equal the char
+    // substrings, so DuckDB reproduces the digests exactly.
+    Q("q61_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val records = Tables.documents(s, d)
+          .select($"doc_id", lit("video/stub").as("media_type"),
+            $"text".cast("binary").as("payload"))
+          .as[MediaRecord]
+        sampleFrames(records, frameBytes = 256, stride = 4).toDF()
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             |    substr(text, i * 256 + 1, 256) AS frame
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(0, CAST(length(text) // 256 AS INT) - 1, 4)) AS i
+             |        FROM documents))
+             |SELECT doc_id, frame_idx, 256 AS n_bytes, sha256(frame) AS sha
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }
