@@ -38,6 +38,16 @@ class KmersSuite extends SparkSuite {
     Seq(1, 3, 8).foreach(check(cases, _))
   }
 
+  test("kmer_explode is callable from plain SQL after registration") {
+    graft.kmer.KmerGenerator.register(spark)
+    Seq("CAATCC", "GCA").toDF("sequence").createOrReplaceTempView("kmer_sql_test")
+    val got = spark.sql(
+      "SELECT kmer_explode(sequence, 3) AS km FROM kmer_sql_test")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val want = Seq("CAATCC", "GCA").flatMap(_.sliding(3).toSeq).sorted
+    assert(got === want)
+  }
+
   test("array form and generator form agree") {
     val cases = Seq("CAATCCTTCG", "日本語abc", "", "xy")
     val viaArray = cases.toDF("s")
