@@ -21,6 +21,12 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
+  /** Document-frequency cap for q43's inverted-index join — a shingle in m
+    * docs yields m² candidate rows, so ubiquitous shingles must be dropped
+    * before the self-join. 64 is a no-op at the driver SFs (max df there is
+    * 25) but bounds the worst join key at 64² rows at any corpus size. */
+  val MaxShingleDf = 64
+
   /** Character shingles of length `k`, distinct per doc:
     * DataFrame(doc_id, s). Shingling streams through the native
     * KmerGenerator — no intermediate array materialization per document. */
@@ -182,11 +188,20 @@ object Dedup {
         import s.implicits._
         val toks = Tables.documents(s, d)
           .select($"doc_id", split($"text", " ").as("w"))
-        val sh = toks
+        val all = toks
           .select($"doc_id", explode(expr(
             "transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).as("s"))
           .distinct()
-          .cache()
+        // hot-shingle guard: a shingle present in m documents contributes m²
+        // rows to the inverted-index self-join — one ubiquitous trigram is
+        // quadratic at corpus scale. Shingles with document frequency >
+        // MaxShingleDf are dropped from BOTH the intersection and the set
+        // sizes (Jaccard over the informative-shingle universe — the
+        // stopword-removal trick), bounding any join key's fan-out at
+        // MaxShingleDf² regardless of corpus size.
+        val hot = all.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" > MaxShingleDf).select($"s")
+        val sh = all.join(hot, Seq("s"), "left_anti").cache()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val common = sh.as("x").join(sh.as("y"),
             $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
@@ -200,11 +215,14 @@ object Dedup {
           .select($"a", $"b", round($"jac", 4).as("jaccard"))
           .orderBy($"a", $"b")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |sh AS (
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |allsh AS (
              |  SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s
              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
              |        FROM toks)),
+             |sh AS (
+             |  SELECT doc_id, s FROM allsh
+             |  WHERE s NOT IN (SELECT s FROM allsh GROUP BY s HAVING count(*) > $MaxShingleDf)),
              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |common AS (
              |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
@@ -316,9 +334,10 @@ object Dedup {
         import s.implicits._
         import graft.ops.Similarity.{dot, norm}
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val cent = e.filter($"vec_id" % 100 === 0)
-          .select($"vec_id".as("cid"),
-            expr("transform(embedding, x -> cast(x as double))").as("ce"))
+        // fixed-size hash-sampled quantizer (Similarity.CoarseCells): C is
+        // corpus-INDEPENDENT, so the centroid broadcast and the n·C
+        // assignment cost don't grow with the corpus
+        val cent = Similarity.seedCentroids(e, Similarity.CoarseCells)
         val cells = e.withColumn("vnrm", norm($"embedding"))
           .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
           .select($"vec_id", $"cid",
@@ -343,12 +362,12 @@ object Dedup {
           .filter($"cosine" >= 0.42)
           .orderBy($"a", $"b")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              |    generate_subscripts(embedding, 1) AS i
              |  FROM embeddings),
              |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
-             |cent AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE vec_id % 100 = 0),
+             |cent AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE ${Similarity.seedSqlPredicate(Similarity.CoarseCells)}),
              |cn AS (SELECT cid, sqrt(sum(cv * cv)) AS cnrm FROM cent GROUP BY cid),
              |cc AS (
              |  SELECT e.vec_id, c.cid,

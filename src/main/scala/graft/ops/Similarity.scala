@@ -22,6 +22,20 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
+  /** Coarse-quantizer size — a FIXED constant, independent of corpus
+    * cardinality. This is the scale invariant of the whole IVF design: the
+    * centroid set broadcast to every task stays C·dim doubles (a few KB) and
+    * cell assignment costs n·C dot products with constant C, no matter
+    * whether n is 500 vectors or 100 TB of them. (A corpus-proportional C —
+    * e.g. "every 100th vector" — would make assignment quadratic and the
+    * broadcast unbounded.) Production IVF indexes pick C ≈ √n; at the
+    * driver's SFs 64 cells is already past that. */
+  val CoarseCells = 64
+
+  /** How many nearest cells a query probes — the standard IVF recall lever.
+    * A probe touches Nprobe/C of the corpus. */
+  val Nprobe = 8
+
   /** Σ xᵢ·yᵢ over two float arrays, accumulated in double, sequential
     * left-to-right (deterministic per pair). */
   def dot(x: Column, y: Column): Column =
@@ -29,6 +43,24 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
 
   def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Deterministic hash-sampled centroid seeds: the `c` vectors with the
+    * smallest md5(vec_id) — a uniform pseudo-random sample that (a) has
+    * corpus-INDEPENDENT cardinality, (b) needs no stored RNG state, and
+    * (c) is bit-reproducible in DuckDB (`ORDER BY md5(CAST(vec_id AS
+    * VARCHAR)) LIMIT c`). Spark executes sort+limit as TakeOrdered — a
+    * per-partition top-c merged at the driver, NOT a global sort.
+    * @return DataFrame(cid, ce array<double>)
+    */
+  def seedCentroids(e: DataFrame, c: Int): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(c)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("ce"))
+
+  /** The seed-selection predicate mirrored in oracle SQL. */
+  def seedSqlPredicate(c: Int): String =
+    s"vec_id IN (SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $c)"
 
   /** Assign every vector to its nearest centroid (cosine rounded to 4 dp,
     * centroid-id tiebreak — deterministic in both engines). Norms are
@@ -108,19 +140,18 @@ object Similarity {
              |FROM topk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
     // IVF with TRAINED coarse centroids: deterministic k-means — seeds are
-    // the vec_id % 100 == 0 vectors, then 2 Lloyd iterations with centroid
-    // components rounded to 6 dp, making the training reproducible
-    // bit-for-bit in DuckDB (same seeds, same unrolled iterations). Data
-    // vectors live in exactly one cell; queries multi-probe their nprobe=3
-    // nearest cells (the standard IVF recall lever). At 100 TB the cell id
-    // is the partition key, so a probe touches nprobe/C of the data.
+    // the CoarseCells hash-sampled vectors (fixed C, corpus-independent),
+    // then 2 Lloyd iterations with centroid components rounded to 6 dp,
+    // making the training reproducible bit-for-bit in DuckDB (same seeds,
+    // same unrolled iterations). Data vectors live in exactly one cell;
+    // queries multi-probe their Nprobe nearest cells (the standard IVF
+    // recall lever). At 100 TB the cell id is the partition key, so a probe
+    // touches Nprobe/C of the data.
     Q("q51_knn_ivf",
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val cent0 = e.filter($"vec_id" % 100 === 0)
-          .select($"vec_id".as("cid"),
-            expr("transform(embedding, x -> cast(x as double))").as("ce"))
+        val cent0 = seedCentroids(e, CoarseCells)
         val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
         val assign = assignCells(e, cent).cache()
         // query side: top-nprobe cells by (rounded) centroid cosine
@@ -131,7 +162,7 @@ object Similarity {
             round(dot($"embedding", $"ce") / ($"qn" * $"cnrm"), 4).as("cc"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"qid").orderBy($"cc".desc, $"cid")))
-          .filter($"rn" <= 3)
+          .filter($"rn" <= Nprobe)
           .select($"qid", $"qe", $"qn", $"cid")
         val probe = assign
           .select($"vec_id".as("did"), $"embedding".as("de"), $"cid",
@@ -179,13 +210,13 @@ object Similarity {
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),
       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
-      |cent0 AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE vec_id % 100 = 0),""".stripMargin +
+      |cent0 AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE ${seedSqlPredicate(CoarseCells)}),""".stripMargin +
       train + s"""
       |,q AS (
       |  SELECT vec_id AS qid, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cc DESC, cid) AS rn
-      |    FROM cc$iters WHERE vec_id < 8) WHERE rn <= 3),
+      |    FROM cc$iters WHERE vec_id < 8) WHERE rn <= $Nprobe),
       |cand AS (
       |  SELECT q.qid, a.vec_id AS did
       |  FROM q JOIN a$iters a USING (cid) WHERE a.vec_id != q.qid),

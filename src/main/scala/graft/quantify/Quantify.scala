@@ -16,12 +16,14 @@ import graft.model.{Read, Transcript}
   * scalar over the tiny per-transcript frame.
   *
   * Scale design: the only large relation is the (ec, tid, kj) membership edge
-  * table, cached once and shuffled twice per EM iteration (window by ec +
-  * aggregate by tid) — the same shuffle count as the reference but with
-  * partial aggregation and AQE. The µ̂ state is one row per transcript
-  * (small even at 100 TB read sets), broadcast-joined into each iteration and
-  * localCheckpoint()ed so the Catalyst plan does not grow with iterations
-  * (SURVEY §7.4 risk I1).
+  * table — k_j pre-joined ONCE (it is iteration-invariant), cached, and
+  * shuffled twice per EM iteration (window by ec + aggregate by tid) — the
+  * same shuffle count as the reference but with partial aggregation and AQE.
+  * The µ state is one row per transcript (small even at 100 TB read sets),
+  * kept UNNORMALIZED across iterations (the E step is scale-invariant, so
+  * Σ=1 is applied once at the end) and localCheckpoint()ed so each iteration
+  * is a single eager job and the Catalyst plan does not grow with
+  * iterations (SURVEY §7.4 risk I1).
   */
 object Quantify {
 
@@ -112,6 +114,36 @@ object Quantify {
       .select(col("tid"), (col("mu") / col("totalMu")).as("muHat"))
   }
 
+  /** One fused EM iteration for the internal loop: E step (ratio-to-class-
+    * total window) and M step (per-transcript aggregate) over `edges` that
+    * already carry the iteration-invariant k_j — so the loop never re-joins
+    * `relEc`. The α normalization is scale-invariant in µ (α = µᵢ/Σµₜ), so
+    * the per-iteration µ̂ = µ/Σµ normalizer is algebraically redundant and
+    * deferred to the END of the loop: each iteration is exactly ONE eager
+    * job (the localCheckpoint), two shuffles (window by ec + agg by tid).
+    * @param mu    DataFrame(tid, mu) — unnormalized abundances
+    * @param edges DataFrame(ec, tid, kj) — membership edges with k_j
+    * @return DataFrame(tid, mu)
+    */
+  private def emIterate(mu: DataFrame, edges: DataFrame, tLen: DataFrame,
+      k: Int): DataFrame = {
+    val perClass = Window.partitionBy("ec")
+    mAgg(edges.join(mu, "tid")
+      .withColumn("alpha", col("mu") / sum("mu").over(perClass)), tLen, k)
+  }
+
+  /** The M-step aggregate over (ec, tid, alpha, kj) rows, WITHOUT the µ̂
+    * normalizer (see emIterate). localCheckpoint keeps the driver loop's
+    * plan constant-depth — one eager job per call. */
+  private def mAgg(alphaKj: DataFrame, tLen: DataFrame, k: Int): DataFrame =
+    alphaKj
+      .groupBy("tid")
+      .agg(sum(col("alpha") * col("kj")).as("sumAlpha"))
+      .join(broadcast(tLen), "tid")
+      .select(col("tid"),
+        (col("sumAlpha") / (col("len") - k + 1).cast("double")).as("mu"))
+      .localCheckpoint() // small: one row per transcript
+
   /** Transcript length = Σ over exons of (region.width − 1) — exactly the
     * reference's Σ(end − start − 1) (Quantify.scala:137-141 with
     * QuantifySuite.scala:322-339; SURVEY A9). Computed with the `aggregate`
@@ -167,23 +199,34 @@ object Quantify {
       .select(col("ec"), (col("count").cast("double") / col("totalCount")).as("kj"))
       .cache()
 
-    val edges = ecToTx.join(ecCounts.select("ec"), "ec").cache()
+    // membership edges with the iteration-INVARIANT k_j pre-joined ONCE —
+    // the loop below must never re-join relEc (it doesn't change across
+    // iterations), so the per-iteration work is exactly the two shuffles
+    // the math requires
+    val edges = ecToTx.join(relEc, "ec").cache()
 
-    // init: equal split + one M step (Quantify.scala:89-102)
-    var muHat = Timers.time("initializeEM") {
-      mStep(initializeEM(ecCounts, ecToTx), relEc, tLen, kmerLength)
+    // init: equal split + one (unnormalized) M aggregate (Quantify.scala:89-102)
+    var mu = Timers.time("initializeEM") {
+      mAgg(initializeEM(ecCounts, ecToTx).join(relEc, "ec"), tLen, kmerLength)
     }
 
-    // EM loop — driver-side iteration over a constant-depth plan: mStep
-    // localCheckpoints its per-transcript state internally (one eager job
-    // per iteration, as the reference's µ reduce), so each iteration's plan
-    // roots at the previous checkpoint and never grows.
+    // EM loop — driver-side iteration over a constant-depth plan: mAgg
+    // localCheckpoints the per-transcript state (ONE eager job per
+    // iteration, as the reference's µ reduce), so each iteration's plan
+    // roots at the previous checkpoint and never grows. µ stays
+    // unnormalized inside the loop (the E step is scale-invariant); the
+    // single µ̂ = µ/Σµ normalization happens once, below.
     (0 until maxIterations).foreach { _ =>
       Timers.time("emIteration") {
-        val alpha = eStep(muHat, edges)
-        muHat = mStep(alpha, relEc, tLen, kmerLength)
+        mu = emIterate(mu, edges, tLen, kmerLength)
       }
     }
+
+    // the deferred Σ=1 normalization (reference Quantify.scala:263-275):
+    // scalar agg broadcast-cross-joined, never a single-partition window
+    val muHat = mu
+      .crossJoin(broadcast(mu.agg(sum("mu").as("totalMu"))))
+      .select(col("tid"), (col("mu") / col("totalMu")).as("muHat"))
 
     val calibratedMu =
       if (calibrateLengthBias) Timers.time("calibrateTxLenBias") {

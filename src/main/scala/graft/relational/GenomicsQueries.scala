@@ -56,21 +56,25 @@ object GenomicsQueries {
       |  SELECT c.ec, c.doc_id AS tid,
       |    e.count * 1.0 / count(*) OVER (PARTITION BY c.ec) AS alpha
       |  FROM classes c JOIN ecc e USING (ec)),""".stripMargin
+    // µ stays UNNORMALIZED across iterations (the E step is scale-invariant
+    // in µ, so the per-iteration µ̂ = µ/Σµ is algebraically redundant) —
+    // mirroring Quantify.emIterate; the single normalization is in the
+    // final SELECT.
     def mBlock(i: Int) = s"""
       |mus$i AS MATERIALIZED (
       |  SELECT a.tid, sum(a.alpha * r.kj) / (d.n_chars - $K + 1) AS mu
       |  FROM alpha$i a JOIN rel r USING (ec)
       |  JOIN documents d ON a.tid = d.doc_id
-      |  GROUP BY a.tid, d.n_chars),
-      |w$i AS MATERIALIZED (SELECT tid, mu / (SELECT sum(mu) FROM mus$i) AS muhat FROM mus$i)""".stripMargin
+      |  GROUP BY a.tid, d.n_chars)""".stripMargin
     def eBlock(i: Int) = s"""
       |alpha$i AS MATERIALIZED (
       |  SELECT e.ec, e.tid,
-      |    w.muhat / sum(w.muhat) OVER (PARTITION BY e.ec) AS alpha
-      |  FROM edges e JOIN w${i - 1} w USING (tid)),""".stripMargin
+      |    m.mu / sum(m.mu) OVER (PARTITION BY e.ec) AS alpha
+      |  FROM edges e JOIN mus${i - 1} m USING (tid)),""".stripMargin
     val loop = (1 to iters).map(i => eBlock(i) + mBlock(i)).mkString(",")
     base + mBlock(0) + "," + loop + s"""
-      |SELECT tid AS doc_id, round(muhat, 6) AS abundance FROM w$iters ORDER BY doc_id""".stripMargin
+      |SELECT tid AS doc_id, round(mu / (SELECT sum(mu) FROM mus$iters), 6) AS abundance
+      |FROM mus$iters ORDER BY doc_id""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
