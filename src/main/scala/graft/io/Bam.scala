@@ -1,6 +1,6 @@
 package graft.io
 
-import java.io.{ByteArrayInputStream, DataInputStream, EOFException, IOException}
+import java.io.{BufferedInputStream, ByteArrayInputStream, DataInputStream, EOFException, IOException, InputStream}
 import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -14,22 +14,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directly. Only `sequence` is extracted — the one field the reference
   * pipeline consumes (Quantify.scala:42,59).
   *
-  * Scale design: `binaryFile` gives one task per file and the decoder is a
-  * lazy iterator, so a 100 TB read set spread over many BAM files decodes
-  * with parallelism = #files and O(1) memory per task beyond the gzip
-  * buffer. (Intra-file chunk splitting via .bai/virtual offsets — what
-  * ADAM/Hadoop-BAM add — is deliberately out of scope, as the reference
-  * delegated it to ADAM too.)
+  * Scale design: `binaryFiles` + `PortableDataStream` gives one task per
+  * file that decodes STREAMING — compressed bytes flow straight from the
+  * filesystem through the gzip inflater to the record iterator, so a task
+  * holds O(1) memory (one gzip buffer + one record) regardless of file
+  * size: a 200 GB BAM neither materializes as a byte array nor hits
+  * Spark's 2 GiB binary-column cap. (Intra-file chunk splitting via
+  * .bai/virtual offsets — what ADAM/Hadoop-BAM add — is deliberately out
+  * of scope, as the reference delegated it to ADAM too.)
   */
 object Bam {
 
   /** BAM 4-bit base codes, spec §4.2.3. */
   private val Bases = "=ACMGRSVTWYHKDNB"
 
-  /** Lazily decode the read sequences of one in-memory BAM file.
-    * Zero-length sequences (SEQ = '*') are skipped. */
-  def decode(bytes: Array[Byte]): Iterator[String] = {
-    val in = new DataInputStream(new GZIPInputStream(new ByteArrayInputStream(bytes)))
+  /** In-memory convenience overload (tests, small files). */
+  def decode(bytes: Array[Byte]): Iterator[String] =
+    decode(new ByteArrayInputStream(bytes))
+
+  /** Lazily decode the read sequences of one BAM byte STREAM — the stream
+    * is consumed record by record, never materialized. Zero-length
+    * sequences (SEQ = '*') are skipped. */
+  def decode(raw: InputStream): Iterator[String] = {
+    val in = new DataInputStream(new GZIPInputStream(new BufferedInputStream(raw, 1 << 16)))
     def i32(): Int = {
       val b = new Array[Byte](4); in.readFully(b)
       (b(0) & 0xff) | (b(1) & 0xff) << 8 | (b(2) & 0xff) << 16 | (b(3) & 0xff) << 24
@@ -73,13 +80,15 @@ object Bam {
     it.filter(_.nonEmpty)
   }
 
-  /** DataFrame(sequence string) — one row per read with a stored
-    * sequence. */
+  /** DataFrame(sequence string) — one row per read with a stored sequence.
+    * `binaryFiles` hands each task a PortableDataStream (an opened,
+    * seek-free handle), NOT the file contents: decode streams from it. The
+    * RDD hop is deliberate — this is genuine per-partition imperative I/O,
+    * the one place SURVEY licenses RDDs. */
   def reads(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap(decode(_))
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => decode(pds.open()) }
       .toDF("sequence")
   }
 }

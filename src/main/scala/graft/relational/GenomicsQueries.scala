@@ -208,6 +208,33 @@ object GenomicsQueries {
     // quirk — the fitted line applied to µ̂ itself, not log-length
     // (reference Tare.scala:187) — plus the Σ=1 renormalization
     // (Tare.scala:189-192) are both in the SQL.
+    // I3: the sequence-context (GC) bias regression — Tare.calibrateKmers
+    // (reference Tare.scala:110-136): regress log(count) on the 16-dim
+    // dinucleotide-context histogram via spark.ml LinearRegression, keep the
+    // residual, rescale to the mean. A 16-feature OLS has no ANSI-SQL
+    // equivalent, so this query carries no oracleSql — the driver records
+    // the weaker rows-only check — but it puts the calibrateKmers code path
+    // under the gate on a deterministic corpus slice (fixed input, fixed
+    // partitioning ⇒ reproducible fit); TareSuite value-pins the math on
+    // hand-computed fixtures.
+    Q("q26_kmer_calibration",
+      (s, d) => {
+        import s.implicits._
+        // the calibrator needs DNA-alphabet k-mers (the dinucleotide
+        // featurizer rejects anything else), so the corpus slice is mapped
+        // to a deterministic DNA sequence first: md5(text) hex → ACGT.
+        // k=4 over a 256-kmer space gives multiplicities big enough for the
+        // log-count regression to have signal.
+        val dna = Tables.documents(s, d).filter($"doc_id" < 200)
+          .select(translate(md5($"text"),
+            "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"))
+        val kmers = Quantify.countKmers(dna, 4)
+        graft.calibrate.Tare.calibrateKmers(kmers)
+          .select($"kmer", $"count".as("cal_count"))
+          .orderBy($"kmer")
+      },
+      None),
+
     Q("q25_length_calibration",
       (s, d) => {
         import s.implicits._
