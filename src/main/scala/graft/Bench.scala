@@ -36,11 +36,22 @@ object Bench {
     SparkEntry.queries.get("q06_forecast_revenue").foreach(_(spark, sfDir).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      // best-of-2: transient contention on a shared VM (e.g. an overlapping
+      // oracle check) can multiply one run several-fold; the min of two runs
+      // is a far more stable estimate of the code's cost. Failures are not
+      // retried — a crash must stay loud.
+      val (t1, e1) = once()
+      val (t, e) = if (e1.isDefined) (t1, e1) else {
+        val (t2, e2) = once(); (math.min(t1, t2), e2)
+      }
+      (name, t, e)
     }
     val ok = results.filter(_._3.isEmpty)
     val failed = results.collect { case (n, _, Some(m)) => n -> m }

@@ -46,8 +46,8 @@ object Main {
   private def runIndex(genomePath: String, gtfPath: String, k: Int, out: String): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // driver-side genome load + broadcast, as the reference does
-    // (cli/Index.scala:59-62 then Index.scala:76-78)
-    val genome = graft.io.Fasta.read(genomePath)
+    // (cli/Index.scala:59-62 then Index.scala:76-78); .2bit or FASTA
+    val genome = graft.io.Genome.read(genomePath)
     val bc = spark.sparkContext.broadcast(genome)
     val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)
     val extract = udf { (exons: Seq[org.apache.spark.sql.Row]) =>

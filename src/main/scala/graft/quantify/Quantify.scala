@@ -2,7 +2,6 @@ package graft.quantify
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.kmer.Kmers
 import graft.model.{Read, Transcript}
 
@@ -11,14 +10,16 @@ import graft.model.{Read, Transcript}
   *
   * Every groupByKey of the reference becomes a hash aggregate with partial
   * (map-side) aggregation; the E-step's per-class normalization
-  * (Quantify.scala:200-212, SURVEY A6) is a ratio-to-partition-total window;
-  * the M-step normalizer (Quantify.scala:263-274, SURVEY A8) is a global-window
-  * scalar over the tiny per-transcript frame.
+  * (Quantify.scala:200-212, SURVEY A6) is a partial aggregate of class
+  * totals joined back to the edges — NOT a window, see eStep; the M-step
+  * normalizer (Quantify.scala:263-274, SURVEY A8) is a broadcast scalar
+  * over the tiny per-transcript frame.
   *
   * Scale design: the only large relation is the (ec, tid, kj) membership edge
-  * table — k_j pre-joined ONCE (it is iteration-invariant), cached, and
-  * shuffled twice per EM iteration (window by ec + aggregate by tid) — the
-  * same shuffle count as the reference but with partial aggregation and AQE.
+  * table — k_j pre-joined ONCE (it is iteration-invariant) and cached; per EM
+  * iteration only per-task partial aggregates shuffle (class totals by ec,
+  * then µ by tid) — the edges themselves never move when the per-class
+  * totals broadcast, and a hot class cannot pin a task (see eStep).
   * The µ state is one row per transcript (small even at 100 TB read sets),
   * kept UNNORMALIZED across iterations (the E step is scale-invariant, so
   * Σ=1 is applied once at the end) and localCheckpoint()ed so each iteration
@@ -59,26 +60,44 @@ object Quantify {
     * @return DataFrame(ec, tid, alpha)
     */
   def initializeEM(ecCounts: DataFrame, ecToTx: DataFrame): DataFrame = {
-    val classSize = Window.partitionBy("ec")
-    ecToTx.join(ecCounts, "ec")
-      .withColumn("alpha", col("count").cast("double") / count(lit(1)).over(classSize))
+    // class sizes via partial aggregate + join-back, not a window: a hot
+    // class (one EC holding half the edges) collapses to one row per map
+    // task in the agg shuffle, and the join-back is AQE-skew-splittable —
+    // a window partitioned by ec would funnel the hot class through a
+    // single un-splittable partition (SURVEY §7.4 skew watch item)
+    val classSizes = ecToTx.groupBy("ec").agg(count(lit(1)).as("classSize"))
+    ecToTx.join(ecCounts, "ec").join(classSizes, "ec")
+      .withColumn("alpha", col("count").cast("double") / col("classSize"))
       .select("ec", "tid", "alpha")
   }
 
   /** E step: α(j,i) = µ̂ᵢ / Σ_{t ⊇ sⱼ} µ̂ₜ per class j (reference
     * Quantify.scala:200-212). The reference's flatMap+groupByKey becomes a
-    * single partition-sum window over the membership edges.
+    * partial aggregate of per-class µ totals joined back to the edges.
+    *
+    * Deliberately NOT a `sum over (partition by ec)` window: equivalence
+    * classes are naturally skewed (one promiscuous k-mer class can hold
+    * half the edges — SURVEY §7.4's watch item), and a window partition
+    * cannot be split, so the hot class would serialize through one task.
+    * With agg+join the hot key collapses map-side to one partial row per
+    * task (the agg shuffle carries per-task partials, not edges), the
+    * class-total frame is one row per EC (broadcastable when small, and
+    * the join-back is AQE-skew-splittable when not), and the full edge set
+    * never shuffles at all when the totals broadcast.
     * @param weights DataFrame(tid, muHat)
     * @param ecToTx  DataFrame(ec, tid)
     * @return DataFrame(ec, tid, alpha)
     */
   def eStep(weights: DataFrame, ecToTx: DataFrame): DataFrame = {
-    val perClass = Window.partitionBy("ec")
-    // no broadcast hint: weights is one row per transcript — usually tiny,
+    // no broadcast hint on weights: one row per transcript — usually tiny,
     // but at extreme transcript cardinality a forced broadcast would OOM
     // where AQE's runtime size check gracefully falls back to SMJ
-    ecToTx.join(weights, "tid")
-      .withColumn("alpha", col("muHat") / sum("muHat").over(perClass))
+    val edges = ecToTx.join(weights, "tid")
+    val classTotals = edges.groupBy("ec").agg(sum("muHat").as("classTotal"))
+    // `edges` is referenced twice, but ReuseExchange dedupes any shuffle
+    // under it and the weights join is a cheap broadcast-hash re-run
+    edges.join(classTotals, "ec")
+      .withColumn("alpha", col("muHat") / col("classTotal"))
       .select("ec", "tid", "alpha")
   }
 
@@ -114,22 +133,26 @@ object Quantify {
       .select(col("tid"), (col("mu") / col("totalMu")).as("muHat"))
   }
 
-  /** One fused EM iteration for the internal loop: E step (ratio-to-class-
-    * total window) and M step (per-transcript aggregate) over `edges` that
-    * already carry the iteration-invariant k_j — so the loop never re-joins
-    * `relEc`. The α normalization is scale-invariant in µ (α = µᵢ/Σµₜ), so
-    * the per-iteration µ̂ = µ/Σµ normalizer is algebraically redundant and
+  /** One fused EM iteration for the internal loop: E step (class totals
+    * aggregated then joined back — skew-safe, see eStep) and M step
+    * (per-transcript aggregate) over `edges` that already carry the
+    * iteration-invariant k_j — so the loop never re-joins `relEc`. The α
+    * normalization is scale-invariant in µ (α = µᵢ/Σµₜ), so the
+    * per-iteration µ̂ = µ/Σµ normalizer is algebraically redundant and
     * deferred to the END of the loop: each iteration is exactly ONE eager
-    * job (the localCheckpoint), two shuffles (window by ec + agg by tid).
+    * job (the localCheckpoint). When the per-EC totals broadcast (they are
+    * one row per class), the cached edges never shuffle — the only shuffles
+    * are the tiny per-task partial aggregates by ec and by tid.
     * @param mu    DataFrame(tid, mu) — unnormalized abundances
     * @param edges DataFrame(ec, tid, kj) — membership edges with k_j
     * @return DataFrame(tid, mu)
     */
   private def emIterate(mu: DataFrame, edges: DataFrame, tLen: DataFrame,
       k: Int): DataFrame = {
-    val perClass = Window.partitionBy("ec")
-    mAgg(edges.join(mu, "tid")
-      .withColumn("alpha", col("mu") / sum("mu").over(perClass)), tLen, k)
+    val withMu = edges.join(mu, "tid")
+    val classTotals = withMu.groupBy("ec").agg(sum("mu").as("classTotal"))
+    mAgg(withMu.join(classTotals, "ec")
+      .withColumn("alpha", col("mu") / col("classTotal")), tLen, k)
   }
 
   /** The M-step aggregate over (ec, tid, alpha, kj) rows, WITHOUT the µ̂

@@ -122,6 +122,33 @@ class QuantifySuite extends SparkSuite {
     assert(ecToTx.map(_.getLong(0)).distinct.length === ecToTx.length)
   }
 
+  test("e step is skew-safe: one hot class holding half the edges") {
+    // SURVEY §7.4's watch item: equivalence classes are naturally skewed.
+    // Build a membership table where ONE class holds 50% of all edges and
+    // assert (a) the plan has no Window — the per-class normalization must
+    // be the partial-agg + join-back shape, which map-side-combines the hot
+    // key and lets AQE split the join — and (b) values stay exact.
+    val nHot = 2000
+    val hot = (0 until nHot).map(i => (0L, s"t$i"))
+    val cold = (0 until nHot).map(i => ((i % 500) + 1L, s"t$i"))
+    val membership = (hot ++ cold).toDF("ec", "tid")
+    val weights = (0 until nHot).map(i => (s"t$i", (i % 7 + 1).toDouble))
+      .toDF("tid", "muHat")
+
+    val alpha = Quantify.eStep(weights, membership)
+    assert(!alpha.queryExecution.optimizedPlan.toString.contains("Window"),
+      "E step must not window-partition by ec — a hot class would serialize")
+
+    val rows = alpha.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size === 2 * nHot)
+    // hot class: alpha(t_i) = w_i / Σ w over ALL transcripts
+    val totalW = (0 until nHot).map(i => (i % 7 + 1).toDouble).sum
+    assert(fpEquals(rows((0L, "t13")), (13 % 7 + 1).toDouble / totalW))
+    // every class's alphas sum to 1
+    val byClass = rows.groupBy(_._1._1).map { case (ec, m) => ec -> m.values.sum }
+    byClass.foreach { case (ec, s) => assert(fpEquals(s, 1.0, 1e-9), s"class $ec") }
+  }
+
   /** Shared e2e runner: quantify generated reads and return tid → abundance. */
   private def runQuantify(transcripts: Seq[String], names: Seq[String],
       kmerMap: Map[String, Long], classMap: Map[Long, Iterable[String]],
