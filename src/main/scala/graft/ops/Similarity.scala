@@ -177,7 +177,47 @@ object Similarity {
           .select($"qid", $"did", round($"c", 4).as("cosine"), $"rnk")
           .orderBy($"qid", $"rnk")
       },
-      Some(ivfOracleSql(2)))
+      Some(ivfOracleSql(2))),
+
+    // Scalar int8 quantization — the embedding-compression step a 100 TB
+    // vector corpus needs before ANN serving (4× smaller than float32,
+    // 8× than the double working form). Per-VECTOR absmax scaling:
+    // scale = max|x|, code = floor(x·127/scale + 0.5) — one pass of
+    // higher-order array functions per row, no shuffle anywhere, fully
+    // codegen'd. Output pins scale and the code distribution per vector.
+    Q("q52_embed_quantize",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding",
+            expr("""aggregate(embedding, cast(0.0 as double),
+                   |  (a, x) -> greatest(a, abs(cast(x as double))))""".stripMargin)
+              .as("scale"))
+          .select($"vec_id", round($"scale", 6).as("qscale"),
+            expr("""transform(embedding,
+                   |  x -> cast(floor(cast(x as double) * 127 / scale + 0.5) as bigint))""".stripMargin)
+              .as("codes"))
+          .select($"vec_id", $"qscale",
+            expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+            expr("aggregate(codes, 127L, (a, x) -> least(a, x))").as("code_min"),
+            expr("aggregate(codes, -127L, (a, x) -> greatest(a, x))").as("code_max"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    list_aggregate(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)) AS codes
+             |  FROM s)
+             |SELECT vec_id, round(scale, 6) AS qscale,
+             |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+             |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+             |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
+             |FROM c ORDER BY vec_id""".stripMargin))
   )
 
   /** Unrolled deterministic-k-means oracle for q51: seeds → `iters` Lloyd

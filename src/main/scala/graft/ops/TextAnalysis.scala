@@ -160,6 +160,41 @@ object TextAnalysis {
     // the md5-of-normalized-text fingerprint (q33), so swapped words change
     // it. Computed with the `aggregate` higher-order function: one pass,
     // no shuffle, codegen'd.
+    // Sequence packing — the training-batch construction step of an LLM data
+    // pipeline: documents are packed in order into fixed token-budget bins
+    // (capacity 512 whitespace tokens; a doc goes to the bin where its
+    // running total starts, so bins overflow by at most one doc — the
+    // standard streaming-fill approximation). Packing is inherently
+    // sequential WITHIN a shard, so the shard key (source here) sets the
+    // parallelism grain: the cumulative-sum window partitions by source and
+    // shards pack independently — at 100 TB the shard key becomes a finer
+    // partition id and the shape is unchanged.
+    Q("q36_sequence_packing",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select($"source", $"doc_id",
+            size(split($"text", " ")).cast("long").as("tok"))
+          .withColumn("cum", sum($"tok").over(w))
+          .withColumn("bin_id", floor(($"cum" - $"tok") / lit(512.0)))
+          .groupBy($"source", $"bin_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"tok").as("bin_tokens"))
+          .orderBy($"source", $"bin_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    len(string_split(text, ' ')) AS tok,
+             |    sum(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents)
+             |SELECT source, CAST(floor((cum - tok) / 512.0) AS BIGINT) AS bin_id,
+             |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("q35_rolling_fingerprint",
       (s, d) => {
         import s.implicits._

@@ -49,6 +49,42 @@ object StreamingQueries {
              |  count(*) AS n, round(sum(value), 4) AS total_value
              |FROM events
              |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming exact dedup — the ingest-time dedup step of a training-data
+    // pipeline: dropDuplicates keeps per-key state so each (user_id,
+    // event_type) pair is emitted exactly once in append mode, whatever its
+    // arrival order or multiplicity. The emitted KEY SET is deterministic
+    // (which physical row won is not — so only the keys are output), making
+    // the query oracle-able as a batch DISTINCT. At 100 TB the state store
+    // shards by key; the production variant is dropDuplicatesWithinWatermark,
+    // which bounds state by event time once a watermark is declared.
+    Q("q71_stream_dedup",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+        val target = dir.resolve("events.parquet")
+        val src = java.nio.file.Paths.get(s"$d/events.parquet")
+        try java.nio.file.Files.createSymbolicLink(target, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+        val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+        val deduped = stream
+          .select($"user_id", $"event_type")
+          .dropDuplicates("user_id", "event_type")
+
+        val name = "q71_stream_dedup_sink"
+        val query = deduped.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name).orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY 1, 2""".stripMargin))
   )
 }
