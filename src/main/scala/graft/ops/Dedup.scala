@@ -233,6 +233,42 @@ object Dedup {
              |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.12
              |ORDER BY a, b""".stripMargin)),
 
+    // Benchmark decontamination — the eval-overlap scan every pretraining
+    // pipeline runs before training: corpus documents sharing ≥2 word
+    // trigrams with any document of the held-out eval set (here the 20
+    // lowest doc_ids) are flagged with the matching eval doc and the overlap
+    // count. Scale shape: the EVAL side is small by construction (a
+    // benchmark, not a corpus), so its shingle set broadcasts and the
+    // corpus-side join is map-only — the corpus never shuffles; only the
+    // (corpus_doc, eval_doc) hit counts do, and those are bounded by the
+    // eval set's size.
+    Q("q37_decontamination",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).as("s"))
+          .distinct()
+        val eval = sh.filter($"doc_id" < 20)
+          .select($"doc_id".as("eval_doc"), $"s")
+        sh.filter($"doc_id" >= 20)
+          .join(broadcast(eval), "s")
+          .groupBy($"doc_id", $"eval_doc")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 2)
+          .orderBy($"doc_id", $"eval_doc")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             |        FROM toks))
+             |SELECT c.doc_id, e.doc_id AS eval_doc, count(*) AS n_shared
+             |FROM sh c JOIN sh e ON c.s = e.s AND e.doc_id < 20 AND c.doc_id >= 20
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // SimHash near-dup retrieval: 63-bit signature (bit 63 left clear so the
     // value stays non-negative in both engines), banded Hamming-distance
     // probes. 4 bands of 16/16/16/15 bits: by pigeonhole, any pair with

@@ -195,6 +195,35 @@ object TextAnalysis {
              |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Data-mixture construction — the per-source weighted sampling step that
+    // assembles a training mix: each source gets a deterministic rate (a
+    // function of its numeric suffix here; in production a config dim) and a
+    // document survives iff a 56-bit md5 of its id falls under the rate —
+    // hash-based Bernoulli sampling that is reproducible across engines and
+    // runs, needs no RNG state, and is a pure per-row predicate (pushdown-
+    // friendly, no shuffle before the per-source rollup).
+    Q("q38_mixture_sample",
+      (s, d) => {
+        import s.implicits._
+        val rate = (lit(20) + substring($"source", 4, 10).cast("int") * 7 % 60)
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 14), 16, 10) as bigint) % 100")
+        Tables.documents(s, d)
+          .withColumn("rate_pct", rate)
+          .filter(bucket < $"rate_pct")
+          .groupBy($"source", $"rate_pct")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(size(split($"text", " ")).cast("long")).as("tok_sampled"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, 20 + (CAST(substr(source, 4) AS INT) * 7) % 60 AS rate_pct,
+             |  count(*) AS n_sampled,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sampled
+             |FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100
+             |      < 20 + (CAST(substr(source, 4) AS INT) * 7) % 60
+             |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+
     Q("q35_rolling_fingerprint",
       (s, d) => {
         import s.implicits._
