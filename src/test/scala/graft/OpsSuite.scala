@@ -19,4 +19,49 @@ class OpsSuite extends SparkSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall@3 was $mean — centroid training regressed")
   }
+
+  test("sequence packing respects the token budget up to one-doc overflow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the streaming-fill rule: a doc joins the bin where its running total
+    // STARTS, so a bin can exceed 512 only by (tokens of its last doc − 1);
+    // equivalently bin_tokens − last_doc_tokens < 512 for every bin.
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val maxTok = docs.map(_._3).max
+    val bins = SparkEntry.queries("q36_sequence_packing")(spark, sf).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val t = r.getAs[Long]("bin_tokens")
+      assert(t < 512 + maxTok,
+        s"bin ${r.get(0)}/${r.get(1)} holds $t tokens — overflow exceeds one doc")
+    }
+    // totals are partitioned, not resampled: Σ bin_tokens = Σ doc tokens
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum === docs.map(_._3).sum)
+  }
+
+  test("decontamination joins the eval side broadcast, never sort-merge") {
+    val df = SparkEntry.queries("q37_decontamination")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval shingle set must broadcast — the corpus side must not shuffle")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the whole corpus by shingle")
+  }
+
+  test("int8 quantization codes bound the reconstruction error") {
+    import spark.implicits._
+    // |x − code·scale/127| ≤ scale/254 per component by construction;
+    // check the emitted scalars: codes live in [−127, 127] and the max
+    // |code| is exactly 127 (the absmax component quantizes to ±127).
+    val rows = SparkEntry.queries("q52_embed_quantize")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("code_min"); val mx = r.getAs[Long]("code_max")
+      assert(mn >= -127 && mx <= 127, s"vec ${r.get(0)} codes out of range")
+      assert(math.max(math.abs(mn), math.abs(mx)) === 127L,
+        s"vec ${r.get(0)} absmax component must quantize to ±127")
+    }
+  }
 }
