@@ -382,6 +382,9 @@ object Dedup {
             Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
           .filter($"rn" <= 2)
           .select($"vec_id", $"cid")
+          // cached: both sides of the blocking self-join read this frame —
+          // uncached, the n·C assignment + top-2 window would run twice
+          .cache()
         val cand = cells.as("x").join(cells.as("y"),
             $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
           .select($"x.vec_id".as("a"), $"y.vec_id".as("b"))

@@ -152,7 +152,12 @@ object Similarity {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
         val cent0 = seedCentroids(e, CoarseCells)
+        // cached: the trained-centroid frame is 64 rows but its lineage is
+        // two Lloyd passes over the corpus, and it is referenced twice (the
+        // query-side broadcast AND the corpus assignment) — uncached, the
+        // training chain would execute once per reference
         val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
+          .cache()
         val assign = assignCells(e, cent).cache()
         // query side: top-nprobe cells by (rounded) centroid cosine
         val qcells = e.filter($"vec_id" < 8)
