@@ -303,6 +303,11 @@ object Dedup {
         val sig = bits.select(
           ($"doc_id" +: sigBits(0, 63).as("sig") +:
             (0 until 4).map(j => sigBits(16 * j, math.min(16 * j + 16, 63)).as(s"band$j"))): _*)
+          // cached: both sides of the banded self-join read this frame, and
+          // its lineage is the full shingle-explode + 63-column signature
+          // aggregate — uncached it would compute twice (q41 already caches
+          // its minhash frame for the same reason)
+          .cache()
         val bands = sig.select($"doc_id", $"sig", explode(array(
             (0 until 4).map(j => struct(lit(j).as("band"), col(s"band$j").as("bv"))): _*)).as("bb"))
           .select($"doc_id", $"sig", $"bb.band".as("band"), $"bb.bv".as("bv"))
