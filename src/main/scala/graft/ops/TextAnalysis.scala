@@ -75,6 +75,9 @@ object TextAnalysis {
         val tri = Tables.documents(s, d)
           .select($"doc_id", $"lang",
             graft.kmer.Kmers.kmerExplode($"text", 3).as("g"))
+          // cached: the profile build and the doc-side distinct both read
+          // the trigram stream — uncached the explode runs twice
+          .cache()
         val prof = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")))
