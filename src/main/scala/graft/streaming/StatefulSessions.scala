@@ -16,13 +16,8 @@ object StatefulSessions {
   def runningUserCounts(s: SparkSession, d: String, sinkName: String): DataFrame = {
     import s.implicits._
     val staticDf = s.read.parquet(s"$d/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("graft_stateful_events")
-    val target = dir.resolve("events.parquet")
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    try java.nio.file.Files.createSymbolicLink(target, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
-
-    val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+    val stream = s.readStream.schema(staticDf.schema)
+      .parquet(Staging.stageTable(d, "events"))
     val counts = stream.selectExpr("user_id").as[Long]
       .groupByKey(identity)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -55,13 +50,8 @@ object StatefulSessions {
       every: Long): DataFrame = {
     import s.implicits._
     val staticDf = s.read.parquet(s"$d/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("graft_milestone_events")
-    val target = dir.resolve("events.parquet")
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    try java.nio.file.Files.createSymbolicLink(target, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
-
-    val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+    val stream = s.readStream.schema(staticDf.schema)
+      .parquet(Staging.stageTable(d, "events"))
     val milestones = stream.selectExpr("user_id").as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

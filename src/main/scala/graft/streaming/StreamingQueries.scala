@@ -19,14 +19,8 @@ object StreamingQueries {
         // file-source schema comes from the static footer (ts arrives as
         // nanosecond Long under the session's nanosAsLong, same as Tables)
         val staticDf = s.read.parquet(s"$d/events.parquet")
-        // the file stream source wants a directory of files — stage the
-        // single-table file into a temp dir (symlink; copy as fallback)
-        val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
-        val target = dir.resolve("events.parquet")
-        val src = java.nio.file.Paths.get(s"$d/events.parquet")
-        try java.nio.file.Files.createSymbolicLink(target, src)
-        catch { case _: Exception => java.nio.file.Files.copy(src, target) }
-        val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
         val withTs = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         val agg = withTs
           .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
@@ -63,12 +57,8 @@ object StreamingQueries {
       (s, d) => {
         import s.implicits._
         val staticDf = s.read.parquet(s"$d/events.parquet")
-        val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-        val target = dir.resolve("events.parquet")
-        val src = java.nio.file.Paths.get(s"$d/events.parquet")
-        try java.nio.file.Files.createSymbolicLink(target, src)
-        catch { case _: Exception => java.nio.file.Files.copy(src, target) }
-        val stream = s.readStream.schema(staticDf.schema).parquet(dir.toString)
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
         val deduped = stream
           .select($"user_id", $"event_type")
           .dropDuplicates("user_id", "event_type")
