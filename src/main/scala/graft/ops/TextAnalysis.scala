@@ -227,6 +227,43 @@ object TextAnalysis {
              |      < 20 + (CAST(substr(source, 4) AS INT) * 7) % 60
              |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
 
+    // Repetition-based quality signal — the duplicate-n-gram share used by
+    // published pretraining quality filters: the share of a document's word
+    // bigrams taken by its single most frequent bigram. High values mark
+    // degenerate/boilerplate text. Pure explode → two partial aggregates;
+    // shuffles carry (doc, bigram, partialCount), never text.
+    Q("q39_repetition",
+      (s, d) => {
+        import s.implicits._
+        val bg = Tables.documents(s, d)
+          .select($"doc_id", $"source", split($"text", " ").as("w"))
+          .select($"doc_id", $"source", explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
+        val perDoc = bg.groupBy($"doc_id", $"source", $"bg")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id", $"source")
+          .agg(max($"cnt").as("top_bg"), sum($"cnt").as("n_bg"))
+        perDoc.groupBy($"source")
+          .agg(round(avg($"top_bg" / $"n_bg"), 6).as("rep_ratio"),
+            round(max($"top_bg" / $"n_bg"), 6).as("rep_max"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"source")
+      },
+      Some("""WITH bg AS (
+             |  SELECT doc_id, source, concat(w[i], ' ', w[i+1]) AS bg
+             |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w,
+             |          unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+             |        FROM documents)),
+             |cnts AS (
+             |  SELECT doc_id, source, bg, count(*) AS cnt
+             |  FROM bg GROUP BY 1, 2, 3),
+             |perdoc AS (
+             |  SELECT doc_id, source, max(cnt) AS top_bg, sum(cnt) AS n_bg
+             |  FROM cnts GROUP BY 1, 2)
+             |SELECT source, round(avg(top_bg * 1.0 / n_bg), 6) AS rep_ratio,
+             |  round(max(top_bg * 1.0 / n_bg), 6) AS rep_max, count(*) AS n_docs
+             |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("q35_rolling_fingerprint",
       (s, d) => {
         import s.implicits._
