@@ -286,9 +286,23 @@ object Bam {
     } else {
       val b0 = findBlock(in, c.start, fileLen)
       if (b0 < 0 || b0 >= c.end) return Iterator.empty
-      val off = guessRecordStart(windowFrom(in, b0, fileLen, 1 << 17), c.nRef)
-      if (off < 0)
-        throw new IOException(s"no record boundary found after offset $b0 in ${c.path}")
+      // grow the guess window until a boundary validates or the window hits
+      // file end — at EOF a miss is legitimate: the chunk's blocks hold only
+      // the tail of the previous chunk's final record, so it owns nothing
+      var minBytes = 1 << 17
+      var off = -1
+      var atEof = false
+      while (off < 0 && !atEof) {
+        val window = windowFrom(in, b0, fileLen, minBytes)
+        atEof = window.length < minBytes
+        off = guessRecordStart(window, c.nRef)
+        if (off < 0 && !atEof) {
+          if (minBytes >= (1 << 23))
+            throw new IOException(s"no record boundary found after offset $b0 in ${c.path}")
+          minBytes <<= 2
+        }
+      }
+      if (off < 0) return Iterator.empty
       val cur = new BgzfCursor(in, fileLen, b0)
       cur.skipUncompressed(off.toLong)
       records(new DataInputStream(cur), () => cur.blockOfNextByte >= c.end)
