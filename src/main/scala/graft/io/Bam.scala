@@ -4,7 +4,22 @@ import java.io.{BufferedInputStream, ByteArrayInputStream, DataInputStream, EOFE
 import java.util.zip.GZIPInputStream
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Java-serializable carrier for the driver's Hadoop configuration, so
+  * executor-side chunk decodes see `spark.hadoop.*` settings (object-store
+  * credentials, endpoints) instead of a default `new Configuration()`.
+  * (Spark's own SerializableConfiguration is `private[spark]`.) */
+private[io] final class HadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
 
 /** One split of a BAM file: the task owns every alignment record whose first
   * byte lies in a BGZF block starting in [start, end) of the compressed
@@ -57,7 +72,7 @@ object Bam {
   /** Consume the BAM magic, plain-text header, and reference dictionary. */
   private def skipHeader(in: DataInputStream): Unit = {
     val magic = new Array[Byte](4); in.readFully(magic)
-    if (!magic.sameElements("BAM".getBytes("ISO-8859-1")))
+    if (!magic.sameElements("BAM\u0001".getBytes("ISO-8859-1")))
       throw new IOException("not a BAM file (bad magic)")
     in.skipNBytes(i32(in).toLong) // plain-text header
     (0 until i32(in)).foreach { _ => // reference dictionary: name + l_ref each
@@ -66,35 +81,46 @@ object Bam {
   }
 
   /** Iterator over alignment records from the current stream position;
-    * `stop` is polled at each record BOUNDARY (between records, where the
-    * underlying unbuffered stream position is exact) so a split can hand off
-    * to its successor. Zero-length sequences (SEQ = '*') are skipped. */
-  private def records(in: DataInputStream, stop: () => Boolean): Iterator[String] = {
+    * `stop` and `keep` are polled at each record BOUNDARY (between records,
+    * where the underlying unbuffered stream position is exact) so a split
+    * can hand off to its successor. Records for which `keep` is false are
+    * skipped wholesale without decoding (the degraded head-scan path uses
+    * this to emit only the records a chunk owns). Zero-length sequences
+    * (SEQ = '*') are skipped. */
+  private def records(in: DataInputStream, stop: () => Boolean,
+      keep: () => Boolean = () => true): Iterator[String] = {
     val it = new Iterator[String] {
       private var nextSeq: String = advance()
       private def advance(): String =
         try {
-          if (stop()) return null
-          val blockSize = i32(in)
-          // fixed 32-byte record prefix (spec §4.2): refID pos l_read_name
-          // mapq bin n_cigar_op flag l_seq next_refID next_pos tlen
-          val b = new Array[Byte](32); in.readFully(b)
-          val lReadName = b(8) & 0xff
-          val nCigar = (b(12) & 0xff) | (b(13) & 0xff) << 8
-          val lSeq = (b(16) & 0xff) | (b(17) & 0xff) << 8 |
-            (b(18) & 0xff) << 16 | (b(19) & 0xff) << 24
-          in.skipNBytes(lReadName + 4L * nCigar)
-          val packed = new Array[Byte]((lSeq + 1) / 2); in.readFully(packed)
-          val sb = new java.lang.StringBuilder(lSeq)
-          var i = 0
-          while (i < lSeq) {
-            val nib =
-              if (i % 2 == 0) (packed(i / 2) >> 4) & 0xf else packed(i / 2) & 0xf
-            sb.append(Bases.charAt(nib)); i += 1
+          while (true) {
+            if (stop()) return null
+            val owned = keep()
+            val blockSize = i32(in)
+            if (!owned) in.skipNBytes(blockSize.toLong)
+            else {
+              // fixed 32-byte record prefix (spec §4.2): refID pos l_read_name
+              // mapq bin n_cigar_op flag l_seq next_refID next_pos tlen
+              val b = new Array[Byte](32); in.readFully(b)
+              val lReadName = b(8) & 0xff
+              val nCigar = (b(12) & 0xff) | (b(13) & 0xff) << 8
+              val lSeq = (b(16) & 0xff) | (b(17) & 0xff) << 8 |
+                (b(18) & 0xff) << 16 | (b(19) & 0xff) << 24
+              in.skipNBytes(lReadName + 4L * nCigar)
+              val packed = new Array[Byte]((lSeq + 1) / 2); in.readFully(packed)
+              val sb = new java.lang.StringBuilder(lSeq)
+              var i = 0
+              while (i < lSeq) {
+                val nib =
+                  if (i % 2 == 0) (packed(i / 2) >> 4) & 0xf else packed(i / 2) & 0xf
+                sb.append(Bases.charAt(nib)); i += 1
+              }
+              // qual + aux fields fill the rest of the block
+              in.skipNBytes(blockSize - 32L - lReadName - 4L * nCigar - (lSeq + 1) / 2)
+              return sb.toString
+            }
           }
-          // qual + aux fields fill the rest of the block
-          in.skipNBytes(blockSize - 32L - lReadName - 4L * nCigar - (lSeq + 1) / 2)
-          sb.toString
+          null
         } catch { case _: EOFException => null }
       def hasNext: Boolean = nextSeq != null
       def next(): String = { val s = nextSeq; nextSeq = advance(); s }
@@ -271,11 +297,30 @@ object Bam {
     -1
   }
 
-  /** Decode the records a chunk owns (see [[BamChunk]]). */
-  private def decodeChunk(c: BamChunk): Iterator[String] = {
+  /** Stream from the file head, emitting only the records whose first byte
+    * lies in a BGZF block starting in [start, end) — the chunk-ownership
+    * rule, enforced by `keep` instead of the boundary guesser. O(prefix)
+    * decompression, used as the degraded path when the guesser cannot
+    * validate a boundary. */
+  private[graft] def headScan(in: FSDataInputStream, fileLen: Long,
+      start: Long, end: Long): Iterator[String] = {
+    val cur = new BgzfCursor(in, fileLen, 0L)
+    val din = new DataInputStream(cur)
+    skipHeader(din)
+    records(din, () => cur.blockOfNextByte >= end,
+      () => cur.blockOfNextByte >= start)
+  }
+
+  /** Decode the records a chunk owns (see [[BamChunk]]). The opened stream
+    * is closed by a task-completion listener (one chunk = one partition, so
+    * the fd is held exactly for the task's lifetime, on every exit path). */
+  private def decodeChunk(c: BamChunk, conf: Configuration): Iterator[String] = {
     val p = new Path(c.path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
+    def closeQuietly(): Unit = try in.close() catch { case _: IOException => () }
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeQuietly()))
     if (c.nRef < 0) return decode(in: InputStream) // unsplittable plain gzip
     val fileLen = fs.getFileStatus(p).getLen
     if (c.start == 0L) {
@@ -298,7 +343,11 @@ object Bam {
         off = guessRecordStart(window, c.nRef)
         if (off < 0 && !atEof) {
           if (minBytes >= (1 << 23))
-            throw new IOException(s"no record boundary found after offset $b0 in ${c.path}")
+            // a legal record can be up to 2^27 B (validAt's block_size
+            // bound), so window exhaustion is not proof of corruption —
+            // degrade to the ownership-filtered head scan instead of
+            // failing the job
+            return headScan(in, fileLen, c.start, c.end)
           minBytes <<= 2
         }
       }
@@ -313,7 +362,7 @@ object Bam {
   private def readNRef(in: FSDataInputStream, fileLen: Long): Int = {
     val din = new DataInputStream(new BgzfCursor(in, fileLen, 0L))
     val magic = new Array[Byte](4); din.readFully(magic)
-    if (!magic.sameElements("BAM".getBytes("ISO-8859-1")))
+    if (!magic.sameElements("BAM\u0001".getBytes("ISO-8859-1")))
       throw new IOException("not a BAM file (bad magic)")
     din.skipNBytes(i32(din).toLong)
     i32(din)
@@ -344,8 +393,11 @@ object Bam {
         } else Seq(BamChunk(st.getPath.toString, 0L, len, -1))
       } finally in.close()
     }
+    // executors must resolve filesystems with the DRIVER's Hadoop conf
+    // (spark.hadoop.* credentials/endpoints), not a default Configuration
+    val bconf = sc.broadcast(new HadoopConf(new Configuration(sc.hadoopConfiguration)))
     sc.parallelize(chunks, math.max(chunks.size, 1))
-      .flatMap(decodeChunk _)
+      .flatMap(c => decodeChunk(c, bconf.value.value))
       .toDF("sequence")
   }
 }

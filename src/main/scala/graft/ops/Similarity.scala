@@ -199,8 +199,12 @@ object Similarity {
                    |  (a, x) -> greatest(a, abs(cast(x as double))))""".stripMargin)
               .as("scale"))
           .select($"vec_id", round($"scale", 6).as("qscale"),
+            // greatest(scale, 1e-30) guards the all-zero embedding: scale 0
+            // would yield NaN codes, where Spark's non-ANSI bigint cast (0)
+            // and DuckDB's CAST (error) diverge — the guard maps zero
+            // vectors to all-zero codes identically in both engines
             expr("""transform(embedding,
-                   |  x -> cast(floor(cast(x as double) * 127 / scale + 0.5) as bigint))""".stripMargin)
+                   |  x -> cast(floor(cast(x as double) * 127 / greatest(scale, 1e-30d) + 0.5) as bigint))""".stripMargin)
               .as("codes"))
           .select($"vec_id", $"qscale",
             expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
@@ -216,7 +220,7 @@ object Similarity {
              |c AS (
              |  SELECT vec_id, scale,
              |    list_transform(embedding,
-             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)) AS codes
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / greatest(scale, 1e-30) + 0.5) AS BIGINT)) AS codes
              |  FROM s)
              |SELECT vec_id, round(scale, 6) AS qscale,
              |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
