@@ -51,6 +51,99 @@ object Dedup {
     hx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** MinHash-LSH near-duplicate pairs (q41's retrieval, shared with the
+    * component clustering in q46): 8 bands of 2 signature rows; candidates
+    * meet on (band, bucket) keys, never all-pairs; estimated Jaccard =
+    * matching-minima fraction, kept at ≥ 0.25. DataFrame(a, b, est_j). */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val mh = minhashWide(docs, 12, 16).cache()
+    val bandCols = (0 until 8).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val xa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "a" else c + "_a"): _*)
+    val xb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "b" else c + "_b"): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(xa, "a").join(xb, "b")
+      .withColumn("est_j", matches / lit(16.0))
+      .filter(col("est_j") >= 0.25)
+      .select(col("a"), col("b"), col("est_j"))
+  }
+
+  /** The q41/q46 pair retrieval as shared oracle WITH-blocks ending in
+    * `pairs(a, b, est_j)` — the SQL mirror of [[minhashPairs]]. */
+  private def minhashPairsSql: String = {
+    val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
+    val bandCases = (0 until 8)
+      .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
+    val eqSum = (0 until 16)
+      .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, length(text) - 11)) AS i
+       |        FROM documents)),
+       |hx AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
+       |    ('0x' || substr(md5(s), 15, 14))::BIGINT AS b
+       |  FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, t.i AS band, CASE t.i $bandCases END AS bucket
+       |  FROM mh, generate_series(0, 7) AS t(i)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
+       |sim AS (
+       |  SELECT c.a, c.b, ($eqSum) / 16.0 AS est_j
+       |  FROM cand c JOIN mh x ON x.doc_id = c.a JOIN mh y ON y.doc_id = c.b),
+       |pairs AS (SELECT a, b, est_j FROM sim WHERE est_j >= 0.25)""".stripMargin
+  }
+
+  /** Minimum-label-propagation connected components over an undirected
+    * edge list (a, b): DataFrame(id, component), component = smallest id
+    * reachable. The driver loop carries a monotone convergence certificate:
+    * labels only ever decrease, so the label SUM strictly decreases until
+    * the fixpoint — one scalar agg per round instead of a row-diff join.
+    * Each round is one shuffle keyed on id; localCheckpoint keeps the plan
+    * depth constant across rounds. Round count = graph diameter — near-dup
+    * graphs are clique-like (components of mutual near-copies), so 2-4
+    * rounds in practice; a high-diameter graph would call for the
+    * alternating large-star/small-star contraction instead. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // re-read every round: cut the pair-retrieval lineage
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("component"))).head().getLong(0)
+    while (curSum < prevSum) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("component").as("nc")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("nc")).as("nbrc"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbrc"), col("component"))).as("component"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labels.agg(sum(col("component"))).head().getLong(0)
+    }
+    labels
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact",
       (s, d) => {
@@ -73,60 +166,45 @@ object Dedup {
     Q("q41_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        val mh = minhashWide(Tables.documents(s, d), 12, 16).cache()
-        // LSH: 8 bands of 2 signature rows; bucket = md5(mh_even | mh_odd)
-        val bandCols = (0 until 8).map { j =>
-          struct(lit(j).as("band"),
-            md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
-        }
-        val bands = mh.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-          .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-        val cand = bands.as("x").join(bands.as("y"),
-            $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
-              $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-          .distinct()
-        val xa = mh.toDF(mh.columns.map(c => if (c == "doc_id") "a" else c + "_a"): _*)
-        val xb = mh.toDF(mh.columns.map(c => if (c == "doc_id") "b" else c + "_b"): _*)
-        val matches = (0 until 16)
-          .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand.join(xa, "a").join(xb, "b")
-          .withColumn("est_j", matches / lit(16.0))
-          .filter($"est_j" >= 0.25)
+        minhashPairs(Tables.documents(s, d))
           .select($"a", $"b", round($"est_j", 4).as("est_jaccard"))
           .orderBy($"a", $"b")
       },
-      Some {
-        val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
-        val bandCases = (0 until 8)
-          .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
-        val eqSum = (0 until 16)
-          .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-        s"""WITH sh AS (
-           |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
-           |  FROM (SELECT doc_id, text,
-           |          unnest(generate_series(1, length(text) - 11)) AS i
-           |        FROM documents)),
-           |hx AS (
-           |  SELECT doc_id,
-           |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
-           |    ('0x' || substr(md5(s), 15, 14))::BIGINT AS b
-           |  FROM sh),
-           |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, t.i AS band, CASE t.i $bandCases END AS bucket
-           |  FROM mh, generate_series(0, 7) AS t(i)),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM bands x JOIN bands y
-           |    ON x.bucket = y.bucket AND x.band = y.band AND x.doc_id < y.doc_id),
-           |sim AS (
-           |  SELECT c.a, c.b, ($eqSum) / 16.0 AS est_j
-           |  FROM cand c JOIN mh x ON x.doc_id = c.a JOIN mh y ON y.doc_id = c.b)
-           |SELECT a, b, round(est_j, 4) AS est_jaccard
-           |FROM sim WHERE est_j >= 0.25 ORDER BY a, b""".stripMargin
-      }),
+      Some(s"""WITH $minhashPairsSql
+             |SELECT a, b, round(est_j, 4) AS est_jaccard
+             |FROM pairs ORDER BY a, b""".stripMargin)),
+
+    // Duplicate-cluster resolution — the step every pretraining dedup
+    // pipeline runs AFTER candidate retrieval: near-dup pairs form a graph,
+    // its connected components are the duplicate clusters, and one canonical
+    // representative (the smallest doc_id) is kept per cluster. Components
+    // come from driver-looped min-label propagation (connectedComponents
+    // above); the oracle reproduces them with a recursive transitive-closure
+    // CTE, so cluster assignment is value-checked end to end on top of the
+    // real q41 retrieval.
+    Q("q46_dedup_components",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(Tables.documents(s, d)).select($"a", $"b")
+        val comp = connectedComponents(pairs)
+        val sizes = comp.groupBy($"component").agg(count(lit(1)).as("n_members"))
+        comp.join(sizes, "component")
+          .select($"id".as("doc_id"), $"component", $"n_members",
+            ($"id" === $"component").as("is_keeper"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM sym
+             |  UNION
+             |  SELECT x.id, e.dst FROM reach x JOIN sym e ON e.src = x.r),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+             |SELECT c.id AS doc_id, c.component, s.n_members,
+             |  c.id = c.component AS is_keeper
+             |FROM comp c JOIN sizes s USING (component) ORDER BY doc_id""".stripMargin)),
 
     Q("q42_simhash",
       (s, d) => {

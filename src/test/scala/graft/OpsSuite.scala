@@ -50,6 +50,18 @@ class OpsSuite extends SparkSuite {
       "a sort-merge join here would shuffle the whole corpus by shingle")
   }
 
+  test("connected components: min-label propagation across multi-hop chains") {
+    import spark.implicits._
+    // a 3-node path (needs 2 propagation rounds for the min to reach node 3
+    // through node 2), a disjoint pair, and a triangle merging two labels
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val comp = ops.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("int8 quantization codes bound the reconstruction error") {
     import spark.implicits._
     // |x − code·scale/127| ≤ scale/254 per component by construction;
