@@ -184,6 +184,99 @@ object Similarity {
       },
       Some(ivfOracleSql(2))),
 
+    // Random-hyperplane (sign-random-projection) LSH — the bucketed ANN
+    // alternative to IVF (q51): 16 deterministic pseudo-random hyperplanes
+    // (component p,i = md5-derived uniform in [-0.5, 0.5), no stored RNG
+    // state, bit-identical in DuckDB), each vector's signature = the 16
+    // projection sign bits, candidates meet on 4-bit signature BANDS — by
+    // pigeonhole, any pair agreeing on ≥ 13 of 16 bits shares a band — and
+    // are verified by exact cosine. At 100 TB the plane matrix is a
+    // broadcast constant (P·dim doubles), signatures are one partial-agg
+    // pass, and the band join keys on (band, value) — never all-pairs.
+    // Projections are rounded to 6 dp before the sign test so summation
+    // order can't flip a bit near zero.
+    Q("q53_knn_srp_lsh",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val planes = s.range(16L * 64L).select(
+          ($"id" / 64).cast("int").as("p"), ($"id" % 64).cast("int").as("i"),
+          (expr("cast(conv(substring(md5(concat(cast(id div 64 as string), ':', " +
+              "cast(id % 64 as string))), 1, 8), 16, 10) as bigint)") /
+            lit(4294967296.0) - 0.5).as("h"))
+        val ev = e.select($"vec_id", posexplode($"embedding").as(Seq("i", "v")))
+        val proj = ev.join(broadcast(planes), "i")
+          .groupBy($"vec_id", $"p")
+          .agg(round(sum($"v".cast("double") * $"h"), 6).as("proj"))
+        val sig = proj.groupBy($"vec_id")
+          .agg(sum(when($"proj" > 0, expr("cast(pow(2, p) as bigint)"))
+            .otherwise(0L)).as("sig"))
+          // cached: both sides of the banded join read this frame, and its
+          // lineage is the full projection pass
+          .cache()
+        val bandCols = (0 until 4).map(j =>
+          struct(lit(j).as("band"), expr(s"shiftright(sig, ${4 * j}) & 15").as("bv")))
+        val bands = sig.select($"vec_id", explode(array(bandCols: _*)).as("bb"))
+          .select($"vec_id", $"bb.band".as("band"), $"bb.bv".as("bv"))
+        val cand = bands.filter($"vec_id" < 8)
+          .select($"vec_id".as("qid"), $"band", $"bv")
+          .join(bands.select($"vec_id".as("did"), $"band", $"bv"), Seq("band", "bv"))
+          .filter($"did" =!= $"qid")
+          .select($"qid", $"did")
+          .distinct()
+        val eq = e.select($"vec_id".as("qid"), $"embedding".as("qe"),
+          norm($"embedding").as("qn"))
+        val ed = e.select($"vec_id".as("did"), $"embedding".as("de"),
+          norm($"embedding").as("dn"))
+        cand.join(broadcast(eq), "qid").join(ed, "did")
+          .select($"qid", $"did", (dot($"qe", $"de") / ($"qn" * $"dn")).as("c"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"qid").orderBy(round($"c", 4).desc, $"did")))
+          .filter($"rnk" <= 3)
+          .select($"qid", $"did", round($"c", 4).as("cosine"), $"rnk")
+          .orderBy($"qid", $"rnk")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) - 1 AS i
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+             |planes AS (
+             |  SELECT tp.p, ti.i,
+             |    ('0x' || substr(md5(tp.p || ':' || ti.i), 1, 8))::BIGINT
+             |      / 4294967296.0 - 0.5 AS h
+             |  FROM generate_series(0, 15) AS tp(p), generate_series(0, 63) AS ti(i)),
+             |proj AS (
+             |  SELECT e.vec_id, pl.p, round(sum(e.v * pl.h), 6) AS proj
+             |  FROM e JOIN planes pl USING (i) GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+             |             ELSE 0 END) AS BIGINT) AS sig
+             |  FROM proj GROUP BY vec_id),
+             |bands AS (
+             |  SELECT vec_id, tj.j AS band, (sig >> (4 * tj.j)) & 15 AS bv
+             |  FROM sig, generate_series(0, 3) AS tj(j)),
+             |cand AS (
+             |  SELECT DISTINCT q.vec_id AS qid, x.vec_id AS did
+             |  FROM bands q JOIN bands x ON q.band = x.band AND q.bv = x.bv
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id),
+             |dots AS (
+             |  SELECT c.qid, c.did, sum(eq.v * ed.v) AS dot
+             |  FROM cand c
+             |  JOIN e eq ON eq.vec_id = c.qid
+             |  JOIN e ed ON ed.vec_id = c.did AND ed.i = eq.i
+             |  GROUP BY 1, 2),
+             |cos AS (
+             |  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS c
+             |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nd ON nd.vec_id = did),
+             |topk AS (
+             |  SELECT qid, did, c,
+             |    row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, did) AS rnk
+             |  FROM cos)
+             |SELECT qid, did, round(c, 4) AS cosine, rnk
+             |FROM topk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
     // Scalar int8 quantization — the embedding-compression step a 100 TB
     // vector corpus needs before ANN serving (4× smaller than float32,
     // 8× than the double working form). Per-VECTOR absmax scaling:

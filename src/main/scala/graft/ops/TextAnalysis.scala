@@ -264,6 +264,79 @@ object TextAnalysis {
              |  round(max(top_bg * 1.0 / n_bg), 6) AS rep_max, count(*) AS n_docs
              |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Unigram language-model quality score — the perplexity-proxy filter of
+    // pretraining pipelines: train a unigram LM on the corpus itself (token
+    // relative frequencies), score each document by its mean token log-prob;
+    // extreme scores mark boilerplate (too predictable) or noise (too
+    // surprising). Two shuffles at any scale: the frequency build aggregates
+    // to a Zipf-bounded vocabulary, and the score is a per-doc partial agg;
+    // the token→frequency join keys on the token with the (small) vocabulary
+    // as build side. The per-doc perplexity is exp(−mean), derived from the
+    // ROUNDED mean so both engines exponentiate the same value.
+    Q("q47_unigram_quality",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("t"))
+        // cached: read twice — the corpus-total scalar and the score join
+        val tf = toks.groupBy($"t").agg(count(lit(1)).as("c")).cache()
+        toks.join(tf, "t")
+          .crossJoin(broadcast(tf.agg(sum($"c").as("tot"))))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log($"c" / $"tot")), 6).as("avg_logprob"))
+          .select($"doc_id", $"n_tokens", $"avg_logprob",
+            round(exp(-$"avg_logprob"), 4).as("unigram_ppl"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM tf),
+             |scored AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    round(avg(ln(c * 1.0 / tot)), 6) AS avg_logprob
+             |  FROM toks JOIN tf USING (t), tot GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, avg_logprob,
+             |  round(exp(-avg_logprob), 4) AS unigram_ppl
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking — the split step that precedes packing (q36)
+    // when documents exceed the training context: 64-token windows with a
+    // 48-token stride (16-token overlap so no boundary context is lost),
+    // each chunk fingerprinted for downstream exact dedup. A tail window
+    // fully contained in its predecessor is not emitted. Pure per-document
+    // explode of O(n/stride) chunk descriptors — embarrassingly parallel,
+    // no shuffle; the md5 is over the chunk's tokens, not stored text.
+    Q("q48_doc_chunks",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", $"w", size($"w").as("n"))
+          .select($"doc_id", $"w", $"n",
+            explode(expr("sequence(0, greatest(n - 1, 0), 48)")).as("st"))
+          .filter($"st" === 0 || ($"st" + 16) < $"n")
+          .select($"doc_id",
+            expr("cast(st div 48 as bigint)").as("chunk_id"),
+            $"st".cast("long").as("start_tok"),
+            least(lit(64), $"n" - $"st").cast("long").as("chunk_tokens"),
+            md5(concat_ws(" ", expr("slice(w, st + 1, 64)"))).as("chunk_fp"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, w, n, unnest(generate_series(0, n - 1, 48)) AS st
+             |  FROM t)
+             |SELECT doc_id, st // 48 AS chunk_id, st AS start_tok,
+             |  least(64, n - st) AS chunk_tokens,
+             |  md5(array_to_string(list_slice(w, st + 1, st + 64), ' ')) AS chunk_fp
+             |FROM st WHERE st = 0 OR st + 16 < n
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("q35_rolling_fingerprint",
       (s, d) => {
         import s.implicits._

