@@ -264,6 +264,71 @@ object TextAnalysis {
              |  round(max(top_bg * 1.0 / n_bg), 6) AS rep_max, count(*) AS n_docs
              |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Quality-filter funnel — the composed document gate of a pretraining
+    // pipeline (C4/Gopher-style rules), reported as per-source survival
+    // counts after each cumulative stage: token-count bounds, mean word
+    // length bounds, then a top-bigram repetition cap. All three signals
+    // come out of one bigram aggregation plus per-row expressions, so the
+    // whole funnel is two shuffles (per-doc bigram stats, per-source
+    // rollup) regardless of corpus size — the funnel REPORT is what ships;
+    // the boolean stage columns are the reusable filter predicates.
+    // Signals are rounded to 6 dp before threshold comparison so an
+    // engine's summation order can't flip a boundary document.
+    Q("q49_quality_funnel",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"text",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+        val rep = base
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id")
+          .agg(round(max($"cnt") / sum($"cnt").cast("double"), 6).as("rep_share"))
+        base.join(rep, Seq("doc_id"))
+          .select($"doc_id", $"source", $"n_tokens", $"rep_share",
+            round((length($"text") - $"n_tokens" + 1) / $"n_tokens".cast("double"), 6)
+              .as("mean_wlen"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_all"),
+            sum(when($"n_tokens".between(25, 95), 1L).otherwise(0L)).as("n_len"),
+            sum(when($"n_tokens".between(25, 95) &&
+              $"mean_wlen".between(4.0, 5.1), 1L).otherwise(0L)).as("n_wlen"),
+            sum(when($"n_tokens".between(25, 95) &&
+              $"mean_wlen".between(4.0, 5.1) &&
+              $"rep_share" <= 0.05, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source, text,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, concat(w[i], ' ', w[i+1]) AS bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             |          unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+             |        FROM documents)),
+             |rep AS (
+             |  SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 6) AS rep_share
+             |  FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+             |  GROUP BY doc_id),
+             |sig AS (
+             |  SELECT b.doc_id, b.source, b.n_tokens, r.rep_share,
+             |    round((length(b.text) - b.n_tokens + 1) * 1.0 / b.n_tokens, 6) AS mean_wlen
+             |  FROM base b JOIN rep r USING (doc_id))
+             |SELECT source,
+             |  count(*) AS n_all,
+             |  CAST(sum(CASE WHEN n_tokens BETWEEN 25 AND 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+             |  CAST(sum(CASE WHEN n_tokens BETWEEN 25 AND 95
+             |    AND mean_wlen BETWEEN 4.0 AND 5.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_wlen,
+             |  CAST(sum(CASE WHEN n_tokens BETWEEN 25 AND 95
+             |    AND mean_wlen BETWEEN 4.0 AND 5.1
+             |    AND rep_share <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM sig GROUP BY source ORDER BY source""".stripMargin)),
+
     // Unigram language-model quality score — the perplexity-proxy filter of
     // pretraining pipelines: train a unigram LM on the corpus itself (token
     // relative frequencies), score each document by its mean token log-prob;

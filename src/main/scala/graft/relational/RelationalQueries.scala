@@ -338,6 +338,127 @@ object RelationalQueries {
       Some("""SELECT event_type, round(avg(k), 6) AS avg_k, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n
              |FROM (SELECT event_type, CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events)
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // As-of (point-in-time) join — for every error event, the same user's
+    // most recent purchase at or before it. Spark has no native AS OF
+    // operator; the scalable formulation is a running window, not a range
+    // join: one window shuffle on user_id computes the last purchase
+    // timestamp visible at each row, then an equi-join on (user_id, ts)
+    // recovers the purchase attributes. A range self-join would cost
+    // |errors|·|purchases| per user; this costs one sort plus one hash
+    // join regardless of per-user event counts. Ties (two purchases in
+    // the same microsecond) resolve to the highest event_id via max_by.
+    Q("q16_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val errs = ev
+          .withColumn("last_pts", max(when($"event_type" === "purchase", $"ts")).over(w))
+          .filter($"event_type" === "error" && $"last_pts".isNotNull)
+          .select($"event_id".as("err_id"), $"user_id", $"ts".as("err_ts"), $"last_pts")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("last_pts"), $"event_id".as("p_id"),
+            $"value".as("p_value"))
+        errs.join(purch, Seq("user_id", "last_pts"))
+          .groupBy($"err_id", $"user_id", $"err_ts", $"last_pts")
+          .agg(max($"p_id").as("p_id"),
+            round(expr("max_by(p_value, p_id)"), 2).as("p_value"))
+          .select($"err_id", $"user_id", $"err_ts", $"last_pts", $"p_id", $"p_value",
+            round((unix_micros($"err_ts") - unix_micros($"last_pts")) / lit(1e6), 3)
+              .as("gap_s"))
+          .orderBy($"err_id")
+      },
+      Some("""WITH wl AS (
+             |  SELECT event_id, ts, user_id, event_type, value,
+             |    max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pts
+             |  FROM events),
+             |err AS (
+             |  SELECT event_id AS err_id, user_id, ts AS err_ts, last_pts
+             |  FROM wl WHERE event_type = 'error' AND last_pts IS NOT NULL),
+             |p AS (
+             |  SELECT user_id, ts AS last_pts, event_id AS p_id, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT err_id, user_id, err_ts, last_pts,
+             |  CAST(max(p_id) AS BIGINT) AS p_id,
+             |  round(max_by(p_value, p_id), 2) AS p_value,
+             |  round((epoch_us(err_ts) - epoch_us(last_pts)) / 1e6, 3) AS gap_s
+             |FROM err JOIN p USING (user_id, last_pts)
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY err_id""".stripMargin)),
+
+    // Exact distributed quantiles — the dataset-card numbers (token-count
+    // percentiles per source) a corpus release reports. NOT a per-group
+    // sort: for an integer-valued metric the scalable exact form is a
+    // VALUE HISTOGRAM — one partial-agg shuffle collapses the corpus to
+    // (source, value, count), a running sum over the (tiny) histogram
+    // assigns each value its rank interval [cum_start, cum_end], and the
+    // target rank lo = floor(1 + (n−1)q) plus its successor are located
+    // by interval lookup, then linearly interpolated (the same math as
+    // NumPy / DuckDB `quantile_cont`). Per-source work after the shuffle
+    // is O(distinct values), not O(rows) — a per-source `row_number`
+    // (or Spark's exact `percentile` agg, which buffers every value)
+    // would put a whole source on one task at 100 TB.
+    Q("q17_token_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.documents(s, d)
+          .select($"source", size(split($"text", " ")).cast("long").as("v"))
+          .groupBy($"source", $"v").agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("cum_end", sum($"cnt").over(
+            Window.partitionBy($"source").orderBy($"v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_start", $"cum_end" - $"cnt" + 1)
+          .select($"source".as("hs"), $"v", $"cum_start", $"cum_end")
+        val targets = hist.groupBy($"source").agg(sum($"cnt").as("n_docs"))
+          .select($"source", $"n_docs",
+            explode(array(Seq(0.25, 0.5, 0.9, 0.99).map(lit): _*)).as("q"))
+          .withColumn("p", lit(1.0) + ($"n_docs" - 1).cast("double") * $"q")
+          .withColumn("lo", floor($"p").cast("long"))
+          .withColumn("hi", least($"lo" + 1, $"n_docs"))
+          .withColumn("frac", $"p" - $"lo")
+        targets
+          .join(cum, $"source" === $"hs" &&
+            $"lo".between($"cum_start", $"cum_end"))
+          .withColumnRenamed("v", "v_lo")
+          .drop("hs", "cum_start", "cum_end")
+          .join(cum, $"source" === $"hs" &&
+            $"hi".between($"cum_start", $"cum_end"))
+          .withColumnRenamed("v", "v_hi")
+          .select($"source", $"q", $"n_docs",
+            round($"v_lo" + $"frac" * ($"v_hi" - $"v_lo"), 4).as("tok_quantile"))
+          .orderBy($"source", $"q")
+      },
+      Some("""WITH hist AS (
+             |  SELECT source, len(string_split(text, ' ')) AS v, count(*) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT source AS hs, v,
+             |    sum(cnt) OVER (PARTITION BY source ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,
+             |    sum(cnt) OVER (PARTITION BY source ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS cum_start
+             |  FROM hist),
+             |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hist GROUP BY source),
+             |targets AS (
+             |  SELECT source, n_docs, qq.q AS q, 1.0 + (n_docs - 1) * qq.q AS p
+             |  FROM t, (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q) qq),
+             |tt AS (
+             |  SELECT source, q, n_docs, CAST(floor(p) AS BIGINT) AS lo,
+             |    least(CAST(floor(p) AS BIGINT) + 1, n_docs) AS hi,
+             |    p - floor(p) AS frac
+             |  FROM targets)
+             |SELECT tt.source, tt.q, tt.n_docs,
+             |  round(cl.v + tt.frac * (ch.v - cl.v), 4) AS tok_quantile
+             |FROM tt
+             |JOIN cum cl ON cl.hs = tt.source AND tt.lo BETWEEN cl.cum_start AND cl.cum_end
+             |JOIN cum ch ON ch.hs = tt.source AND tt.hi BETWEEN ch.cum_start AND ch.cum_end
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -112,6 +112,64 @@ class OpsSuite extends SparkSuite {
     }
   }
 
+  test("as-of join picks exactly the latest purchase at or before each error") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val purchByUser = ev.filter(_._4 == "purchase").groupBy(_._3)
+    // brute-force expectation: max (ts, event_id) purchase at or before err ts
+    val expected = ev.filter(_._4 == "error").flatMap { case (eid, ets, u, _) =>
+      purchByUser.getOrElse(u, Array.empty)
+        .filter(p => !p._2.after(ets))
+        .sortBy(p => (p._2.getTime, p._2.getNanos, p._1))
+        .lastOption.map(p => eid -> p._1)
+    }.toMap
+    val got = SparkEntry.queries("q16_asof_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("err_id") -> r.getAs[Long]("p_id")).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("rank-pick quantiles equal the brute-force interpolated percentile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bySource = Tables.documents(spark, sf)
+      .select($"source", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val rows = SparkEntry.queries("q17_token_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vs = bySource(r.getAs[String]("source"))
+      val q = r.getAs[Double]("q")
+      val p = 1.0 + (vs.length - 1) * q
+      val lo = math.floor(p).toInt
+      val hi = math.min(lo + 1, vs.length)
+      val want = vs(lo - 1) + (p - lo) * (vs(hi - 1) - vs(lo - 1))
+      assert(math.abs(r.getAs[Double]("tok_quantile") - want) < 1e-3,
+        s"${r.getAs[String]("source")} q=$q")
+    }
+  }
+
+  test("quality funnel stages are monotone and account for every document") {
+    import spark.implicits._
+    val nBySource = Tables.documents(spark, sf).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q49_quality_funnel")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === nBySource.keySet)
+    rows.foreach { r =>
+      val (a, l, w, k) = (r.getAs[Long]("n_all"), r.getAs[Long]("n_len"),
+        r.getAs[Long]("n_wlen"), r.getAs[Long]("n_kept"))
+      assert(a === nBySource(r.getAs[String]("source"))) // no doc lost to the signal join
+      assert(a >= l && l >= w && w >= k && k >= 0L)
+    }
+    // the thresholds are non-trivial on this corpus: something is dropped
+    assert(rows.map(r => r.getAs[Long]("n_all") - r.getAs[Long]("n_kept")).sum > 0)
+  }
+
   test("int8 quantization codes bound the reconstruction error") {
     import spark.implicits._
     // |x − code·scale/127| ≤ scale/254 per component by construction;
