@@ -116,28 +116,71 @@ object Dedup {
     * reachable. The driver loop carries a monotone convergence certificate:
     * labels only ever decrease, so the label SUM strictly decreases until
     * the fixpoint — one scalar agg per round instead of a row-diff join.
-    * Each round is one shuffle keyed on id; localCheckpoint keeps the plan
-    * depth constant across rounds. Round count = graph diameter — near-dup
-    * graphs are clique-like (components of mutual near-copies), so 2-4
-    * rounds in practice; a high-diameter graph would call for the
-    * alternating large-star/small-star contraction instead. */
+    * Each round is a neighbor-min shuffle keyed on id PLUS a
+    * pointer-jumping step (component := label(component) — every label is
+    * itself a node id, so the lookup is a self-join on the label frame):
+    * path halving makes the round count O(log diameter) instead of
+    * O(diameter). That matters beyond latency — near-dup graphs are NOT
+    * always clique-like: chained partial overlaps produce paths (the
+    * sf0.1 corpus graph has diameter ~15, which cost 16 rounds without
+    * the jump step). Every round boundary is materialized with a
+    * stats-resetting checkpoint (see `materialize` below). */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    // ONE pass over the pair stream emits both edge directions — a
+    // two-select union would execute the (expensive, un-cached) pair
+    // retrieval twice.
+    val symRaw = edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint() // re-read every round: cut the pair-retrieval lineage
+    // Size the propagation parallelism to the EDGE LIST, not the session
+    // default: the loop's frames are usually orders of magnitude smaller
+    // than the corpus that produced them, and a driver-looped iteration
+    // pays per-round fixed cost proportional to its partition count. One
+    // partition per ~500k edges (bounded) keeps the sf0.1 graph (~113k
+    // directed edges) on a single task per round while a 100 TB pair
+    // graph still fans out to hundreds of tasks.
+    val parts = math.max(1, math.min(512, (symRaw.count() / 500000L).toInt))
+    val sym = symRaw.repartition(parts, col("src")).localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // component := label(component) — every label is itself a node id, so
+    // the lookup is a self-join on the label frame; two jumps per round
+    // quadruple the distance a discovered minimum covers.
+    def jump(l: DataFrame): DataFrame =
+      l.as("x")
+        .join(l.select(col("id").as("cid"), col("component").as("cc")).as("y"),
+          col("x.component") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.component"), coalesce(col("cc"), col("x.component"))).as("component"))
+    // Materialize a round boundary AND reset plan statistics. A bare
+    // localCheckpoint cuts the execution lineage but PROPAGATES the origin
+    // plan's size estimate — and every self-join in the next round
+    // multiplies it, so across N rounds the stats BigInt's bit length
+    // grows ~4^N and the driver ends up spending whole minutes inside
+    // BigInteger.multiply during planning (observed: round 9 at sf0.1 took
+    // 11 s of pure driver CPU). Re-wrapping the checkpointed RDD in a
+    // fresh DataFrame restarts every round from a constant-size estimate.
+    def materialize(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum(col("component"))).head().getLong(0)
     while (curSum < prevSum) {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("component").as("nc")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("nc")).as("nbrc"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      // materialize BEFORE jumping: jump(jump(x)) references x four times,
+      // and re-executing the three-join neighbor-min subtree 4× per round
+      // costs more than one extra eager materialization of a label-sized
+      // frame.
+      val stepped = materialize(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbrc"), col("component"))).as("component"))
-        .localCheckpoint()
+          least(col("component"), coalesce(col("nbrc"), col("component"))).as("component")))
+      labels = materialize(jump(jump(stepped)))
       prevSum = curSum
       curSum = labels.agg(sum(col("component"))).head().getLong(0)
     }
