@@ -9,7 +9,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q18,q54 restricts the dump
+    // (and the oracle json) to queries whose name starts with a listed
+    // prefix; unset (the driver's invocation) dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def keep(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -28,7 +34,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -420,6 +420,80 @@ object TextAnalysis {
              |      list_transform(string_split(text, ' '),
              |        w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
              |    (acc, x) -> (acc * 1000003 + x) % 1000000007) AS rhash
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top terms per document — the classic relevance/keyword
+    // extraction pass. Three shuffles, all on bounded keys: (doc_id, term)
+    // partial-agg for tf, term for df, then a join back on term; the
+    // corpus-size normalizer is a broadcast 1-row frame, and the final
+    // top-3 window partitions by doc_id (per-partition state bounded by
+    // document length, never corpus size).
+    Q("q54_tfidf",
+      (s, d) => {
+        import s.implicits._
+        val tf = Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          // read twice (df build + score join) over the explode lineage
+          .cache()
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val byDoc = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"term")
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", $"tf" * log($"n_docs".cast("double") / $"df"))
+          .withColumn("rank", row_number().over(byDoc).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"term", round($"score", 6).as("tfidf"))
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, t.term AS term, count(*) AS tf
+             |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+             |  FROM tf JOIN df USING (term), n),
+             |r AS (
+             |  SELECT doc_id, term, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, term) AS rank
+             |  FROM sc)
+             |SELECT doc_id, rank, term, round(score, 6) AS tfidf
+             |FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // Vocabulary construction — the tokenizer-training prefilter: corpus
+    // term table with a document-frequency floor and a deterministic
+    // top-K by occurrence count. One (doc_id, term) partial agg collapses
+    // the token stream before the term-level agg, so the term shuffle
+    // carries distinct (doc, term) pairs, not raw tokens; the global
+    // top-200 is a TakeOrdered (per-partition heap + driver merge of K),
+    // not a full sort. Total order (n_occ desc, term) makes the cut
+    // deterministic across engines.
+    Q("q55_vocab",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("n"))
+          .groupBy($"term")
+          .agg(count(lit(1)).as("doc_freq"), sum($"n").as("n_occ"))
+          .filter($"doc_freq" >= 5)
+          .orderBy($"n_occ".desc, $"term")
+          .limit(200)
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, t.term AS term, count(*) AS n
+             |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+             |  GROUP BY 1, 2)
+             |SELECT term, count(*) AS doc_freq,
+             |  CAST(sum(n) AS BIGINT) AS n_occ
+             |FROM tf GROUP BY term HAVING count(*) >= 5
+             |ORDER BY n_occ DESC, term
+             |LIMIT 200""".stripMargin))
   )
 }

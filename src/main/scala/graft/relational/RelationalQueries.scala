@@ -459,6 +459,76 @@ object RelationalQueries {
              |FROM tt
              |JOIN cum cl ON cl.hs = tt.source AND tt.lo BETWEEN cl.cum_start AND cl.cum_end
              |JOIN cum ch ON ch.hs = tt.source AND tt.hi BETWEEN ch.cum_start AND ch.cum_end
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Pure (no-equi-key) time-range join: for each error event, aggregate
+    // purchase events from ANY user within ±300 s. The naive plan is a
+    // broadcast-nested-loop over the θ-predicate — quadratic at corpus
+    // scale. The scale-correct shape is BIN BUCKETING: quantize time to
+    // bin = floor(µs / 300e6); a ±300 s probe interval spans ≤ 3 adjacent
+    // bins, so the probe side explodes ×3 and the join becomes an
+    // EQUI-join on the bin id — shuffle-partitioned on a key whose
+    // per-bin density is bounded by the arrival rate, never the corpus
+    // size, and a hot bin is AQE-splittable. Exact containment is
+    // re-checked after the bucket join.
+    Q("q18_range_join",
+      (s, d) => {
+        import s.implicits._
+        val winUs = 300L * 1000000L
+        val ev = Tables.events(s, d)
+        val err = ev.filter($"event_type" === "error")
+          .select($"event_id".as("err_id"), unix_micros($"ts").as("err_us"))
+          .withColumn("bin",
+            explode(sequence(floor(($"err_us" - winUs) / winUs).cast("long"),
+              floor(($"err_us" + winUs) / winUs).cast("long"))))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select(floor(unix_micros($"ts") / winUs).cast("long").as("bin"),
+            unix_micros($"ts").as("p_us"), $"value".as("p_value"))
+        err.join(purch, "bin")
+          .filter(abs($"p_us" - $"err_us") <= winUs)
+          .groupBy($"err_id")
+          .agg(count(lit(1)).as("n_purch"),
+            round(sum($"p_value"), 2).as("purch_value"))
+          .orderBy($"err_id")
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id AS err_id, epoch_us(ts) AS err_us
+             |  FROM events WHERE event_type = 'error'),
+             |purch AS (
+             |  SELECT epoch_us(ts) AS p_us, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT err_id, count(*) AS n_purch,
+             |  round(sum(p_value), 2) AS purch_value
+             |FROM err JOIN purch ON abs(p_us - err_us) <= 300000000
+             |GROUP BY err_id
+             |ORDER BY err_id""".stripMargin)),
+
+    // Pivot (wide conditional aggregation): per-source document counts by
+    // language. Uses Spark's relational PIVOT with an EXPLICIT value list —
+    // the scale-correct form: without it Spark first runs a driver-side
+    // distinct over the pivot column, an extra corpus pass that also caps
+    // cardinality. One hash-agg shuffle on `source`; the lang dimension is
+    // bounded so the output row stays narrow.
+    Q("q19_pivot",
+      (s, d) => {
+        import s.implicits._
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, d)
+          .groupBy($"source")
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+          .na.fill(0L, langs)
+          .select($"source" +: langs.map(l => col(l).as(s"n_$l"))
+            :+ langs.map(col).reduce(_ + _).as("n_docs"): _*)
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+             |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+             |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+             |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }

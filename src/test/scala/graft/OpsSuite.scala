@@ -184,4 +184,74 @@ class OpsSuite extends SparkSuite {
         s"vec ${r.get(0)} absmax component must quantize to ±127")
     }
   }
+
+  test("bucketized range join equals the brute-force ±300 s pairing") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val purch = ev.filter(_._3 == "purchase")
+    val winUs = 300L * 1000000L
+    val expected = ev.filter(_._3 == "error").flatMap { case (eid, eus, _, _) =>
+      val hits = purch.filter(p => math.abs(p._2 - eus) <= winUs)
+      if (hits.isEmpty) None else Some(eid -> hits.length.toLong)
+    }.toMap
+    val got = SparkEntry.queries("q18_range_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("err_id") -> r.getAs[Long]("n_purch")).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("pivot marginals: per-language counts sum to the source row count") {
+    import spark.implicits._
+    val nBySource = Tables.documents(spark, sf).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q19_pivot")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === nBySource.keySet)
+    rows.foreach { r =>
+      val langs = Seq("n_de", "n_en", "n_es", "n_fr", "n_zh").map(r.getAs[Long])
+      assert(langs.sum === r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") === nBySource(r.getAs[String]("source")))
+    }
+  }
+
+  test("tf-idf ranks by tf·ln(N/df) with deterministic tie-break") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q54_tfidf")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(got.keySet === tf.keySet)
+    got.foreach { case (id, rs) =>
+      val want = tf(id).toSeq
+        .map { case (t, f) => (t, f * math.log(n / df(t))) }
+        .sortBy { case (t, sc) => (-sc, t) }.take(3)
+      val gotTerms = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("term"))
+      assert(gotTerms.toSeq === want.map(_._1), s"doc $id")
+    }
+  }
+
+  test("vocabulary floor: every emitted term appears in >= 5 documents") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q55_vocab")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 200)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_freq") >= 5L)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("doc_freq"))
+    }
+    // deterministic cut order: n_occ desc, then term asc
+    val pairs = rows.map(r => (r.getAs[Long]("n_occ"), r.getAs[String]("term")))
+    assert(pairs.sortBy { case (n, t) => (-n, t) }.toSeq === pairs.toSeq)
+  }
 }
