@@ -494,6 +494,52 @@ object TextAnalysis {
              |  CAST(sum(n) AS BIGINT) AS n_occ
              |FROM tf GROUP BY term HAVING count(*) >= 5
              |ORDER BY n_occ DESC, term
-             |LIMIT 200""".stripMargin))
+             |LIMIT 200""".stripMargin)),
+
+    // Inverted-index (posting list) construction — the retrieval-index
+    // build pass. The token stream collapses to distinct (term, doc) pairs
+    // in one partial-agg shuffle BEFORE any list is materialized, and the
+    // posting list is CAPPED (first 16 doc ids) by a per-term window
+    // BEFORE collect_list ever runs — a ubiquitous term's full posting
+    // row would otherwise be corpus-sized on one task, the classic
+    // giant-row killer at 100 TB. Full doc_freq / n_occ counts still come
+    // from the uncapped agg; lists are sorted and string-joined so the
+    // cross-engine hash is order-stable.
+    Q("q56_inverted_index",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("term"), $"doc_id")
+          .groupBy($"term", $"doc_id").agg(count(lit(1)).as("n"))
+          .cache() // stats agg + capped-posting window share the pair scan
+        val stats = pairs.groupBy($"term")
+          .agg(count(lit(1)).as("doc_freq"), sum($"n").as("n_occ"))
+        val byTerm = Window.partitionBy($"term").orderBy($"doc_id")
+        val posts = pairs
+          .withColumn("rk", row_number().over(byTerm))
+          .filter($"rk" <= 16)
+          .groupBy($"term")
+          .agg(array_join(array_sort(collect_list($"doc_id")), ",").as("postings"))
+        stats.join(posts, "term")
+          .select($"term", $"doc_freq", $"n_occ", $"postings")
+          .orderBy($"term")
+      },
+      Some("""WITH tf AS (
+             |  SELECT t.term AS term, doc_id, count(*) AS n
+             |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+             |  GROUP BY 1, 2),
+             |st AS (
+             |  SELECT term, count(*) AS doc_freq, CAST(sum(n) AS BIGINT) AS n_occ
+             |  FROM tf GROUP BY 1),
+             |rk AS (
+             |  SELECT term, doc_id,
+             |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+             |  FROM tf),
+             |po AS (
+             |  SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+             |  FROM rk WHERE rk <= 16 GROUP BY term)
+             |SELECT term, doc_freq, n_occ, postings
+             |FROM st JOIN po USING (term)
+             |ORDER BY term""".stripMargin))
   )
 }

@@ -529,6 +529,39 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
              |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
              |  count(*) AS n_docs
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Set operators — UNION / INTERSECT / EXCEPT as first-class logical
+    // plans (Catalyst lowers intersect/except to semi/anti joins and
+    // union+distinct to one hash agg; nothing here is a driver-side set).
+    // The operand sets are the distinct token-count profiles of the en/de
+    // language slices; the five scalar cardinalities combine through the
+    // broadcast 1-row cross-join pattern, so the result is a single row
+    // with no single-partition exchange on the data path.
+    Q("q28_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+        val en = docs.filter($"lang" === "en").select($"n_tok").distinct()
+        val de = docs.filter($"lang" === "de").select($"n_tok").distinct()
+        def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+        n(en, "n_en")
+          .crossJoin(broadcast(n(de, "n_de")))
+          .crossJoin(broadcast(n(en.union(de).distinct(), "n_union")))
+          .crossJoin(broadcast(n(en.intersect(de), "n_intersect")))
+          .crossJoin(broadcast(n(en.except(de), "n_en_only")))
+      },
+      Some("""WITH en AS (
+             |  SELECT DISTINCT len(string_split(text, ' ')) AS n_tok
+             |  FROM documents WHERE lang = 'en'),
+             |de AS (
+             |  SELECT DISTINCT len(string_split(text, ' ')) AS n_tok
+             |  FROM documents WHERE lang = 'de')
+             |SELECT (SELECT count(*) FROM en) AS n_en,
+             |  (SELECT count(*) FROM de) AS n_de,
+             |  (SELECT count(*) FROM (SELECT n_tok FROM en UNION SELECT n_tok FROM de)) AS n_union,
+             |  (SELECT count(*) FROM (SELECT n_tok FROM en INTERSECT SELECT n_tok FROM de)) AS n_intersect,
+             |  (SELECT count(*) FROM (SELECT n_tok FROM en EXCEPT SELECT n_tok FROM de)) AS n_en_only""".stripMargin))
   )
 }

@@ -75,6 +75,60 @@ object StreamingQueries {
         s.table(name).orderBy($"user_id", $"event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Stream-stream interval join — the streaming analogue of q18: errors
+    // matched to purchases within ±300 s of event time, both sides live
+    // streams. Spark requires an EQUALITY predicate in stream-stream
+    // joins, and the q18 bin-bucketing trick supplies exactly that: the
+    // probe side explodes into the ≤3 window-sized time bins its interval
+    // can touch, the build side keys by its own bin, and the join becomes
+    // bin-equality plus the exact range re-check — which also gives the
+    // state store a shard key whose density is bounded by arrival rate.
+    // Watermarks on BOTH sides plus the two-sided time bound make the
+    // buffered state PRUNABLE (each side holds only rows younger than
+    // watermark − 300 s), the requirement for a join that runs for months
+    // on a real cluster. A purchase owns exactly one bin, so each matched
+    // pair is emitted exactly once in append mode; the emitted pair SET
+    // is deterministic, so the query oracles as the batch θ-join.
+    Q("q72_stream_join",
+      (s, d) => {
+        import s.implicits._
+        val winUs = 300L * 1000000L
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val dir = Staging.stageTable(d, "events")
+        def src() = s.readStream.schema(staticDf.schema).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val errs = src().filter($"event_type" === "error")
+          .select($"event_id".as("err_id"), $"ts".as("err_ts"))
+          .withColumn("bin", explode(sequence(
+            floor((unix_micros($"err_ts") - winUs) / winUs).cast("long"),
+            floor((unix_micros($"err_ts") + winUs) / winUs).cast("long"))))
+          .withWatermark("err_ts", "10 minutes")
+        val purch = src().filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"ts".as("p_ts"),
+            floor(unix_micros($"ts") / winUs).cast("long").as("p_bin"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = errs.join(purch,
+          $"bin" === $"p_bin" &&
+            $"p_ts" >= $"err_ts" - expr("INTERVAL 300 SECONDS") &&
+            $"p_ts" <= $"err_ts" + expr("INTERVAL 300 SECONDS"))
+
+        val name = "q72_stream_join_sink"
+        val query = joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name).select($"err_id", $"p_id").orderBy($"err_id", $"p_id")
+      },
+      Some("""SELECT e.event_id AS err_id, p.event_id AS p_id
+             |FROM events e JOIN events p
+             |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+             |  AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 300000000
              |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -254,4 +254,34 @@ class OpsSuite extends SparkSuite {
     val pairs = rows.map(r => (r.getAs[Long]("n_occ"), r.getAs[String]("term")))
     assert(pairs.sortBy { case (n, t) => (-n, t) }.toSeq === pairs.toSeq)
   }
+
+  test("inverted index: capped postings are the sorted doc-id prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val byTerm = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = SparkEntry.queries("q56_inverted_index")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("term")).toSet === byTerm.keySet)
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val want = byTerm(term)
+      assert(r.getAs[Long]("doc_freq") === want.length.toLong)
+      val postings = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
+      assert(postings === want.take(16), s"term $term")
+    }
+  }
+
+  test("set-ops cardinalities satisfy inclusion-exclusion") {
+    val r = SparkEntry.queries("q28_set_ops")(spark, sf).collect().head
+    val (en, de, un, in, only) = (r.getAs[Long]("n_en"), r.getAs[Long]("n_de"),
+      r.getAs[Long]("n_union"), r.getAs[Long]("n_intersect"),
+      r.getAs[Long]("n_en_only"))
+    assert(un === en + de - in)
+    assert(only === en - in)
+    assert(in >= 0 && in <= math.min(en, de))
+    assert(en > 0 && de > 0)
+  }
 }

@@ -60,4 +60,25 @@ class StreamingSuite extends SparkSuite {
       .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
     assert(rows("2026-01-01 10:00:00.0") === 2) // the late event did not count
   }
+
+  test("stream-stream interval join emits exactly the batch theta-join pairs") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[String]("event_type")))
+    val winUs = 300L * 1000000L
+    val expected = (for {
+      (eid, eus, et) <- ev if et == "error"
+      (pid, pus, pt) <- ev if pt == "purchase" && math.abs(pus - eus) <= winUs
+    } yield (eid, pid)).toSet
+    val got = SparkEntry.queries("q72_stream_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("err_id"), r.getAs[Long]("p_id")))
+    // exactly once: no duplicate pairs from the bin explode
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === expected)
+    assert(got.nonEmpty)
+  }
 }
