@@ -540,6 +540,33 @@ object TextAnalysis {
              |  FROM rk WHERE rk <= 16 GROUP BY term)
              |SELECT term, doc_freq, n_occ, postings
              |FROM st JOIN po USING (term)
-             |ORDER BY term""".stripMargin))
+             |ORDER BY term""".stripMargin)),
+
+    // Sketch-based corpus statistics — the dataset-card numbers computed
+    // the way they actually are at 100 TB: HyperLogLog++ for distinct
+    // counts (constant ~kB state per group, mergeable across partitions,
+    // vs an exact countDistinct whose dedup shuffle carries every
+    // distinct value) and a quantile summary (percentile_approx /
+    // Greenwald-Khanna) whose state is bounded by 1/accuracy, not row
+    // count. Both are deterministic for a fixed input but NOT
+    // SQL-reproducible in DuckDB (different sketch internals), so the
+    // gate records a rows-only check; the OpsSuite spec pins each
+    // estimate against its exact counterpart within the sketch's error
+    // bound, which is the actual contract a sketch offers.
+    Q("q57_sketch_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"source", md5($"text").as("fp"),
+            size(split($"text", " ")).cast("long").as("n_tok"))
+          .groupBy($"source")
+          .agg(
+            approx_count_distinct($"fp", rsd = 0.05).as("approx_uniq"),
+            percentile_approx($"n_tok", lit(0.5), lit(1000)).as("approx_p50"),
+            percentile_approx($"n_tok", lit(0.9), lit(1000)).as("approx_p90"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"source")
+      },
+      None)
   )
 }

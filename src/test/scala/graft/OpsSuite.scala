@@ -284,4 +284,32 @@ class OpsSuite extends SparkSuite {
     assert(in >= 0 && in <= math.min(en, de))
     assert(en > 0 && de > 0)
   }
+
+  test("sketch stats land within the sketches' declared error bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sf)
+      .select($"source", md5($"text").as("fp"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(countDistinct($"fp").as("uniq"),
+        expr("percentile(n_tok, 0.5)").as("p50"),
+        expr("percentile(n_tok, 0.9)").as("p90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(1 + 1), r.getDouble(3)))
+      .toMap
+    val rows = SparkEntry.queries("q57_sketch_stats")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === exact.keySet)
+    rows.foreach { r =>
+      val (uniq, p50, p90) = exact(r.getAs[String]("source"))
+      // HLL++ at rsd 5%: allow 3σ
+      val au = r.getAs[Long]("approx_uniq").toDouble
+      assert(math.abs(au - uniq) <= math.max(1.0, 0.15 * uniq),
+        s"${r.get(0)}: approx_uniq $au vs exact $uniq")
+      // GK at accuracy 1000 on integer token counts: within one rank
+      // neighborhood — generous tolerance of 10% of the exact value
+      assert(math.abs(r.getAs[Long]("approx_p50") - p50) <= math.max(2.0, 0.1 * p50))
+      assert(math.abs(r.getAs[Long]("approx_p90") - p90) <= math.max(2.0, 0.1 * p90))
+    }
+  }
 }
