@@ -557,6 +557,69 @@ object Dedup {
              |cos AS (
              |  SELECT a, b, round(d / (na.nrm * nb.nrm), 4) AS cosine
              |  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
-             |SELECT a, b, cosine FROM cos WHERE cosine >= 0.42 ORDER BY a, b""".stripMargin))
+             |SELECT a, b, cosine FROM cos WHERE cosine >= 0.42 ORDER BY a, b""".stripMargin)),
+
+    // Sub-document (chunk-level) exact dedup — the C4-style pass that
+    // removes REPEATED SPANS across the corpus, not just whole-document
+    // duplicates (q40): boilerplate shared by thousands of pages survives
+    // whole-doc dedup but dominates token counts. Docs split into
+    // non-overlapping 32-token chunks; the keeper of each distinct chunk
+    // fingerprint is the (min doc_id, min chunk_id) occurrence. Keeper
+    // election is a partial AGGREGATE over the fp (min(struct) collapses a
+    // ubiquitous chunk map-side — a `row_number() over (partition by fp)`
+    // window would funnel the hot fingerprint's every occurrence through
+    // one task at 100 TB), then a join back marks survivors; the shuffle
+    // carries (fp, id) pairs, never chunk text. Output is the per-doc
+    // retention profile a curation run reports.
+    Q("q58_chunk_dedup",
+      (s, d) => {
+        import s.implicits._
+        val chunks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", $"w", size($"w").as("n"))
+          .select($"doc_id", $"w", $"n",
+            explode(expr("sequence(0, greatest(n - 1, 0), 32)")).as("st"))
+          .select($"doc_id",
+            expr("cast(st div 32 as bigint)").as("chunk_id"),
+            md5(concat_ws(" ", expr("slice(w, st + 1, 32)"))).as("fp"),
+            least(lit(32), $"n" - $"st").cast("long").as("toks"))
+          // read twice (keeper election + survivor join) over the explode
+          .cache()
+        val keepers = chunks.groupBy($"fp")
+          .agg(min(struct($"doc_id", $"chunk_id")).as("k"))
+          .select($"fp", $"k.doc_id".as("kd"), $"k.chunk_id".as("kc"))
+        chunks.join(keepers, "fp")
+          .withColumn("kept", ($"doc_id" === $"kd" && $"chunk_id" === $"kc")
+            .cast("long"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"kept").as("kept_chunks"),
+            sum($"toks").as("n_tokens"),
+            sum($"kept" * $"toks").as("kept_tokens"))
+          .withColumn("retained",
+            round($"kept_tokens".cast("double") / $"n_tokens", 6))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, st // 32 AS chunk_id,
+             |    md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS fp,
+             |    least(32, n - st) AS toks
+             |  FROM (SELECT doc_id, w, n,
+             |          unnest(generate_series(0, greatest(n - 1, 0), 32)) AS st
+             |        FROM t)),
+             |r AS (
+             |  SELECT doc_id, chunk_id, fp, toks,
+             |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rk
+             |  FROM c)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+             |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+             |  round(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END) * 1.0 / sum(toks), 6) AS retained
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -567,6 +567,48 @@ object TextAnalysis {
             count(lit(1)).as("n_docs"))
           .orderBy($"source")
       },
-      None)
+      None),
+
+    // Deterministic stratified train/val/test split — the dataset-release
+    // assignment pass. Membership is a pure function of the stable doc id
+    // (an md5 bucket in [0,1000): 800/100/100), NOT a `rand()` sample: the
+    // split is reproducible across runs/engines, survives repartitioning,
+    // and new corpus increments land in the same proportions without
+    // reshuffling old docs. Per-row hash + one bounded (source × split)
+    // agg — no corpus shuffle beyond the rollup; the per-source share
+    // window runs over the tiny aggregated frame.
+    Q("q29_stratified_split",
+      (s, d) => {
+        import s.implicits._
+        val bucket = expr(
+          "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000")
+        Tables.documents(s, d)
+          .select($"source", $"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tok"),
+            when(bucket < 800, "train").when(bucket < 900, "val")
+              .otherwise("test").as("split"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+          .withColumn("share", round(
+            $"n_docs".cast("double") /
+              sum($"n_docs").over(Window.partitionBy($"source")), 6))
+          .orderBy($"source", $"split")
+      },
+      Some("""WITH a AS (
+             |  SELECT source,
+             |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    n_tok
+             |  FROM (SELECT source,
+             |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b,
+             |          len(string_split(text, ' ')) AS n_tok
+             |        FROM documents)),
+             |g AS (
+             |  SELECT source, split, count(*) AS n_docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |  FROM a GROUP BY 1, 2)
+             |SELECT source, split, n_docs, n_tokens,
+             |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 6) AS share
+             |FROM g ORDER BY source, split""".stripMargin))
   )
 }

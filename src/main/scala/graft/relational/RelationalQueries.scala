@@ -562,6 +562,34 @@ object RelationalQueries {
              |  (SELECT count(*) FROM de) AS n_de,
              |  (SELECT count(*) FROM (SELECT n_tok FROM en UNION SELECT n_tok FROM de)) AS n_union,
              |  (SELECT count(*) FROM (SELECT n_tok FROM en INTERSECT SELECT n_tok FROM de)) AS n_intersect,
-             |  (SELECT count(*) FROM (SELECT n_tok FROM en EXCEPT SELECT n_tok FROM de)) AS n_en_only""".stripMargin))
+             |  (SELECT count(*) FROM (SELECT n_tok FROM en EXCEPT SELECT n_tok FROM de)) AS n_en_only""".stripMargin)),
+
+    // CUBE aggregation — all four grouping sets of (status, priority) in
+    // ONE pass: Catalyst lowers cube to an Expand (each input row fans out
+    // to its grouping sets) feeding a single partial+final HashAggregate,
+    // so the corpus is scanned once and the shuffle carries only the
+    // (bounded) expanded key space — never one job per grouping set. The
+    // same cube at 100 TB costs exactly one extra Expand over the plain
+    // group-by. grouping_id() disambiguates genuine NULL keys from
+    // subtotal rows; Spark and DuckDB agree on its bit order (first cube
+    // column = MSB).
+    Q("q27_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(round(sum($"o_totalprice"), 2).as("total_price"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  round(sum(o_totalprice), 2) AS total_price, count(*) AS n,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+             |  o_orderpriority ASC NULLS FIRST""".stripMargin))
   )
 }
