@@ -129,6 +129,28 @@ object StreamingQueries {
              |FROM events e JOIN events p
              |  ON e.event_type = 'error' AND p.event_type = 'purchase'
              |  AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 300000000
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Custom keyed state under the oracle gate: flatMapGroupsWithState
+    // emits a row each time a user's running event count crosses a
+    // multiple of 25. The emission rule is BATCH-BOUNDARY-INVARIANT — a
+    // milestone is emitted exactly once whether the crossing happens
+    // inside one micro-batch or across many (the state carries the
+    // pre-batch count) — so the append-mode output set is deterministic
+    // and oracles as a per-user count + series expansion. This is the
+    // gate coverage for the 0..n-rows-per-group state surface that
+    // StatefulSessionsSuite pins behaviorally.
+    Q("q73_stream_milestones",
+      (s, d) => {
+        import s.implicits._
+        StatefulSessions.countMilestones(s, d, "q73_stream_milestones_sink", 25L)
+          .orderBy($"user_id", $"milestone")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+             |SELECT user_id,
+             |  unnest(generate_series(25, (n // 25) * 25, 25)) AS milestone
+             |FROM c WHERE n >= 25
+             |ORDER BY user_id, milestone""".stripMargin))
   )
 }

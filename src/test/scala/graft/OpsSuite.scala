@@ -312,4 +312,55 @@ class OpsSuite extends SparkSuite {
       assert(math.abs(r.getAs[Long]("approx_p90") - p90) <= math.max(2.0, 0.1 * p90))
     }
   }
+
+  test("stratified split partitions the corpus deterministically near 80/10/10") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q29_stratified_split")(spark, sf).collect()
+    // the splits PARTITION the corpus: per-source doc totals are preserved
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val want = Tables.documents(spark, sf).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource === want)
+    // shares sum to 1 within each source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val tot = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$src shares sum to $tot")
+    }
+    // global proportions track the 800/100/100 md5 buckets (binomial noise)
+    val n = want.values.sum.toDouble
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum / n).toMap
+    assert(bySplit("train") > 0.7 && bySplit("train") < 0.9, bySplit.toString)
+    assert(bySplit("val") > 0.04 && bySplit("val") < 0.16, bySplit.toString)
+    assert(bySplit("test") > 0.04 && bySplit("test") < 0.16, bySplit.toString)
+    // pure function of doc_id: a second evaluation is bit-identical
+    val again = SparkEntry.queries("q29_stratified_split")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("chunk dedup keeps exactly one occurrence per distinct fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q58_chunk_dedup")(spark, sf)
+    val rows = df.collect()
+    // independently recompute the chunk fingerprint universe
+    val distinctFps = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w", size($"w").as("n"))
+      .select($"doc_id", explode(expr("sequence(0, greatest(n - 1, 0), 32)")).as("st"), $"w")
+      .select(md5(concat_ws(" ", expr("slice(w, st + 1, 32)"))).as("fp"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("kept_chunks")).sum === distinctFps,
+      "survivor count must equal the distinct-fingerprint count")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // keeper election must be the skew-safe aggregate, not a per-fp window
+    // (a hot fingerprint's occurrences would serialize through one task)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "q58 must elect keepers with min(struct) aggregation, not a window")
+  }
 }
