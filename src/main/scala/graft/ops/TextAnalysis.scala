@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -20,6 +20,27 @@ object TextAnalysis {
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document deflate ratio over (doc_id, text) rows — see q59. One
+    * Deflater + one scratch buffer per partition, reset per row. */
+  def compressionScores(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(raw); defl.finish()
+          var comp = 0L
+          while (!defl.finished()) comp += defl.deflate(buf)
+          (id, raw.length.toLong, comp)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "comp_bytes")
+      .withColumn("ratio", round($"comp_bytes".cast("double") / $"raw_bytes", 6))
+      .orderBy($"doc_id")
+  }
 
   val queries: Seq[Q] = Seq(
     Q("q30_token_stats",
@@ -567,6 +588,22 @@ object TextAnalysis {
             count(lit(1)).as("n_docs"))
           .orderBy($"source")
       },
+      None),
+
+    // Compression-ratio quality signal — the low-complexity filter
+    // (boilerplate, machine-generated spam and template text deflate far
+    // below natural prose). Compression is genuine per-partition
+    // imperative logic — no Catalyst expression can run zlib — so this is
+    // the one place the typed `mapPartitions` escape hatch earns its cost:
+    // one reused Deflater + scratch buffer per PARTITION (per-row
+    // allocation would dominate at 100 TB), rows stream through without
+    // materializing the partition. Deflate at a fixed level is
+    // deterministic for a given input, but no SQL engine reproduces the
+    // byte count, so the gate records a rows-only check; the OpsSuite
+    // spec pins the signal's ordering contract (repetitive text must
+    // score below high-entropy text).
+    Q("q59_compression_ratio",
+      (s, d) => compressionScores(s, Tables.documents(s, d)),
       None),
 
     // Deterministic stratified train/val/test split — the dataset-release

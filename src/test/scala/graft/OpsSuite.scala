@@ -363,4 +363,26 @@ class OpsSuite extends SparkSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"),
       "q58 must elect keepers with min(struct) aggregation, not a window")
   }
+
+  test("compression ratio orders repetitive below high-entropy text") {
+    import spark.implicits._
+    val rep = Array.fill(200)("spam").mkString(" ")
+    val rand = new scala.util.Random(7)
+    val noisy = Array.fill(200)(rand.alphanumeric.take(4).mkString).mkString(" ")
+    val scored = ops.TextAnalysis.compressionScores(spark,
+        Seq((1L, rep), (2L, noisy)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio")).toMap
+    assert(scored(1L) < 0.1, s"repetitive text should deflate hard: ${scored(1L)}")
+    assert(scored(2L) > 2 * scored(1L),
+      s"high-entropy text must score above repetitive: $scored")
+    // corpus query: every doc scored, ratios positive, deterministic rerun
+    val rows = SparkEntry.queries("q59_compression_ratio")(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ratio") > 0 && r.getAs[Double]("ratio") <= 1.5)
+      assert(r.getAs[Long]("comp_bytes") > 0)
+    }
+    val again = SparkEntry.queries("q59_compression_ratio")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
