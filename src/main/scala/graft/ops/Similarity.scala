@@ -36,11 +36,14 @@ object Similarity {
     * A probe touches Nprobe/C of the corpus. */
   val Nprobe = 8
 
-  /** Σ xᵢ·yᵢ over two float arrays, accumulated in double, sequential
-    * left-to-right (deterministic per pair). */
+  /** Σ xᵢ·yᵢ over two float/double arrays, accumulated in double,
+    * sequential left-to-right (deterministic per pair). Backed by the
+    * native codegen'd `functions.DotProduct` expression — bit-identical to
+    * the previous `aggregate(zip_with(...))` form but a primitive loop
+    * inside whole-stage codegen instead of an interpreted higher-order
+    * function with an intermediate zipped array. */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot_product(x, y)
 
   def norm(x: Column): Column = sqrt(dot(x, x))
 

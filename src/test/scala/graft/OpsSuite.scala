@@ -364,6 +364,43 @@ class OpsSuite extends SparkSuite {
       "q58 must elect keepers with min(struct) aggregation, not a window")
   }
 
+  test("native dot_product matches the higher-order-function form bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hof = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // whole corpus: native == interpreted on every pairwise (query, doc) dot.
+    // CODEGEN_ONLY makes a broken doGenCode a hard failure instead of a
+    // silent interpreted fallback — the codegen path is the point.
+    val prevMode = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").limit(50)
+      val pairs = e.as("a").crossJoin(e.as("b"))
+      val diff = pairs.select(
+          graft.functions.DotProduct.dot_product($"a.embedding", $"b.embedding").as("n"),
+          hof($"a.embedding", $"b.embedding").as("h"))
+        .filter(not($"n" <=> $"h")).count()
+      assert(diff === 0L, "native and HOF dot products must agree bit-for-bit")
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prevMode)
+    // edge contract mirrors zip_with/aggregate: length mismatch + null → null,
+    // empty → 0.0
+    val edges = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),      // length mismatch
+      (None, Some(Seq(1.0f))),                        // null input
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])) // empty
+    ).toDF("x", "y")
+      .select(graft.functions.DotProduct.dot_product($"x", $"y").as("d")).collect()
+    assert(edges(0).isNullAt(0) && edges(1).isNullAt(0))
+    assert(edges(2).getDouble(0) === 0.0)
+    // SQL registration path
+    graft.functions.DotProduct.register(spark)
+    val sqlD = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(sqlD.head.getDouble(0) === 11.0)
+  }
+
   test("compression ratio orders repetitive below high-entropy text") {
     import spark.implicits._
     val rep = Array.fill(200)("spam").mkString(" ")
