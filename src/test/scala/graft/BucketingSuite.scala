@@ -53,4 +53,29 @@ class BucketingSuite extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(wh)
     }
   }
+
+  test("hive-partitioned write prunes non-matching partitions at scan time") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_partitioned").toFile
+    try {
+      // the other half of the 100 TB layout story: directory partitioning
+      // by a low-cardinality filter column means a lang='de' query never
+      // OPENS the other languages' files — pruning happens in the driver
+      // against the partition index, before any task launches
+      Tables.documents(s, sf).write.partitionBy("lang")
+        .mode("overwrite").parquet(s"$dir/docs")
+      val back = s.read.parquet(s"$dir/docs").filter($"lang" === "de")
+      val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+        s"lang filter must prune partitions, got scan:\n$scan")
+      // pruned scan reads only the de directory's files
+      val expected = Tables.documents(s, sf).filter($"lang" === "de").count()
+      assert(back.count() === expected)
+      val allParts = new java.io.File(s"$dir/docs").listFiles()
+        .count(_.getName.startsWith("lang="))
+      assert(allParts >= 2, "corpus should have produced multiple partitions")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
