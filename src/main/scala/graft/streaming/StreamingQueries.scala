@@ -131,6 +131,53 @@ object StreamingQueries {
              |  AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 300000000
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Append-mode windowed aggregation — the production streaming shape
+    // (complete mode, q70, re-emits the whole result every batch; a real
+    // sink needs append). A window emits EXACTLY ONCE, when the watermark
+    // passes its end — which is also what bounds the state store: closed
+    // windows are evicted, so state holds only the open tail regardless
+    // of stream age. After processAllAvailable the final watermark is
+    // max(event time) − 10 min (the no-data micro-batch advances it and
+    // flushes), so the emitted set is exactly the hour windows whose end
+    // precedes that — a deterministic predicate DuckDB can mirror, which
+    // is what puts watermark finalization semantics under the oracle gate
+    // (WatermarkSuite pins the behavioral side).
+    Q("q74_stream_append_windows",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+
+        val name = "q74_stream_append_windows_sink"
+        val query = agg.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name)
+          .select($"w.start".as("hour"), $"event_type", $"n",
+            round($"sv", 4).as("total_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT date_trunc('hour', ts) AS hour, event_type,
+             |    count(*) AS n, round(sum(value), 4) AS total_value
+             |  FROM events GROUP BY 1, 2),
+             |mx AS (SELECT max(ts) AS m FROM events)
+             |SELECT hour, event_type, n, total_value
+             |FROM b, mx
+             |WHERE hour + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+             |ORDER BY hour, event_type""".stripMargin)),
+
     // Custom keyed state under the oracle gate: flatMapGroupsWithState
     // emits a row each time a user's running event count crosses a
     // multiple of 25. The emission rule is BATCH-BOUNDARY-INVARIANT — a
