@@ -141,7 +141,7 @@ object StreamingQueries {
     // flushes), so the emitted set is exactly the hour windows whose end
     // precedes that — a deterministic predicate DuckDB can mirror, which
     // is what puts watermark finalization semantics under the oracle gate
-    // (WatermarkSuite pins the behavioral side).
+    // (StreamingSuite's late-event spec pins the behavioral side).
     Q("q74_stream_append_windows",
       (s, d) => {
         import s.implicits._
