@@ -178,6 +178,68 @@ object StreamingQueries {
              |WHERE hour + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
              |ORDER BY hour, event_type""".stripMargin)),
 
+    // Streaming session windows — q13's sessionization as a live stream:
+    // `session_window(ts, 30 min)` merges a user's events whose gaps are
+    // STRICTLY under the gap (Spark merges while the next event lands
+    // before session end, so an exactly-1800 s gap starts a NEW session —
+    // the oracle mirrors that with `>= 1800e6` µs, deliberately different
+    // from batch q13's `> 1800` convention). A session closes — and is
+    // emitted exactly once, its state evicted — when the watermark passes
+    // its end (last event + gap), so the append-mode output after
+    // draining is the set of sessions ending at or before
+    // max(event time) − 10 min: per-key session state stays bounded by
+    // the open tail at any stream age, and the whole thing oracles as
+    // the batch islands computation plus that finalization predicate.
+    Q("q75_stream_sessions",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+
+        val name = "q75_stream_sessions_sink"
+        val query = agg.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name)
+          .select($"user_id", $"w.start".as("s_start"), $"w.end".as("s_end"),
+            $"n_events")
+          .orderBy($"user_id", $"s_start")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, ts, epoch_us(ts) AS us,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts)) AS prev
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, ts, us,
+             |    CASE WHEN prev IS NULL OR us - prev >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM l),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f),
+             |g AS (
+             |  SELECT user_id, min(ts) AS s_start,
+             |    max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n_events
+             |  FROM s GROUP BY user_id, sid),
+             |mx AS (SELECT max(ts) AS m FROM events)
+             |SELECT user_id, s_start, s_end, n_events
+             |FROM g, mx WHERE s_end <= m - INTERVAL 10 MINUTE
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // Custom keyed state under the oracle gate: flatMapGroupsWithState
     // emits a row each time a user's running event count crosses a
     // multiple of 25. The emission rule is BATCH-BOUNDARY-INVARIANT — a
