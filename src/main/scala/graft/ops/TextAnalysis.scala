@@ -646,6 +646,42 @@ object TextAnalysis {
              |  FROM a GROUP BY 1, 2)
              |SELECT source, split, n_docs, n_tokens,
              |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 6) AS share
-             |FROM g ORDER BY source, split""".stripMargin))
+             |FROM g ORDER BY source, split""".stripMargin)),
+
+    // Grouped top-k via a typed Aggregator UDAF (functions.TopKAggregator)
+    // — the longest 3 docs per source WITHOUT the window formulation:
+    // `row_number() over (partition by source order by ...)` shuffles and
+    // sorts every row just to discard all but k, while the aggregator's
+    // k-entry state merges map-side, so the shuffle carries at most k
+    // entries per (partition, source). The oracle IS the window
+    // formulation — proving the bounded-state path computes the same
+    // result the expensive shape would.
+    Q("q76_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        val top3 = udaf(new graft.functions.TopKAggregator(3))
+        Tables.documents(s, d)
+          .select($"source",
+            size(split($"text", " ")).cast("long").as("score"),
+            $"doc_id")
+          .groupBy($"source")
+          .agg(top3($"score", $"doc_id").as("top"))
+          .select($"source",
+            posexplode(arrays_zip($"top.scores", $"top.ids")))
+          .select($"source", ($"pos" + 1).cast("long").as("rank"),
+            $"col.scores".as("n_tok"), $"col.ids".as("doc_id"))
+          .orderBy($"source", $"rank")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, len(string_split(text, ' ')) AS n_tok, doc_id
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, n_tok, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_tok DESC, doc_id) AS rank
+             |  FROM t)
+             |SELECT source, rank, n_tok, doc_id
+             |FROM r WHERE rank <= 3
+             |ORDER BY source, rank""".stripMargin))
   )
 }

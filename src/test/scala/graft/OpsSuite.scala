@@ -401,6 +401,33 @@ class OpsSuite extends SparkSuite {
     assert(sqlD.head.getDouble(0) === 11.0)
   }
 
+  test("top-k aggregator: bounded state, order-insensitive merge, no window") {
+    import graft.functions.{ScoredId, TopKAggregator, TopKState}
+    val agg = new TopKAggregator(3)
+    // exhaustive insert-order insensitivity on a small multiset with ties
+    val items = Seq(ScoredId(5, 2), ScoredId(5, 1), ScoredId(7, 9),
+      ScoredId(3, 4), ScoredId(7, 10), ScoredId(5, 3))
+    val expected = TopKState(Seq(7, 7, 5), Seq(9, 10, 1))
+    items.permutations.take(100).foreach { perm =>
+      assert(perm.foldLeft(agg.zero)(agg.reduce) === expected, perm.toString)
+    }
+    // merge of arbitrary splits equals the sequential fold
+    (1 until items.length).foreach { cut =>
+      val (a, b) = items.splitAt(cut)
+      assert(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)) === expected)
+    }
+    // state never exceeds k entries
+    val big = (1L to 100L).map(i => ScoredId(i, i)).foldLeft(agg.zero)(agg.reduce)
+    assert(big.scores.length === 3 && big.scores === Seq(100L, 99L, 98L))
+    // the query plan must be the bounded-state aggregate, not a window sort
+    val df = SparkEntry.queries("q76_topk_agg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "q76 must not fall back to a row_number window over the corpus")
+    assert(plan.contains("Aggregate"), "expected a partial/final aggregate pair")
+  }
+
   test("compression ratio orders repetitive below high-entropy text") {
     import spark.implicits._
     val rep = Array.fill(200)("spam").mkString(" ")
