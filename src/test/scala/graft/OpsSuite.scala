@@ -401,6 +401,20 @@ class OpsSuite extends SparkSuite {
     assert(sqlD.head.getDouble(0) === 11.0)
   }
 
+  test("registerAll exposes the native functions to plain SQL; extensions inject") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT k.kmer, dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+        |FROM (SELECT 'ACGTA' AS seq)
+        |LATERAL VIEW kmer_explode(seq, 4) k AS kmer""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("ACGT", "CGTA"))
+    assert(r.forall(_.getDouble(1) === 11.0))
+    // the cluster-deployment hook (spark.sql.extensions) injects the same
+    // builders at session build time; pin that injection itself is sound
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("top-k aggregator: bounded state, order-insensitive merge, no window") {
     import graft.functions.{ScoredId, TopKAggregator, TopKState}
     val agg = new TopKAggregator(3)
