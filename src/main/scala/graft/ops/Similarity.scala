@@ -322,7 +322,35 @@ object Similarity {
              |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
              |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
              |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
-             |FROM c ORDER BY vec_id""".stripMargin))
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // Dimension-wise mean pooling — class centroids / corpus mean vectors,
+    // the aggregation behind both k-means seeding and "average embedding
+    // per label" analytics. posexplode flattens (vector → 64 (dim, value)
+    // rows) INSIDE the scan stage, so the shuffle carries (label, dim)
+    // partial sums — 10 labels × 64 dims = 640 groups regardless of corpus
+    // size; the map-side partial aggregation means 100 TB of vectors
+    // reduces to kilobytes before the exchange. The float components are
+    // widened to double BEFORE summing on both engines so the accumulator
+    // semantics match.
+    Q("q66_mean_embedding",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(round(avg($"v".cast("double")), 6).as("mean_v"),
+            count(lit(1)).as("n"))
+          .orderBy($"label", $"dim")
+      },
+      Some("""WITH u AS (
+             |  SELECT label,
+             |    unnest(range(len(embedding))) AS dim,
+             |    unnest(embedding) AS v
+             |  FROM embeddings)
+             |SELECT label, CAST(dim AS INT) AS dim,
+             |  round(avg(CAST(v AS DOUBLE)), 6) AS mean_v, count(*) AS n
+             |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin))
   )
 
   /** Unrolled deterministic-k-means oracle for q51: seeds → `iters` Lloyd

@@ -590,6 +590,128 @@ object RelationalQueries {
              |FROM orders
              |GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
-             |  o_orderpriority ASC NULLS FIRST""".stripMargin))
+             |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Explicit GROUPING SETS — the general form rollup (q14) and cube
+    // (q27) are sugar for: exactly the requested subtotal combinations
+    // ((status), (priority), ()) with no (status, priority) pass. Same
+    // physical shape as cube — one Expand feeding one partial+final
+    // HashAggregate, one scan — but the Expand fans each row out to 3
+    // rows, not 4: at 100 TB pruning an unneeded grouping set cuts the
+    // shuffle by exactly that set's share.
+    Q("q63_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(round(sum($"o_totalprice"), 2).as("total_price"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  round(sum(o_totalprice), 2) AS total_price, count(*) AS n,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+             |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Skew-salted two-phase aggregation — the standard fix when a group-by
+    // key is so low-cardinality (3 return flags here) that one reducer per
+    // key would bottleneck a 1000-executor cluster: phase 1 aggregates by
+    // (key, salt) where salt = hash(row-unique cols) mod 16, spreading each
+    // hot key over 16 reducers; phase 2 merges the ≤16 partials per key.
+    // Result is provably identical to the plain group-by (the oracle IS the
+    // plain group-by) because sum/count are associative-decomposable. The
+    // salt width is the knob: 16 × 3 keys = 48 partials — negligible — while
+    // each phase-1 reducer handles 1/16th of a hot key's rows.
+    Q("q64_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        li(s, d)
+          .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(16)))
+          .groupBy($"l_returnflag", $"salt")
+          .agg(sum($"l_quantity").as("p_qty"),
+            sum($"l_extendedprice").as("p_price"),
+            count(lit(1)).as("p_n"))
+          .groupBy($"l_returnflag")
+          .agg(round(sum($"p_qty"), 2).as("sum_qty"),
+            round(sum($"p_price"), 2).as("sum_price"),
+            sum($"p_n").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_price,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Time-RANGE window frame — a moving per-user average over the
+    // trailing hour of EVENT TIME (not row count): the frame is defined by
+    // the ORDER BY value (epoch seconds), so rows with equal timestamps
+    // are peers and irregular event spacing is handled exactly. One
+    // shuffle by user_id, then a single sorted pass per partition with a
+    // sliding two-pointer frame — no self-join materializing the
+    // O(rows × frame) pair blowup, which is what makes this form survive
+    // 100 TB of events.
+    Q("q65_moving_avg",
+      (s, d) => {
+        import s.implicits._
+        val hour = Window.partitionBy($"user_id").orderBy($"sec")
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec"), $"value")
+          .withColumn("mavg", round(avg($"value").over(hour), 6))
+          .select($"user_id", $"event_id", $"sec", $"mavg")
+          .orderBy($"user_id", $"sec", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+             |  round(avg(value) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts) // 1000000
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS mavg
+             |FROM events
+             |ORDER BY user_id, sec, event_id""".stripMargin)),
+
+    // FULL OUTER reconciliation — the cross-system audit shape: per-entity
+    // totals from two independent fact tables, joined full-outer so
+    // entities present in either side survive with NULLs marking the gap.
+    // Both inputs are pre-aggregated BEFORE the join (partial aggregation
+    // pushes the heavy reduction map-side), so the outer join itself only
+    // sees one row per entity per side — at 100 TB the join input is the
+    // entity count, not the fact count.
+    Q("q67_full_outer",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("order_total"))
+        val e = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 4).as("event_value"))
+        o.join(e, $"o_custkey" === $"user_id", "full_outer")
+          .select(coalesce($"o_custkey", $"user_id").as("id"),
+            $"n_orders", $"order_total", $"n_events", $"event_value")
+          .orderBy($"id")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, count(*) AS n_orders,
+             |    round(sum(o_totalprice), 2) AS order_total
+             |  FROM orders GROUP BY 1),
+             |e AS (
+             |  SELECT user_id, count(*) AS n_events,
+             |    round(sum(value), 4) AS event_value
+             |  FROM events GROUP BY 1)
+             |SELECT coalesce(o_custkey, user_id) AS id,
+             |  n_orders, order_total, n_events, event_value
+             |FROM o FULL OUTER JOIN e ON o_custkey = user_id
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -260,6 +260,48 @@ object StreamingQueries {
              |SELECT user_id,
              |  unnest(generate_series(25, (n // 25) * 25, 25)) AS milestone
              |FROM c WHERE n >= 25
-             |ORDER BY user_id, milestone""".stripMargin))
+             |ORDER BY user_id, milestone""".stripMargin)),
+
+    // Stream-static enrichment join — the dimension-lookup step of every
+    // production ingest pipeline: a live event stream joined to a slowly-
+    // changing static dim (customer segments). The static side is
+    // broadcast, so the join is STATELESS — no state store, no watermark
+    // required, each micro-batch joins against the executor-local hash
+    // map — which is why this is the one streaming join shape that adds
+    // zero memory pressure at 100 TB/day. The post-join aggregation runs
+    // in complete mode over the bounded segment key space.
+    Q("q77_stream_enrich",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
+        val dim = broadcast(
+          graft.Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"))
+        val enriched = stream
+          .filter($"event_type" === "purchase")
+          .join(dim, $"user_id" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+
+        val name = "q77_stream_enrich_sink"
+        val query = enriched.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name)
+          .select($"c_mktsegment", $"n", round($"sv", 4).as("total_value"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(value), 4) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |WHERE event_type = 'purchase'
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }

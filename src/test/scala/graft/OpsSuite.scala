@@ -463,4 +463,70 @@ class OpsSuite extends SparkSuite {
     val again = SparkEntry.queries("q59_compression_ratio")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("salted two-phase aggregation equals the direct group-by") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q64_salted_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2), round(sum(col("l_extendedprice")), 2),
+        count(lit(1)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (q, p, n)) =>
+      assert(n === direct(k)._3)
+      assert(fpEquals(q, direct(k)._1, 0.02) && fpEquals(p, direct(k)._2, 0.02),
+        s"salted partials must merge to the direct totals for $k")
+    }
+  }
+
+  test("grouping sets: one Expand feeding one aggregate, no per-set union") {
+    val df = SparkEntry.queries("q63_grouping_sets")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must lower to Expand")
+    assert(!plan.contains("Union"),
+      "grouping sets must be one Expand pass, not a union of per-set scans")
+    // 3 requested sets only: no (status, priority) detail rows (gid 0)
+    assert(!df.collect().exists(_.getAs[Long]("gid") == 0L))
+  }
+
+  test("time-range moving average: windowed pass, no self-join blowup") {
+    val df = SparkEntry.queries("q65_moving_avg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected a RANGE-frame Window")
+    assert(!plan.contains("Join"), "a time-range frame must not plan a self-join")
+    // brute-force one user's frame semantics
+    val rows = df.collect().filter(_.getAs[Long]("user_id") == 0L)
+    val series = rows.map(r => r.getAs[Long]("sec") -> r.getAs[Double]("mavg"))
+    val values = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("user_id") === 0L)
+      .select(org.apache.spark.sql.functions.unix_timestamp(
+        org.apache.spark.sql.functions.col("ts")).as("sec"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => r.getAs[Long]("sec") -> r.getAs[Double]("value"))
+    series.foreach { case (sec, got) =>
+      val frame = values.filter { case (s2, _) => s2 >= sec - 3600 && s2 <= sec }
+      val want = frame.map(_._2).sum / frame.length
+      assert(fpEquals(got, math.rint(want * 1e6) / 1e6, 1e-6),
+        s"frame at sec=$sec diverged")
+    }
+  }
+
+  test("mean-embedding pooling matches a driver-side centroid") {
+    import org.apache.spark.sql.functions._
+    val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    assert(pooled.map(_.getAs[Int]("label")).toSet === labels)
+    assert(pooled.map(_.getAs[Int]("dim")).max === 63)
+    // brute-force label-0 dim-0
+    val vecs = Tables.embeddings(spark, sf).filter(col("label") === 0)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val want = vecs.map(_.head.toDouble).sum / vecs.length
+    val got = pooled.find(r => r.getAs[Int]("label") == 0 && r.getAs[Int]("dim") == 0).get
+    assert(fpEquals(got.getAs[Double]("mean_v"), math.rint(want * 1e6) / 1e6, 1e-6))
+    assert(got.getAs[Long]("n") === vecs.length.toLong)
+  }
 }
