@@ -9,6 +9,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     graft.kmer.KmerGenerator.register(spark)
     DotProduct.register(spark)
+    ZValue.register(spark)
   }
 }
 
@@ -46,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "kmer_explode: k must be an integer literal")
         }
         graft.kmer.KmerGenerator(exprs.head, k)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "usage: z_value(x, y)")
+        ZValue(exprs.head, exprs(1))
       }))
   }
 }

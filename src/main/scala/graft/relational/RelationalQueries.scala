@@ -712,6 +712,59 @@ object RelationalQueries {
              |SELECT coalesce(o_custkey, user_id) AS id,
              |  n_orders, order_total, n_events, event_value
              |FROM o FULL OUTER JOIN e ON o_custkey = user_id
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // Z-order (Morton) clustering layout — the multi-dimensional
+    // data-skipping layout audit. Events are clustered per type by the
+    // native codegen'd z_value interleave of (user_id, hour bucket) and
+    // cut into 16 z-runs ("files"); the output is each run's min/max
+    // bounding box in BOTH dimensions — exactly the zone-map metadata a
+    // 100 TB scan consults, tight on user AND time at once where a
+    // single-column sort is tight on one. The dimensions are bucketed to
+    // COMPARABLE VARYING BIT WIDTHS first (~150 users ≈ 8 bits, so time
+    // is coarsened to 3-hour buckets ≈ 8 varying bits across the corpus
+    // span; raw epoch seconds would occupy every high bit and degenerate
+    // the z-order back into a time sort — the standard z-layout
+    // pitfall). The ntile runs per event_type (the
+    // table's natural partition), so no global single-partition sort
+    // appears; at scale the same z key feeds repartitionByRange +
+    // sortWithinPartitions and the "bins" are real files.
+    Q("q68_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        val byType = Window.partitionBy($"event_type").orderBy($"z", $"event_id")
+        Tables.events(s, d)
+          .select($"event_type", $"event_id", $"user_id",
+            unix_timestamp($"ts").as("sec"))
+          .withColumn("z",
+            graft.functions.ZValue.z_value($"user_id", expr("sec div 10800")))
+          .withColumn("bin", ntile(16).over(byType))
+          .groupBy($"event_type", $"bin")
+          .agg(count(lit(1)).as("n"),
+            min($"user_id").as("u_min"), max($"user_id").as("u_max"),
+            min($"sec").as("s_min"), max($"sec").as("s_max"))
+          .orderBy($"event_type", $"bin")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type, event_id, user_id,
+              |    epoch_us(ts) // 1000000 AS sec,
+              |    (epoch_us(ts) // 1000000) // 10800 AS hr
+              |  FROM events),
+              |z AS (
+              |  SELECT *, ${ZOracle.zExpr} AS z FROM e),
+              |b AS (
+              |  SELECT *, ntile(16) OVER (PARTITION BY event_type
+              |    ORDER BY z, event_id) AS bin
+              |  FROM z)
+              |SELECT event_type, bin, count(*) AS n,
+              |  min(user_id) AS u_min, max(user_id) AS u_max,
+              |  min(sec) AS s_min, max(sec) AS s_max
+              |FROM b GROUP BY event_type, bin
+              |ORDER BY event_type, bin""".stripMargin))
   )
+
+  /** The z_value interleave as portable SQL, shared by the q68 oracle. */
+  private object ZOracle {
+    val zExpr: String = graft.functions.ZValue.oracleSql("user_id", "hr")
+  }
 }

@@ -514,6 +514,53 @@ class OpsSuite extends SparkSuite {
     }
   }
 
+  test("z_value interleaves bits under codegen; z-runs box both dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bit semantics: a-bits land even, b-bits odd; inputs masked to 24 bits
+    assert(graft.functions.ZValue.interleave(5L, 3L) === 27L) // 101 ⋈ 011
+    assert(graft.functions.ZValue.interleave((1L << 24) | 1L, 0L) === 1L)
+    // codegen path must agree with the driver-side form (hard-fail mode)
+    val prevMode = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = Tables.events(spark, sf)
+        .select($"user_id", unix_timestamp($"ts").as("sec"))
+        .withColumn("z", graft.functions.ZValue.z_value($"user_id", $"sec"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("z") ===
+          graft.functions.ZValue.interleave(
+            r.getAs[Long]("user_id"), r.getAs[Long]("sec")),
+          "codegen z must equal the driver-side interleave")
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prevMode)
+    // SQL registration
+    graft.functions.ZValue.register(spark)
+    assert(spark.sql("SELECT z_value(5, 3) AS z").collect().head.getLong(0) === 27L)
+    // layout claim (sf0.01 — bins at sf0.001 are too small to separate
+    // from noise): a point predicate on the NON-sort dimension
+    // (user_id = 42) can zone-map-prune z-run bounding boxes, and can
+    // prune nothing under a pure time sort — the reason the layout exists
+    val sf01 = "/root/testdata/sf0.01"
+    val q = SparkEntry.queries("q68_zorder_layout")(spark, sf01).collect()
+      .filter(_.getAs[String]("event_type") == "click")
+    val prunedZ = q.count(r =>
+      42L < r.getAs[Long]("u_min") || 42L > r.getAs[Long]("u_max"))
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"sec", $"event_id")
+    val prunedT = Tables.events(spark, sf01)
+      .select($"event_type", $"event_id", $"user_id", unix_timestamp($"ts").as("sec"))
+      .filter($"event_type" === "click")
+      .withColumn("bin", ntile(16).over(byTime))
+      .groupBy($"bin")
+      .agg(min($"user_id").as("u_min"), max($"user_id").as("u_max"))
+      .collect()
+      .count(r => 42L < r.getAs[Long]("u_min") || 42L > r.getAs[Long]("u_max"))
+    assert(prunedZ > prunedT,
+      s"z-layout must prune bins for user_id=42 ($prunedZ) where time-sort cannot ($prunedT)")
+  }
+
   test("mean-embedding pooling matches a driver-side centroid") {
     import org.apache.spark.sql.functions._
     val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
