@@ -760,7 +760,63 @@ object RelationalQueries {
               |  min(user_id) AS u_min, max(user_id) AS u_max,
               |  min(sec) AS s_min, max(sec) AS s_max
               |FROM b GROUP BY event_type, bin
-              |ORDER BY event_type, bin""".stripMargin))
+              |ORDER BY event_type, bin""".stripMargin)),
+
+    // Sliding (overlapping) time windows — `window(ts, 2h, 1h)`: every
+    // event lands in exactly 2 hour-aligned windows. Catalyst lowers this
+    // to an Expand (each row → its 2 window assignments) feeding one hash
+    // aggregate — the same single-pass shape as cube/rollup, NOT one job
+    // per offset; the shuffle carries (window, partial) pairs bounded by
+    // the window count. The batch form here is bit-identical to the
+    // streaming form (q74 uses the same expression under a watermark).
+    Q("q69_sliding_windows",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select(window($"ts", "2 hours", "1 hour").as("w"), $"value")
+          .groupBy($"w")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("total_value"))
+          .select($"w.start".as("ws"), $"w.end".as("we"), $"n", $"total_value")
+          .orderBy($"ws")
+      },
+      Some("""WITH w AS (
+             |  SELECT date_trunc('hour', ts) - to_hours(k.k) AS ws, value
+             |  FROM events
+             |  CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+             |SELECT ws, ws + INTERVAL 2 HOUR AS we,
+             |  count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM w GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // Bloom-pruned join — the runtime-filter pattern as an explicit
+    // operator (functions.BloomPrune): a distributed BloomFilterAggregate
+    // over the dim side's keys prunes the fact scan with
+    // BloomFilterMightContain BEFORE the shuffle, then the exact semi
+    // join removes the false positives. No false negatives → the result
+    // set is provably the plain join's (the oracle IS the plain join);
+    // the bloom only cuts what the join would discard. At 100 TB the
+    // fact shuffle shrinks to ~the matching fraction — the win AQE's
+    // injected filter gets only for shuffle-join shapes it recognizes.
+    Q("q80_bloom_join",
+      (s, d) => {
+        import s.implicits._
+        val dim = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val bloom = graft.functions.BloomPrune.buildBloom(dim, $"c_custkey", 4000L)
+        Tables.orders(s, d)
+          .filter(graft.functions.BloomPrune.mightContain(bloom, $"o_custkey"))
+          .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left_semi")
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("revenue"))
+          .orderBy($"month")
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'BUILDING')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */

@@ -302,6 +302,40 @@ object StreamingQueries {
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE event_type = 'purchase'
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Watermark-BOUNDED streaming dedup — the production form of q71:
+    // dropDuplicatesWithinWatermark keeps per-key state only until the
+    // watermark passes the key's event time + delay, so state is O(keys
+    // seen per watermark horizon), not O(all keys ever) — the difference
+    // between a dedup that runs for months and one that OOMs. Emission is
+    // still exactly-once per key in append mode; with the corpus inside
+    // one horizon the emitted KEY SET equals the batch DISTINCT, which is
+    // what the oracle pins (q71 pins the unbounded-state variant).
+    Q("q78_stream_dedup_wm",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
+        val deduped = stream
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select($"user_id", $"event_type")
+
+        val name = "q78_stream_dedup_wm_sink"
+        val query = deduped.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name).orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

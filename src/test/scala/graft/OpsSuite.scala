@@ -561,6 +561,33 @@ class OpsSuite extends SparkSuite {
       s"z-layout must prune bins for user_id=42 ($prunedZ) where time-sort cannot ($prunedT)")
   }
 
+  test("bloom prune: no false negatives, real selectivity, exact post-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val bloom = graft.functions.BloomPrune.buildBloom(dim, $"c_custkey", 4000L)
+    val keys = dim.collect().map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sf)
+    val pruned = orders.filter(
+      graft.functions.BloomPrune.mightContain(bloom, $"o_custkey"))
+    // every truly-matching row survives the prefilter (no false negatives)
+    val trueMatches = orders.collect().count(r => keys(r.getAs[Long]("o_custkey")))
+    val survivors = pruned.collect()
+    assert(survivors.count(r => keys(r.getAs[Long]("o_custkey"))) === trueMatches)
+    // and the filter actually prunes (bloom fpp ≪ 1 at this fill factor)
+    assert(survivors.length < orders.count(),
+      "the bloom prefilter must remove non-matching fact rows")
+    // end-to-end: q80 equals the plain semi-join aggregation
+    val got = SparkEntry.queries("q80_bloom_join")(spark, sf).collect()
+    val want = orders
+      .join(dim, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"month").collect()
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+  }
+
   test("mean-embedding pooling matches a driver-side centroid") {
     import org.apache.spark.sql.functions._
     val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
