@@ -816,7 +816,78 @@ object RelationalQueries {
              |FROM orders
              |WHERE o_custkey IN (SELECT c_custkey FROM customer
              |                    WHERE c_mktsegment = 'BUILDING')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time-series gap fill — densify the hourly per-type series so every
+    // (hour, type) slot exists with an explicit zero, the precondition for
+    // window/diff analytics downstream. The hour spine is generated with
+    // `sequence()` off a 1-row min/max aggregate (no driver loop, no
+    // collect), the type dim is a distinct scan, and both sides of the
+    // final left join are bounded aggregates — at 100 TB the fact table is
+    // touched exactly twice (bounds + hourly rollup), and everything the
+    // join sees is already reduced, so spine × dims broadcasts.
+    Q("q81_gap_fill",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val hourly = ev
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("cnt"), sum($"value").as("sv"))
+        val spine = ev
+          .agg(min(date_trunc("hour", $"ts")).as("h0"),
+            max(date_trunc("hour", $"ts")).as("h1"))
+          .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+        val types = ev.select($"event_type").distinct()
+        spine.crossJoin(broadcast(types))
+          .join(broadcast(hourly), Seq("hour", "event_type"), "left")
+          .select($"hour", $"event_type",
+            coalesce($"cnt", lit(0L)).as("n"),
+            round(coalesce($"sv", lit(0.0)), 4).as("total_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT min(date_trunc('hour', ts)) AS h0,
+             |    max(date_trunc('hour', ts)) AS h1 FROM events),
+             |spine AS (
+             |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             |  FROM b),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |hourly AS (
+             |  SELECT date_trunc('hour', ts) AS hour, event_type,
+             |    count(*) AS cnt, sum(value) AS sv
+             |  FROM events GROUP BY 1, 2)
+             |SELECT s.hour, t.event_type,
+             |  coalesce(h.cnt, 0) AS n,
+             |  round(coalesce(h.sv, 0.0), 4) AS total_value
+             |FROM spine s CROSS JOIN types t
+             |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+             |ORDER BY s.hour, t.event_type""".stripMargin)),
+
+    // Correlated scalar subquery — the declarative form of "rows above
+    // their own group's benchmark": orders priced over 1.5× their
+    // customer's average. Catalyst DECORRELATES this (RewriteCorrelated
+    // ScalarSubquery) into the per-customer aggregate + an equi-join —
+    // the same plan the hand-written join would give, so the SQL surface
+    // costs nothing over the DataFrame form at 100 TB. The oracle runs
+    // the identical correlated SQL through DuckDB's own decorrelator.
+    Q("q82_correlated_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey,
+                |  round(o_totalprice, 2) AS price
+                |FROM orders_v o1
+                |WHERE o_totalprice > 1.5 * (
+                |  SELECT avg(o2.o_totalprice) FROM orders_v o2
+                |  WHERE o2.o_custkey = o1.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(o_totalprice, 2) AS price
+             |FROM orders o1
+             |WHERE o_totalprice > 1.5 * (
+             |  SELECT avg(o2.o_totalprice) FROM orders o2
+             |  WHERE o2.o_custkey = o1.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */

@@ -588,6 +588,26 @@ class OpsSuite extends SparkSuite {
     assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
   }
 
+  test("gap fill densifies every (hour, type) slot; correlated subquery decorrelates") {
+    import org.apache.spark.sql.functions._
+    val filled = SparkEntry.queries("q81_gap_fill")(spark, sf)
+    val rows = filled.collect()
+    val nTypes = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("hour").getTime).distinct.sorted
+    // a complete hourly spine: consecutive hours, every type present per hour
+    assert(rows.length === hours.length * nTypes)
+    assert(hours.sliding(2).forall { case Array(a, b) => b - a == 3600000L; case _ => true })
+    assert(rows.exists(_.getAs[Long]("n") == 0L), "gap rows must exist with explicit zeros")
+    // decorrelation: the executed plan has the per-customer aggregate joined
+    // back, not a per-row subquery
+    val cs = SparkEntry.queries("q82_correlated_subquery")(spark, sf)
+    val plan = cs.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") &&
+      (plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")),
+      "correlated scalar subquery must decorrelate to aggregate + join")
+  }
+
   test("mean-embedding pooling matches a driver-side centroid") {
     import org.apache.spark.sql.functions._
     val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
