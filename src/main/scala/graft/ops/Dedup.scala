@@ -620,6 +620,59 @@ object Dedup {
              |  CAST(sum(toks) AS BIGINT) AS n_tokens,
              |  CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
              |  round(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END) * 1.0 / sum(toks), 6) AS retained
-             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document duplicated-SPAN detection — the substring-level dedup
+    // of "Deduplicating Training Data Makes Language Models Better" (Lee
+    // et al., 2022), Spark-practical form: every 8-token gram is keyed by
+    // position, grams appearing in ≥2 documents are marked shared via ONE
+    // group-by (df count) + a semi join — no doc×doc pair join anywhere,
+    // so the cost is linear in corpus size where pairwise dedup is
+    // quadratic. Consecutive shared positions merge into maximal runs with
+    // the gaps-and-islands window (pos − row_number), giving each doc its
+    // duplicated-token count and longest duplicated span (run + 7 tokens).
+    // At 100 TB the gram table shuffles once on the gram key and once on
+    // doc_id — both already reduced; ubiquitous grams cost df, not df².
+    Q("q83_substring_dedup",
+      (s, d) => {
+        import s.implicits._
+        val grams = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 8)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+            .as(Seq("p", "g")))
+          .select($"doc_id", ($"p" + 1).as("i"), $"g")
+          .cache()
+        val shared = grams.groupBy($"g")
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 2).select($"g")
+        val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
+        grams.join(shared, Seq("g"), "left_semi")
+          .withColumn("rid", $"i" - row_number().over(byDoc))
+          .groupBy($"doc_id", $"rid").agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("n_shared"),
+            (max($"cnt") + 7).as("max_dup_span"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+             |        FROM toks WHERE len(w) >= 8)),
+             |shared AS (
+             |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+             |sg AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM shared)),
+             |runs AS (
+             |  SELECT doc_id,
+             |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rid
+             |  FROM sg),
+             |rl AS (SELECT doc_id, rid, count(*) AS cnt
+             |       FROM runs GROUP BY doc_id, rid)
+             |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shared,
+             |  CAST(max(cnt) + 7 AS BIGINT) AS max_dup_span
+             |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
