@@ -23,6 +23,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the library's optimizer extension (a cluster would set
+    // spark.sql.extensions=graft.functions.GraftExtensions instead);
+    // idempotent across getOrCreate-shared sessions
+    if (!spark.experimental.extraOptimizations.contains(plans.RangeBinJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RangeBinJoin
     spark
   }
 }

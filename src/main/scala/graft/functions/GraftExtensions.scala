@@ -56,5 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "usage: z_value(x, y)")
         ZValue(exprs.head, exprs(1))
       }))
+
+    // band-join → binned equi-join rewrite (see plans.RangeBinJoin)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoin)
   }
 }

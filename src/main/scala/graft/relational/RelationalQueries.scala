@@ -887,7 +887,41 @@ object RelationalQueries {
              |WHERE o_totalprice > 1.5 * (
              |  SELECT avg(o2.o_totalprice) FROM orders o2
              |  WHERE o2.o_custkey = o1.o_custkey)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Declarative band join — q18's semantics written the NAIVE way
+    // (`abs(p_us − err_us) <= w`, no hand-built bins) and left to the
+    // injected plans.RangeBinJoin optimizer rule, which rewrites it into
+    // the binned equi-join automatically (OpsSuite pins the rewrite and
+    // the nested-loop plan it replaces). This is the library's Catalyst
+    // extension tier earning its keep: user code states the predicate,
+    // the rule supplies the 100 TB-safe physical shape. ±120 s window,
+    // per-error nearby-purchase stats.
+    Q("q84_auto_range_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val err = ev.filter($"event_type" === "error")
+          .select($"event_id".as("err_id"), unix_micros($"ts").as("err_us"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select(unix_micros($"ts").as("p_us"), $"value".as("p_value"))
+        err.join(purch, abs($"p_us" - $"err_us") <= lit(120L * 1000000L))
+          .groupBy($"err_id")
+          .agg(count(lit(1)).as("n_purch"),
+            round(avg($"p_value"), 6).as("avg_value"))
+          .orderBy($"err_id")
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id AS err_id, epoch_us(ts) AS err_us
+             |  FROM events WHERE event_type = 'error'),
+             |purch AS (
+             |  SELECT epoch_us(ts) AS p_us, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT err_id, count(*) AS n_purch,
+             |  round(avg(p_value), 6) AS avg_value
+             |FROM err JOIN purch ON abs(p_us - err_us) <= 120000000
+             |GROUP BY err_id
+             |ORDER BY err_id""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */

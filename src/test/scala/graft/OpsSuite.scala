@@ -608,6 +608,41 @@ class OpsSuite extends SparkSuite {
       "correlated scalar subquery must decorrelate to aggregate + join")
   }
 
+  test("RangeBinJoin rule: band join becomes a binned equi-join, same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    def err = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), unix_micros($"ts").as("err_us"))
+    def purch = ev.filter($"event_type" === "purchase")
+      .select(unix_micros($"ts").as("p_us"), $"value".as("p_value"))
+    def naiveJoin = err.join(purch, abs($"p_us" - $"err_us") <= lit(120000000L))
+
+    val withoutRule = {
+      val saved = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.RangeBinJoin)
+      try {
+        val df = naiveJoin
+        (df.queryExecution.executedPlan.toString, df.collect())
+      } finally spark.experimental.extraOptimizations = saved
+    }
+    assert(withoutRule._1.contains("NestedLoop"),
+      "a pure band join must otherwise plan as a nested-loop join")
+
+    val df = naiveJoin // session rule active (Sessions.local injects it)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"the rule must replace the nested loop:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("Expand"),
+      "the probe side must explode into its candidate bins")
+    // identical multiset of result rows
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(df.collect().map(key).sorted.toSeq ===
+      withoutRule._2.map(key).sorted.toSeq)
+  }
+
   test("mean-embedding pooling matches a driver-side centroid") {
     import org.apache.spark.sql.functions._
     val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
