@@ -682,6 +682,49 @@ object TextAnalysis {
              |  FROM t)
              |SELECT source, rank, n_tok, doc_id
              |FROM r WHERE rank <= 3
-             |ORDER BY source, rank""".stripMargin))
+             |ORDER BY source, rank""".stripMargin)),
+
+    // Out-of-vocabulary rate — the tokenizer-coverage audit run before
+    // training: per document, the fraction of tokens outside the corpus
+    // vocabulary (q55's df ≥ 5 floor). Both the vocab build and the OOV
+    // count are single hash aggregations over the exploded token stream
+    // (the stream is read once and reused — one wide shuffle on token),
+    // and the OOV probe is a left-anti join against the (small,
+    // broadcastable) vocab — at 100 TB the vocab side stays bounded by
+    // the df floor while the token stream never materializes doc×vocab.
+    Q("q85_oov_rate",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .cache()
+        val vocab = toks.groupBy($"tok")
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 5).select($"tok")
+        val counts = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+        val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_oov"))
+        counts.join(oov, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tok",
+            coalesce($"n_oov", lit(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round($"n_oov".cast("double") / $"n_tok", 6))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM toks GROUP BY tok
+             |  HAVING count(DISTINCT doc_id) >= 5),
+             |counts AS (
+             |  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+             |oov AS (
+             |  SELECT doc_id, count(*) AS n_oov FROM toks
+             |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
+             |SELECT c.doc_id, c.n_tok, coalesce(o.n_oov, 0) AS n_oov,
+             |  round(coalesce(o.n_oov, 0) * 1.0 / c.n_tok, 6) AS oov_rate
+             |FROM counts c LEFT JOIN oov o ON c.doc_id = o.doc_id
+             |ORDER BY c.doc_id""".stripMargin))
   )
 }

@@ -921,7 +921,56 @@ object RelationalQueries {
              |  round(avg(p_value), 6) AS avg_value
              |FROM err JOIN purch ON abs(p_us - err_us) <= 120000000
              |GROUP BY err_id
-             |ORDER BY err_id""".stripMargin))
+             |ORDER BY err_id""".stripMargin)),
+
+    // Sequential conversion funnel — ORDERED stage progression per user
+    // (signup → first view after it → first click after that → purchase
+    // after that), not mere per-type existence: each stage's timestamp
+    // must follow the previous stage's. Every stage is one filtered
+    // aggregate joined to the previous stage's (user, ts) frame — four
+    // bounded per-user frames, each shuffled once on user_id; the final
+    // four scalars combine through the broadcast 1-row cross-join
+    // pattern, so no single-partition exchange touches the event stream.
+    Q("q86_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        def stage(tpe: String, prev: DataFrame, prevTs: String, out: String) =
+          ev.filter($"event_type" === tpe)
+            .join(prev, "user_id")
+            .filter($"us" > col(prevTs))
+            .groupBy($"user_id").agg(min($"us").as(out))
+        val t1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"us").as("t1"))
+        val t2 = stage("view", t1, "t1", "t2")
+        val t3 = stage("click", t2, "t2", "t3")
+        val t4 = stage("purchase", t3, "t3", "t4")
+        def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+        n(t1, "n_signup")
+          .crossJoin(broadcast(n(t2, "n_view")))
+          .crossJoin(broadcast(n(t3, "n_click")))
+          .crossJoin(broadcast(n(t4, "n_purchase")))
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN t1 USING (user_id)
+             |  WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+             |t3 AS (
+             |  SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN t2 USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+             |t4 AS (
+             |  SELECT e.user_id, min(ts) AS t4 FROM events e
+             |  JOIN t3 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+             |SELECT (SELECT count(*) FROM t1) AS n_signup,
+             |  (SELECT count(*) FROM t2) AS n_view,
+             |  (SELECT count(*) FROM t3) AS n_click,
+             |  (SELECT count(*) FROM t4) AS n_purchase""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
