@@ -673,6 +673,65 @@ object Dedup {
              |       FROM runs GROUP BY doc_id, rid)
              |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shared,
              |  CAST(max(cnt) + 7 AS BIGINT) AS max_dup_span
-             |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PageRank over the near-dup graph — centrality ranks the canonical
+    // representative inside each duplicate cluster (the most-connected
+    // near-dup is the best keeper). Same driver-loop discipline as the EM
+    // (q24) and components (q46) iterations: a FIXED iteration count, each
+    // round one join-aggregate pass over the edge list (contribution =
+    // p/odeg to each neighbor, damping 0.85), localCheckpoint at every
+    // round boundary so the plan stays constant-depth. Ranks are rounded
+    // to 6 dp per round — the same trick that makes q51's Lloyd iterations
+    // bit-reproducible in SQL — so the oracle can unroll the three rounds
+    // as CTE blocks. At 100 TB the per-round cost is one shuffle of the
+    // edge list on src plus one on dst; rank frames are node-sized.
+    Q("q87_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(Tables.documents(s, d)).select($"a", $"b")
+        val edges = pairs.select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+          .localCheckpoint()
+        val odeg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+        val nodes = edges.select($"src".as("id")).distinct().cache()
+        var rank = nodes.withColumn("p", lit(1.0))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(rank.withColumnRenamed("id", "src"), "src")
+            .join(odeg, "src")
+            .groupBy($"dst".as("id"))
+            .agg(sum($"p" / $"deg").as("v"))
+          rank = nodes.join(contrib, Seq("id"), "left")
+            .select($"id",
+              round(lit(0.15) + lit(0.85) * coalesce($"v", lit(0.0)), 6).as("p"))
+            .localCheckpoint()
+        }
+        rank.select($"id".as("doc_id"), round($"p", 4).as("pagerank"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def round(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT n.id, round(0.15 + 0.85 * coalesce(s.v, 0), 6) AS p
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS id, sum($prev.p / odeg.deg) AS v
+             |    FROM edges e JOIN $prev ON e.src = $prev.id
+             |    JOIN odeg ON e.src = odeg.src
+             |    GROUP BY e.dst) s USING (id))""".stripMargin
+        s"""WITH $minhashPairsSql,
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION ALL SELECT b, a FROM pairs),
+           |odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS p FROM nodes),
+           |${round("p0", "p1")},
+           |${round("p1", "p2")},
+           |${round("p2", "p3")}
+           |SELECT id AS doc_id, round(p, 4) AS pagerank
+           |FROM p3 ORDER BY doc_id""".stripMargin
+      })
   )
 }
