@@ -336,6 +336,45 @@ object StreamingQueries {
         s.table(name).orderBy($"user_id", $"event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Stream-static ANTI join — ingest-time benchmark decontamination:
+    // incoming documents whose exact text matches the (broadcast) eval
+    // set are dropped BEFORE they ever land in the training corpus.
+    // Like q77 the static side broadcasts and the join is stateless —
+    // no state store, no watermark — which is what lets a contamination
+    // guard sit on a 100 TB/day firehose for free; the per-source
+    // survivor counts aggregate in complete mode over the bounded
+    // source key space. (q37 is the batch shingle-overlap audit; this
+    // is the exact-match gate at the stream edge.)
+    Q("q79_stream_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/documents.parquet")
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "documents"))
+        val evalSet = broadcast(
+          graft.Tables.documents(s, d).filter($"doc_id" < 20)
+            .select($"text").distinct())
+        val survivors = stream
+          .join(evalSet, Seq("text"), "left_anti")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_clean"))
+
+        val name = "q79_stream_decontaminate_sink"
+        val query = survivors.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+
+        s.table(name).orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_clean
+             |FROM documents
+             |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 20)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }
