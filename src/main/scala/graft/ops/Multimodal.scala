@@ -198,6 +198,98 @@ object Multimodal {
              |  3 AS channels,
              |  CAST((doc_id % 200 + 1) // 2 AS INT) AS thumb_w,
              |  CAST((doc_id % 100 + 1) // 2 AS INT) AS thumb_h
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the audio modality, same real-decoder contract as q62: a canonical
+    // 44-byte PCM WAV header (RIFF/WAVE + fmt + data chunks, little-endian
+    // per the public RIFF spec) is synthesized per document and decodeWav
+    // must parse channels/rate/width/duration back out of the binary. The
+    // oracle recomputes the expected values arithmetically — the check is
+    // that Spark's parse(build(...)) round-trips exactly, incl. the
+    // integer-division duration.
+    Q("q88_wav_features",
+      (s, d) => {
+        import s.implicits._
+        val records = Tables.documents(s, d)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val rate = 8000 * ((id % 5).toInt + 1)
+            val ch = (id % 2).toInt + 1
+            val bits = 8 * ((id % 2).toInt + 1)
+            val n = ((id % 1000).toInt + 1) * 10
+            MediaRecord(id, "audio/wav", wavHeader(rate, ch, bits, n))
+          }
+        extractAudio(records).toDF().orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  44 AS n_bytes,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  CAST(8000 * (doc_id % 5 + 1) AS INT) AS sample_rate,
+             |  CAST(8 * (doc_id % 2 + 1) AS INT) AS bits,
+             |  CAST((doc_id % 1000 + 1) * 10 AS BIGINT) AS n_samples,
+             |  CAST(((doc_id % 1000 + 1) * 10 * 1000)
+             |    // (8000 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
+
+  /** Decoded audio-payload features. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Long)
+
+  /** Synthesize the canonical 44-byte PCM WAV header (RIFF spec: all
+    * multi-byte fields little-endian; fmt chunk of 16 bytes, audio format
+    * 1 = PCM). `nSamples` sized the data chunk; no sample data follows —
+    * enough for any header-reading decoder. */
+  def wavHeader(sampleRate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * channels * (bits / 8)
+    val buf = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(sampleRate * channels * (bits / 8)) // byte rate
+    buf.putShort((channels * (bits / 8)).toShort)  // block align
+    buf.putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array()
+  }
+
+  /** Parse the WAV header FOR REAL: fixed offsets in the canonical layout —
+    * channels @22 (LE u16), sample rate @24 (LE u32), bits @34 (LE u16),
+    * data size @40 (LE u32); n_samples = dataSize / (channels · bits/8),
+    * duration = n_samples · 1000 / rate (integer ms). Non-WAV payloads get
+    * the zero record rather than a throw (a firehose carries junk). */
+  def decodeWav(doc_id: Long, p: Array[Byte]): AudioFeatures = {
+    def le16(o: Int): Int = (p(o) & 0xff) | (p(o + 1) & 0xff) << 8
+    def le32(o: Int): Int =
+      (p(o) & 0xff) | (p(o + 1) & 0xff) << 8 |
+        (p(o + 2) & 0xff) << 16 | (p(o + 3) & 0xff) << 24
+    val isWav = p.length >= 44 &&
+      p.startsWith("RIFF".getBytes("US-ASCII")) &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(p, 8, 12), "WAVE".getBytes("US-ASCII"))
+    if (!isWav) AudioFeatures(doc_id, p.length, 0, 0, 0, 0L, 0L)
+    else {
+      val ch = le16(22); val rate = le32(24); val bits = le16(34)
+      val dataSize = le32(40)
+      val n = if (ch > 0 && bits >= 8) dataSize.toLong / (ch * (bits / 8)) else 0L
+      val ms = if (rate > 0) n * 1000L / rate else 0L
+      AudioFeatures(doc_id, p.length, ch, rate, bits, n, ms)
+    }
+  }
+
+  /** Partition-batched audio feature extraction (same batching contract as
+    * extractFeatures). */
+  def extractAudio(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
+  }
 }

@@ -643,6 +643,16 @@ class OpsSuite extends SparkSuite {
       withoutRule._2.map(key).sorted.toSeq)
   }
 
+  test("WAV decode round-trips the header and degrades on junk, not throws") {
+    import graft.ops.Multimodal
+    val h = Multimodal.wavHeader(sampleRate = 44100, channels = 2, bits = 16, nSamples = 44100)
+    val f = Multimodal.decodeWav(7L, h)
+    assert(f.channels === 2 && f.sample_rate === 44100 && f.bits === 16)
+    assert(f.n_samples === 44100L && f.duration_ms === 1000L)
+    val junk = Multimodal.decodeWav(8L, Array[Byte](1, 2, 3))
+    assert(junk.channels === 0 && junk.n_samples === 0L, "junk must decode to zeros")
+  }
+
   test("mean-embedding pooling matches a driver-side centroid") {
     import org.apache.spark.sql.functions._
     val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
