@@ -970,7 +970,38 @@ object RelationalQueries {
              |SELECT (SELECT count(*) FROM t1) AS n_signup,
              |  (SELECT count(*) FROM t2) AS n_view,
              |  (SELECT count(*) FROM t3) AS n_click,
-             |  (SELECT count(*) FROM t4) AS n_purchase""".stripMargin))
+             |  (SELECT count(*) FROM t4) AS n_purchase""".stripMargin)),
+
+    // Z-score outlier detection — per-type population stats (one partial+
+    // final aggregate over the stream) broadcast-joined back onto the rows,
+    // flagging |value − µ| > 3σ. The two-pass shape (aggregate, then join
+    // the BOUNDED stats frame back) is the scale-correct alternative to a
+    // per-row window over the whole population: the second pass streams
+    // map-side against a broadcast of per-type scalars. Population σ
+    // (stddev_pop) so both engines use the same estimator; z rounded for
+    // the hash.
+    Q("q89_outliers",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy($"event_type")
+          .agg(avg($"value").as("mu"), stddev_pop($"value").as("sigma"))
+        ev.join(broadcast(stats), "event_type")
+          .filter(abs($"value" - $"mu") > lit(3.0) * $"sigma")
+          .select($"event_type", $"event_id",
+            round($"value", 4).as("value"),
+            round(($"value" - $"mu") / $"sigma", 4).as("z"))
+          .orderBy($"event_type", $"event_id")
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, e.event_id,
+             |  round(e.value, 4) AS value,
+             |  round((e.value - s.mu) / s.sigma, 4) AS z
+             |FROM events e JOIN stats s USING (event_type)
+             |WHERE abs(e.value - s.mu) > 3.0 * s.sigma
+             |ORDER BY e.event_type, e.event_id""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
