@@ -51,6 +51,15 @@ object Bench {
       val (t, e) = if (e1.isDefined) (t1, e1) else {
         val (t2, e2) = once(); (math.min(t1, t2), e2)
       }
+      // Inter-query hygiene: queries cache/localCheckpoint frames internally
+      // and nothing drops them once the query's DataFrames go out of scope
+      // until a GC lets the ContextCleaner run. Across 89 queries the
+      // accumulated blocks crowd the storage pool and the LATER queries pay
+      // in GC/eviction — observed as q46 drifting 5.4 s → 11.6 s as the
+      // surface grew. Each query is measured against an empty cache
+      // (best-of-2 still captures its own internal reuse).
+      spark.catalog.clearCache()
+      System.gc()
       (name, t, e)
     }
     val ok = results.filter(_._3.isEmpty)
