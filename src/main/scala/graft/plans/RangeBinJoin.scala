@@ -45,11 +45,19 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
         case EqualNullSafe(a, b) => crossSide(l, r, a, b)
         case _ => false
       }
+      // integral-only: binning truncates via IntegralDivide, which is only
+      // monotonicity-safe when the compared values are themselves integers —
+      // a fractional time column could land one bin away from its truncated
+      // value and a border pair would be missed
+      def integral(e: Expression) = e.dataType match {
+        case LongType | org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
       val band = conjuncts.collectFirst {
         case LessThanOrEqual(Abs(Subtract(a, b, _), _), lw: Literal)
-            if (lw.dataType == LongType ||
-              lw.dataType == org.apache.spark.sql.types.IntegerType ||
-              lw.dataType == org.apache.spark.sql.types.ShortType) &&
+            if integral(lw) && integral(a) && integral(b) &&
               lw.value != null && a.deterministic && b.deterministic &&
               crossSide(l, r, a, b) =>
           (a, b, lw.value.toString.toLong)

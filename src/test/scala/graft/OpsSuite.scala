@@ -641,6 +641,13 @@ class OpsSuite extends SparkSuite {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
     assert(df.collect().map(key).sorted.toSeq ===
       withoutRule._2.map(key).sorted.toSeq)
+    // fractional band columns must NOT fire the rule: IntegralDivide
+    // binning on truncated doubles could drop border pairs
+    val dbl = err.select($"err_id", ($"err_us" / 1e6).as("err_s"))
+      .join(purch.select(($"p_us" / 1e6).as("p_s"), $"p_value"),
+        abs($"p_s" - $"err_s") <= lit(120L))
+    assert(dbl.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "the rewrite is integral-only; double inputs stay on the exact plan")
   }
 
   test("WAV decode round-trips the header and degrades on junk, not throws") {
