@@ -14,6 +14,10 @@ private[streaming] object Staging {
     val src = java.nio.file.Paths.get(s"$d/$table.parquet")
     try java.nio.file.Files.createSymbolicLink(target, src)
     catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    // the link and dir are per-query-run scratch: reclaim them on JVM exit
+    // rather than accumulating one dir per streaming query per run
+    target.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
     dir.toString
   }
 }
