@@ -6,25 +6,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * extension via ADAM (cli/Quantify.scala:73, SURVEY S1); only `.sequence`
   * is ever consumed downstream.
   *
-  * FASTQ is 4 lines per record (public format): @name / sequence / + /
-  * qualities. Line-order grouping needs a global line index, which a plain
-  * DataFrame text scan does not expose — this is one of the rare genuine
-  * per-partition imperative cases (SURVEY §7.1), so the RDD `zipWithIndex`
-  * is used for exactly that one step and the result immediately returns to
-  * DataFrame land. zipWithIndex costs one extra job to count partition
-  * sizes, then the selection is narrow.
+  * Reads go through the DataSource V2 connector (`FastqSource`,
+  * `format("graft.fastq")`): the narrow `.select("sequence")` pushes column
+  * pruning into the reader, so name/quality lines are skipped, not
+  * materialized — the same contract as a parquet scan. (An earlier
+  * implementation used `textFile().zipWithIndex` to recover record framing;
+  * the connector owns framing per file and needs no extra counting job.)
   */
 object Fastq {
 
   /** DataFrame(sequence string) — one row per read. */
-  def reads(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.sparkContext.textFile(path)
-      .zipWithIndex()
-      .filter { case (_, i) => i % 4 == 1 } // the sequence line of each record
-      .map(_._1)
-      .toDF("sequence")
-  }
+  def reads(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft.fastq").load(path).select("sequence")
 
   /** Extension-dispatching read loader (SURVEY S1) — the reference's
     * three-format `loadAlignments` contract (cli/Quantify.scala:73):

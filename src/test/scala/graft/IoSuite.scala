@@ -100,6 +100,32 @@ class IoSuite extends SparkSuite {
     assert(seqs.toSeq === Seq("CAATCCTTCG", "GCAGTGCA"))
   }
 
+  test("FASTQ DSv2 connector: full schema, pruned scan, gz, multi-file dir") {
+    val dir = Files.createTempDirectory("graft_fq_dir")
+    Files.writeString(dir.resolve("a.fastq"),
+      "@r1\nCAATCCTTCG\n+\nIIIIIIIIII\n@r2\nGCAGTGCA\n+\n@IIIIIII\n")
+    val gz = dir.resolve("b.fastq.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write("@r3\nTTTT\n+\nIIII\n".getBytes("UTF-8")); out.close()
+
+    val df = spark.read.format("graft.fastq").load(dir.toString)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    // quality line starting with '@' (legal FASTQ) must not derail framing
+    assert(rows.toSeq === Seq(
+      ("r1", "CAATCCTTCG", "IIIIIIIIII"),
+      ("r2", "GCAGTGCA", "@IIIIIII"),
+      ("r3", "TTTT", "IIII")))
+    // column pruning reaches the reader: the scan's output is only
+    // the selected column (SupportsPushDownRequiredColumns)
+    val pruned = df.select("sequence")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("sequence") && !scan.contains("quality"),
+      s"pruned scan should read only `sequence`:\n$scan")
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("CAATCCTTCG", "GCAGTGCA", "TTTT"))
+  }
+
   test("SAM reader extracts SEQ column, loader dispatches .sam") {
     val sam = Files.createTempFile("graft_reads", ".sam")
     Files.writeString(sam,
