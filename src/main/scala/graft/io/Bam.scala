@@ -133,7 +133,7 @@ object Bam {
   /** Parse the BGZF header at `pos` (positioned read — no seek state) and
     * return the total block length (BSIZE+1), or -1 if `pos` is not a valid
     * BGZF block start. */
-  private def blockLen(in: FSDataInputStream, pos: Long, fileLen: Long): Int = {
+  private[io] def blockLen(in: FSDataInputStream, pos: Long, fileLen: Long): Int = {
     if (pos + 18 > fileLen) return -1
     val h = new Array[Byte](12)
     in.readFully(pos, h)
@@ -314,7 +314,7 @@ object Bam {
   /** Decode the records a chunk owns (see [[BamChunk]]). The opened stream
     * is closed by a task-completion listener (one chunk = one partition, so
     * the fd is held exactly for the task's lifetime, on every exit path). */
-  private def decodeChunk(c: BamChunk, conf: Configuration): Iterator[String] = {
+  private[io] def decodeChunk(c: BamChunk, conf: Configuration): Iterator[String] = {
     val p = new Path(c.path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -359,7 +359,7 @@ object Bam {
   }
 
   /** Reference-sequence count from the header — the guesser's refID bound. */
-  private def readNRef(in: FSDataInputStream, fileLen: Long): Int = {
+  private[io] def readNRef(in: FSDataInputStream, fileLen: Long): Int = {
     val din = new DataInputStream(new BgzfCursor(in, fileLen, 0L))
     val magic = new Array[Byte](4); din.readFully(magic)
     if (!magic.sameElements("BAM\u0001".getBytes("ISO-8859-1")))
@@ -369,35 +369,12 @@ object Bam {
   }
 
   /** DataFrame(sequence string) — one row per read with a stored sequence.
-    * The driver slices each BGZF file into `chunkBytes` compressed ranges
-    * and every chunk decodes in parallel (see object doc); plain-gzip files
-    * get one streaming task each. The RDD hop is deliberate — this is
-    * genuine per-partition imperative I/O, the one place SURVEY licenses
-    * RDDs. */
-  def reads(spark: SparkSession, path: String, chunkBytes: Long = 64L << 20): DataFrame = {
-    import spark.implicits._
-    val sc = spark.sparkContext
-    val p = new Path(path)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-                     else Array(st))
-    val chunks = statuses.toSeq.flatMap { st =>
-      val len = st.getLen
-      val in = fs.open(st.getPath)
-      try {
-        if (blockLen(in, 0L, len) > 0) { // real BGZF: splittable
-          val nRef = readNRef(in, len)
-          (0L until len by chunkBytes).map(s =>
-            BamChunk(st.getPath.toString, s, math.min(s + chunkBytes, len), nRef))
-        } else Seq(BamChunk(st.getPath.toString, 0L, len, -1))
-      } finally in.close()
-    }
-    // executors must resolve filesystems with the DRIVER's Hadoop conf
-    // (spark.hadoop.* credentials/endpoints), not a default Configuration
-    val bconf = sc.broadcast(new HadoopConf(new Configuration(sc.hadoopConfiguration)))
-    sc.parallelize(chunks, math.max(chunks.size, 1))
-      .flatMap(c => decodeChunk(c, bconf.value.value))
-      .toDF("sequence")
-  }
+    * Delegates to the `graft.bam` DataSource V2 connector (BamSource):
+    * the planner slices each BGZF file into `chunkBytes` compressed-range
+    * InputPartitions and every chunk decodes in parallel; plain-gzip files
+    * get one streaming partition each. */
+  def reads(spark: SparkSession, path: String, chunkBytes: Long = 64L << 20): DataFrame =
+    spark.read.format("graft.bam")
+      .option("chunkBytes", chunkBytes.toString)
+      .load(path)
 }
