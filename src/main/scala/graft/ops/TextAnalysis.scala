@@ -725,6 +725,129 @@ object TextAnalysis {
              |SELECT c.doc_id, c.n_tok, coalesce(o.n_oov, 0) AS n_oov,
              |  round(coalesce(o.n_oov, 0) * 1.0 / c.n_tok, 6) AS oov_rate
              |FROM counts c LEFT JOIN oov o ON c.doc_id = o.doc_id
-             |ORDER BY c.doc_id""".stripMargin))
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // BPE tokenizer TRAINING — the merge-rule learning loop itself, not
+    // just the q34 regex approximation of its output: start from
+    // characters (word-bounded, first 20 words per doc), and for 6 rounds
+    // pick the most frequent adjacent pair (ties broken lexicographically)
+    // and merge every greedy left-to-right occurrence. Greedy overlap
+    // semantics ("aaa" merges once) are made ENGINE-REPRODUCIBLE with a
+    // parity rule: eligible positions group into consecutive-run islands
+    // (pos − row_number) and only odd-indexed members of each island
+    // merge — a pure window computation identical in Spark and DuckDB, so
+    // the whole training loop unrolls into CTE blocks. Each round is two
+    // window passes + one aggregate over the token frame (shuffles on
+    // (doc, word) and on the pair key); the driver sees only the 1-row
+    // argmax per round, exactly like the EM normalizers. Output: the
+    // learned merge table (round, pair, count).
+    Q("q90_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val byWord = Window.partitionBy($"doc_id", $"word_id").orderBy($"pos")
+        var toks = Tables.documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("word_id", "w")))
+          .filter($"word_id" < 20 && length($"w") > 0)
+          .select($"doc_id", $"word_id", posexplode(expr(
+            "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
+            .as(Seq("pos", "tok")))
+          .localCheckpoint()
+        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+        for (r <- 1 to 6) {
+          val paired = toks.withColumn("nxt", lead($"tok", 1).over(byWord))
+          val best = paired.filter($"nxt".isNotNull)
+            .groupBy($"tok".as("x"), $"nxt".as("y"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy($"c".desc, $"x", $"y").limit(1).collect()
+          if (best.nonEmpty) {
+            val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            merges += ((r, x, y, c))
+            val elig = paired.filter($"tok" === x && $"nxt" === y)
+              .withColumn("rn", row_number().over(byWord))
+              .withColumn("gid", $"pos" - $"rn")
+            val keep = elig.withColumn("k", row_number().over(
+                Window.partitionBy($"doc_id", $"word_id", $"gid").orderBy($"pos")))
+              .filter($"k" % 2 === 1)
+              .select($"doc_id".as("kd"), $"word_id".as("kw"), $"pos".as("mpos"))
+            toks = paired
+              .join(keep, $"doc_id" === $"kd" &&
+                $"word_id" === $"kw" && $"pos" === $"mpos", "left")
+              .drop("kd", "kw")
+              // drop the absorbed right half: rows whose predecessor merged
+              .withColumn("dropped", lag($"mpos", 1).over(byWord).isNotNull)
+              .filter(!$"dropped")
+              .select($"doc_id", $"word_id", $"pos",
+                when($"mpos".isNotNull, concat($"tok", $"nxt"))
+                  .otherwise($"tok").as("tok"))
+              .withColumn("pos", row_number().over(byWord))
+              .localCheckpoint()
+          }
+        }
+        merges.toSeq.toDF("merge_round", "x", "y", "n_occurrences")
+          .orderBy($"merge_round")
+      },
+      Some(TextAnalysisOracles.bpeTrainSql))
   )
+}
+
+/** Unrolled-CTE oracle for the q90 BPE training loop: 6 rounds, each the
+  * exact relational mirror of the Spark round (pair window → argmax with
+  * lexicographic tie-break → parity-ruled greedy merge → renumber). */
+private[ops] object TextAnalysisOracles {
+
+  private def bpeRound(r: Int): String = {
+    val (t, p, best, el, ke, t1) =
+      (s"t$r", s"p$r", s"best$r", s"el$r", s"ke$r", s"t${r + 1}")
+    s"""$p AS (
+       |  SELECT doc_id, word_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS nxt
+       |  FROM $t),
+       |$best AS (
+       |  SELECT tok AS x, nxt AS y, count(*) AS c
+       |  FROM $p WHERE nxt IS NOT NULL
+       |  GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 1),
+       |$el AS (
+       |  SELECT p.doc_id, p.word_id, p.pos,
+       |    row_number() OVER (PARTITION BY p.doc_id, p.word_id ORDER BY p.pos) AS rn
+       |  FROM $p p JOIN $best b ON p.tok = b.x AND p.nxt = b.y),
+       |$ke AS (
+       |  SELECT doc_id, word_id, pos FROM (
+       |    SELECT doc_id, word_id, pos,
+       |      row_number() OVER (PARTITION BY doc_id, word_id, pos - rn
+       |        ORDER BY pos) AS k
+       |    FROM $el) WHERE k % 2 = 1),
+       |$t1 AS (
+       |  SELECT doc_id, word_id,
+       |    row_number() OVER (PARTITION BY doc_id, word_id ORDER BY pos) AS pos,
+       |    CASE WHEN mpos IS NOT NULL THEN tok || nxt ELSE tok END AS tok
+       |  FROM (
+       |    SELECT p.doc_id, p.word_id, p.pos, p.tok, p.nxt, k.pos AS mpos,
+       |      lag(k.pos) OVER (PARTITION BY p.doc_id, p.word_id ORDER BY p.pos)
+       |        AS prev_m
+       |    FROM $p p LEFT JOIN $ke k
+       |      ON k.doc_id = p.doc_id AND k.word_id = p.word_id AND k.pos = p.pos)
+       |  WHERE prev_m IS NULL)""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = (1 to 6).map(bpeRound).mkString(",\n")
+    val out = (1 to 6)
+      .map(r => s"SELECT $r AS merge_round, x, y, CAST(c AS BIGINT) AS n_occurrences FROM best$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT doc_id, wi AS word_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |      unnest(range(len(string_split(text, ' ')))) AS wi
+       |    FROM documents)
+       |  WHERE wi < 20 AND length(w) > 0),
+       |t1 AS (
+       |  SELECT doc_id, word_id, pos, substr(w, CAST(pos AS INT) + 1, 1) AS tok
+       |  FROM (SELECT doc_id, word_id, w, unnest(range(length(w))) AS pos
+       |        FROM w0)),
+       |$rounds
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY merge_round""".stripMargin
+  }
 }

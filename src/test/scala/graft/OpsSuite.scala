@@ -660,6 +660,22 @@ class OpsSuite extends SparkSuite {
     assert(junk.channels === 0 && junk.n_samples === 0L, "junk must decode to zeros")
   }
 
+  test("BPE training: greedy overlap, lexicographic ties, merge exhaustion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_fixture")
+    Seq((1L, "aaaa bbbb", "en", "s0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q90_bpe_train")(spark, dir.toString)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (a,a)×3 ties (b,b)×3 → lexicographic; "aaaa" merges GREEDILY to
+    // (aa)(aa), not (a(aa)); r3/r4 ties break on the merged symbols; then
+    // no pair recurs and rounds 5-6 are no-ops emitting nothing
+    assert(rows.toSeq === Seq(
+      (1, "a", "a", 3L), (2, "b", "b", 3L),
+      (3, "aa", "aa", 1L), (4, "bb", "bb", 1L)))
+  }
+
   test("mean-embedding pooling matches a driver-side centroid") {
     import org.apache.spark.sql.functions._
     val pooled = SparkEntry.queries("q66_mean_embedding")(spark, sf).collect()
