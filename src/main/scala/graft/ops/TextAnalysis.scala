@@ -744,51 +744,80 @@ object TextAnalysis {
     Q("q90_bpe_train",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val byWord = Window.partitionBy($"doc_id", $"word_id").orderBy($"pos")
-        var toks = Tables.documents(s, d)
-          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("word_id", "w")))
-          .filter($"word_id" < 20 && length($"w") > 0)
-          .select($"doc_id", $"word_id", posexplode(expr(
-            "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
-            .as(Seq("pos", "tok")))
-          .localCheckpoint()
-        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-        for (r <- 1 to 6) {
-          val paired = toks.withColumn("nxt", lead($"tok", 1).over(byWord))
-          val best = paired.filter($"nxt".isNotNull)
-            .groupBy($"tok".as("x"), $"nxt".as("y"))
-            .agg(count(lit(1)).as("c"))
-            .orderBy($"c".desc, $"x", $"y").limit(1).collect()
-          if (best.nonEmpty) {
-            val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-            merges += ((r, x, y, c))
-            val elig = paired.filter($"tok" === x && $"nxt" === y)
-              .withColumn("rn", row_number().over(byWord))
-              .withColumn("gid", $"pos" - $"rn")
-            val keep = elig.withColumn("k", row_number().over(
-                Window.partitionBy($"doc_id", $"word_id", $"gid").orderBy($"pos")))
-              .filter($"k" % 2 === 1)
-              .select($"doc_id".as("kd"), $"word_id".as("kw"), $"pos".as("mpos"))
-            toks = paired
-              .join(keep, $"doc_id" === $"kd" &&
-                $"word_id" === $"kw" && $"pos" === $"mpos", "left")
-              .drop("kd", "kw")
-              // drop the absorbed right half: rows whose predecessor merged
-              .withColumn("dropped", lag($"mpos", 1).over(byWord).isNotNull)
-              .filter(!$"dropped")
-              .select($"doc_id", $"word_id", $"pos",
-                when($"mpos".isNotNull, concat($"tok", $"nxt"))
-                  .otherwise($"tok").as("tok"))
-              .withColumn("pos", row_number().over(byWord))
-              .localCheckpoint()
-          }
-        }
-        merges.toSeq.toDF("merge_round", "x", "y", "n_occurrences")
+        val (merges, _, _) = bpeLoop(s, d)
+        merges.toDF("merge_round", "x", "y", "n_occurrences")
           .orderBy($"merge_round")
       },
-      Some(TextAnalysisOracles.bpeTrainSql))
+      Some(TextAnalysisOracles.bpeTrainSql)),
+
+    // Tokenizer APPLICATION + compression audit — the training loop's
+    // final frame IS the corpus tokenized under the learned merges, so
+    // applying the tokenizer falls out of q90's machinery: per document,
+    // character-token count before, BPE-token count after, and the
+    // compression ratio (the metric a tokenizer is chosen by).
+    Q("q91_bpe_apply",
+      (s, d) => {
+        import s.implicits._
+        val (_, init, fin) = bpeLoop(s, d)
+        val before = init.groupBy($"doc_id").agg(count(lit(1)).as("n_char_tok"))
+        val after = fin.groupBy($"doc_id").agg(count(lit(1)).as("n_bpe_tok"))
+        before.join(after, "doc_id")
+          .withColumn("compression",
+            round($"n_bpe_tok".cast("double") / $"n_char_tok", 6))
+          .orderBy($"doc_id")
+      },
+      Some(TextAnalysisOracles.bpeApplySql))
   )
+
+  /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
+    * (see q90 doc). @return (merge table, initial char-token frame, final
+    * BPE-token frame). */
+  private def bpeLoop(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byWord = Window.partitionBy($"doc_id", $"word_id").orderBy($"pos")
+    val init = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("word_id", "w")))
+      .filter($"word_id" < 20 && length($"w") > 0)
+      .select($"doc_id", $"word_id", posexplode(expr(
+        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
+        .as(Seq("pos", "tok")))
+      .localCheckpoint()
+    var toks = init
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to 6) {
+      val paired = toks.withColumn("nxt", lead($"tok", 1).over(byWord))
+      val best = paired.filter($"nxt".isNotNull)
+        .groupBy($"tok".as("x"), $"nxt".as("y"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"x", $"y").limit(1).collect()
+      if (best.nonEmpty) {
+        val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, x, y, c))
+        val elig = paired.filter($"tok" === x && $"nxt" === y)
+          .withColumn("rn", row_number().over(byWord))
+          .withColumn("gid", $"pos" - $"rn")
+        val keep = elig.withColumn("k", row_number().over(
+            Window.partitionBy($"doc_id", $"word_id", $"gid").orderBy($"pos")))
+          .filter($"k" % 2 === 1)
+          .select($"doc_id".as("kd"), $"word_id".as("kw"), $"pos".as("mpos"))
+        toks = paired
+          .join(keep, $"doc_id" === $"kd" &&
+            $"word_id" === $"kw" && $"pos" === $"mpos", "left")
+          .drop("kd", "kw")
+          // drop the absorbed right half: rows whose predecessor merged
+          .withColumn("dropped", lag($"mpos", 1).over(byWord).isNotNull)
+          .filter(!$"dropped")
+          .select($"doc_id", $"word_id", $"pos",
+            when($"mpos".isNotNull, concat($"tok", $"nxt"))
+              .otherwise($"tok").as("tok"))
+          .withColumn("pos", row_number().over(byWord))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, init, toks)
+  }
 }
 
 /** Unrolled-CTE oracle for the q90 BPE training loop: 6 rounds, each the
@@ -835,7 +864,15 @@ private[ops] object TextAnalysisOracles {
     val out = (1 to 6)
       .map(r => s"SELECT $r AS merge_round, x, y, CAST(c AS BIGINT) AS n_occurrences FROM best$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
+    s"""WITH $bpePrefix,
+       |$rounds
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  private def bpePrefix: String =
+    s"""w0 AS (
        |  SELECT doc_id, wi AS word_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
        |      unnest(range(len(string_split(text, ' ')))) AS wi
@@ -844,10 +881,17 @@ private[ops] object TextAnalysisOracles {
        |t1 AS (
        |  SELECT doc_id, word_id, pos, substr(w, CAST(pos AS INT) + 1, 1) AS tok
        |  FROM (SELECT doc_id, word_id, w, unnest(range(length(w))) AS pos
-       |        FROM w0)),
+       |        FROM w0))""".stripMargin
+
+  val bpeApplySql: String = {
+    val rounds = (1 to 6).map(bpeRound).mkString(",\n")
+    s"""WITH $bpePrefix,
        |$rounds
-       |SELECT * FROM (
-       |  $out)
-       |ORDER BY merge_round""".stripMargin
+       |SELECT b.doc_id, b.n_char_tok, a.n_bpe_tok,
+       |  round(a.n_bpe_tok * 1.0 / b.n_char_tok, 6) AS compression
+       |FROM (SELECT doc_id, count(*) AS n_char_tok FROM t1 GROUP BY 1) b
+       |JOIN (SELECT doc_id, count(*) AS n_bpe_tok FROM t7 GROUP BY 1) a
+       |  USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
   }
 }
