@@ -1001,7 +1001,66 @@ object RelationalQueries {
              |  round((e.value - s.mu) / s.sigma, 4) AS z
              |FROM events e JOIN stats s USING (event_type)
              |WHERE abs(e.value - s.mu) > 3.0 * s.sigma
-             |ORDER BY e.event_type, e.event_id""".stripMargin))
+             |ORDER BY e.event_type, e.event_id""".stripMargin)),
+
+    // Exponential time-decay scoring — recency-weighted engagement
+    // (half-life 7 days), the standard freshness feature: each event
+    // contributes value · 2^(−age/half_life) against the corpus horizon
+    // (max ts — a 1-row broadcast, not a driver constant). One aggregate
+    // pass after a broadcast cross join; exp/log are codegen'd scalar
+    // functions, so the whole map side fuses into one stage.
+    Q("q92_decay_score",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        val horizon = ev.agg(max($"us").as("h"))
+        ev.crossJoin(broadcast(horizon))
+          .withColumn("w", pow(lit(2.0),
+            -($"h" - $"us").cast("double") / lit(7.0 * 86400 * 1000000L)))
+          .groupBy($"user_id")
+          .agg(round(sum($"value" * $"w"), 4).as("decayed_value"),
+            round(sum($"w"), 4).as("decayed_n"),
+            count(lit(1)).as("n"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH h AS (SELECT max(epoch_us(ts)) AS h FROM events)
+             |SELECT user_id,
+             |  round(sum(value * pow(2.0,
+             |    -(h.h - epoch_us(ts)) / (7.0 * 86400 * 1000000))), 4)
+             |    AS decayed_value,
+             |  round(sum(pow(2.0,
+             |    -(h.h - epoch_us(ts)) / (7.0 * 86400 * 1000000))), 4)
+             |    AS decayed_n,
+             |  count(*) AS n
+             |FROM events, h
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // Correlation / covariance matrix — the feature-screening pass over
+    // the fact table's numeric columns: all pairwise Pearson r and one
+    // covariance in ONE aggregate pass (every corr/covar is an
+    // associative accumulator, so the whole matrix is a single
+    // partial+final HashAggregate over one scan — no per-pair jobs).
+    Q("q93_correlation",
+      (s, d) => {
+        import s.implicits._
+        li(s, d).agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("r_qty_price"),
+          round(corr($"l_quantity", $"l_discount"), 6).as("r_qty_disc"),
+          round(corr($"l_extendedprice", $"l_discount"), 6).as("r_price_disc"),
+          round(corr($"l_extendedprice", $"l_tax"), 6).as("r_price_tax"),
+          round(covar_pop($"l_quantity", $"l_discount"), 6).as("cov_qty_disc"),
+          count(lit(1)).as("n"))
+      },
+      Some("""SELECT
+             |  round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
+             |  round(corr(l_quantity, l_discount), 6) AS r_qty_disc,
+             |  round(corr(l_extendedprice, l_discount), 6) AS r_price_disc,
+             |  round(corr(l_extendedprice, l_tax), 6) AS r_price_tax,
+             |  round(covar_pop(l_quantity, l_discount), 6) AS cov_qty_disc,
+             |  count(*) AS n
+             |FROM lineitem""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
