@@ -1060,7 +1060,81 @@ object RelationalQueries {
              |  round(corr(l_extendedprice, l_tax), 6) AS r_price_tax,
              |  round(covar_pop(l_quantity, l_discount), 6) AS cov_qty_disc,
              |  count(*) AS n
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // Equi-width histogram — the distribution-profiling pass: 20 buckets
+    // over [min, max] computed from a 1-row bounds aggregate (broadcast,
+    // never a driver constant), bucket = floor((v − lo) · 20 / span)
+    // clamped so v = max lands in the last bucket. Two scans total
+    // (bounds + binning), one bounded shuffle on the 20 bucket keys —
+    // the same plan at 100 TB.
+    Q("q94_histogram",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_totalprice".as("v"))
+        val bounds = o.agg(min($"v").as("lo"), max($"v").as("hi"))
+        o.crossJoin(broadcast(bounds))
+          .select(least(floor(($"v" - $"lo") * 20.0 / ($"hi" - $"lo")), lit(19.0))
+            .cast("long").as("bucket"),
+            $"v", $"lo", $"hi")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min($"v"), 2).as("bucket_min"),
+            round(max($"v"), 2).as("bucket_max"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |          FROM orders)
+             |SELECT CAST(least(floor((o_totalprice - lo) * 20.0 / (hi - lo)), 19)
+             |    AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  round(min(o_totalprice), 2) AS bucket_min,
+             |  round(max(o_totalprice), 2) AS bucket_max
+             |FROM orders, b
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // One-pass column profile — the data-quality audit emitted before a
+    // table enters a training pipeline: per column, nulls, distincts,
+    // bounds. All accumulators ride ONE aggregate over one scan (exact
+    // distincts share the pass; the sketched variant for ultra-wide
+    // tables is q57's HLL form), emitted as one row per column via a
+    // stack/unpivot so the profile table's schema is column-count
+    // independent.
+    Q("q95_profile",
+      (s, d) => {
+        import s.implicits._
+        val row = Tables.orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_custkey".isNull.cast("long")).as("nulls_custkey"),
+          countDistinct($"o_custkey").as("nd_custkey"),
+          sum($"o_orderstatus".isNull.cast("long")).as("nulls_status"),
+          countDistinct($"o_orderstatus").as("nd_status"),
+          sum($"o_totalprice".isNull.cast("long")).as("nulls_price"),
+          countDistinct($"o_totalprice").as("nd_price"))
+        row.select(expr(
+          """stack(3,
+            |  'o_custkey', nulls_custkey, nd_custkey,
+            |  'o_orderstatus', nulls_status, nd_status,
+            |  'o_totalprice', nulls_price, nd_price) AS (col_name, n_nulls, n_distinct)""".stripMargin),
+          $"n_rows")
+          .orderBy($"col_name")
+      },
+      Some("""WITH p AS (
+             |  SELECT count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_custkey,
+             |    count(DISTINCT o_custkey) AS nd_custkey,
+             |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
+             |    count(DISTINCT o_orderstatus) AS nd_status,
+             |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_price,
+             |    count(DISTINCT o_totalprice) AS nd_price
+             |  FROM orders)
+             |SELECT u.col_name, u.n_nulls, u.n_distinct, p.n_rows
+             |FROM p, (
+             |  SELECT 'o_custkey' AS col_name, nulls_custkey AS n_nulls,
+             |    nd_custkey AS n_distinct FROM p
+             |  UNION ALL SELECT 'o_orderstatus', nulls_status, nd_status FROM p
+             |  UNION ALL SELECT 'o_totalprice', nulls_price, nd_price FROM p) u
+             |ORDER BY u.col_name""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
