@@ -1134,7 +1134,66 @@ object RelationalQueries {
              |    nd_custkey AS n_distinct FROM p
              |  UNION ALL SELECT 'o_orderstatus', nulls_status, nd_status FROM p
              |  UNION ALL SELECT 'o_totalprice', nulls_price, nd_price FROM p) u
-             |ORDER BY u.col_name""".stripMargin))
+             |ORDER BY u.col_name""".stripMargin)),
+
+    // Latest-snapshot per key — the CDC/SCD collapse: of all events per
+    // (user, type), keep exactly the newest (event-time, then event_id as
+    // the deterministic tie-break). One window pass after a single
+    // shuffle on the key — the upsert-compaction every incremental
+    // ingest pipeline runs; at 100 TB the window state is one row per
+    // key per partition.
+    Q("q96_latest_snapshot",
+      (s, d) => {
+        import s.implicits._
+        val byKey = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"us".desc, $"event_id".desc)
+        Tables.events(s, d)
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts").as("us"), $"value")
+          .withColumn("rk", row_number().over(byKey))
+          .filter($"rk" === 1)
+          .select($"user_id", $"event_type", $"event_id", $"us",
+            round($"value", 4).as("value"))
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, us, value FROM (
+             |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             |    round(value, 4) AS value,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+             |  FROM events)
+             |WHERE rk = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Month-over-month growth — the trend shape: monthly revenue plus its
+    // % change against the previous month. The previous-month lookup is a
+    // SELF-JOIN ON THE CALENDAR KEY (month = prev + 1 month), not a
+    // global lag window: an unpartitioned window plans an Exchange
+    // SinglePartition — the one shape this codebase bans (PLANS.md) —
+    // while the equi-join on the bounded month frame broadcasts. Same
+    // result, no serialization point.
+    Q("q97_mom_growth",
+      (s, d) => {
+        import s.implicits._
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+        val prev = monthly.select(
+          ($"month" + expr("INTERVAL 1 MONTH")).as("month"),
+          $"revenue".as("prev"))
+        monthly.join(broadcast(prev), Seq("month"), "left")
+          .select($"month", $"revenue",
+            round(($"revenue" - $"prev") * 100.0 / $"prev", 4).as("mom_pct"))
+          .orderBy($"month")
+      },
+      Some("""WITH m AS (
+             |  SELECT date_trunc('month', o_orderdate) AS month,
+             |    round(sum(o_totalprice), 2) AS revenue
+             |  FROM orders GROUP BY 1)
+             |SELECT a.month, a.revenue,
+             |  round((a.revenue - b.revenue) * 100.0 / b.revenue, 4) AS mom_pct
+             |FROM m a LEFT JOIN m b ON a.month = b.month + INTERVAL 1 MONTH
+             |ORDER BY a.month""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
