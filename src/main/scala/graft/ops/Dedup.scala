@@ -732,6 +732,33 @@ object Dedup {
            |${round("p2", "p3")}
            |SELECT id AS doc_id, round(p, 4) AS pagerank
            |FROM p3 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Triangle counting — the near-dup graph's clustering texture (how
+    // clique-like duplicate neighborhoods are, which picks between
+    // cluster-collapse and pairwise-drop dedup policies). The a<b<c
+    // ORIENTED wedge join counts each triangle exactly once with two
+    // equi-joins over the ordered edge list — no 6× symmetric blow-up, no
+    // per-node adjacency materialization; at 100 TB both joins shuffle on
+    // an edge endpoint and the heaviest wedge fan-out is bounded by the
+    // LSH band width that generated the pairs.
+    Q("q98_triangles",
+      (s, d) => {
+        import s.implicits._
+        val e = minhashPairs(Tables.documents(s, d))
+          .select($"a", $"b").cache()
+        val wedges = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+          .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+        val tri = wedges.join(e.as("e3"),
+          $"x" === $"e3.a" && $"z" === $"e3.b")
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      },
+      Some(s"""WITH $minhashPairsSql
+             |SELECT
+             |  (SELECT count(*)
+             |   FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+             |   JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+             |  (SELECT count(*) FROM pairs) AS n_edges""".stripMargin))
   )
 }

@@ -1193,7 +1193,44 @@ object RelationalQueries {
              |SELECT a.month, a.revenue,
              |  round((a.revenue - b.revenue) * 100.0 / b.revenue, 4) AS mom_pct
              |FROM m a LEFT JOIN m b ON a.month = b.month + INTERVAL 1 MONTH
-             |ORDER BY a.month""".stripMargin))
+             |ORDER BY a.month""".stripMargin)),
+
+    // Behavioral transition matrix — Markov structure of the event
+    // stream: per user-ordered (previous type → type) bigram counts and
+    // each row's share of its source state. One keyed window (lag) plus
+    // two bounded aggregates — the 5×5 transition frame joins back
+    // broadcast, so the fact stream is scanned once however large.
+    Q("q99_transitions",
+      (s, d) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val bi = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts").as("us"))
+          .withColumn("prev", lag($"event_type", 1).over(byUser))
+          .filter($"prev".isNotNull)
+          .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = bi.groupBy($"from_type").agg(sum($"n").as("tot"))
+        bi.join(broadcast(totals), "from_type")
+          .select($"from_type", $"to_type", $"n",
+            round($"n".cast("double") / $"tot", 6).as("p"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+             |  FROM (
+             |    SELECT user_id, event_type,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY epoch_us(ts), event_id) AS prev
+             |    FROM events)
+             |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+             |      FROM b GROUP BY 1)
+             |SELECT b.from_type, b.to_type, b.n,
+             |  round(b.n * 1.0 / t.tot, 6) AS p
+             |FROM b JOIN t USING (from_type)
+             |ORDER BY b.from_type, b.to_type""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
