@@ -759,6 +759,96 @@ object Dedup {
              |  (SELECT count(*)
              |   FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
              |   JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
-             |  (SELECT count(*) FROM pairs) AS n_edges""".stripMargin))
+             |  (SELECT count(*) FROM pairs) AS n_edges""".stripMargin)),
+
+    // The END-TO-END curation pipeline as ONE declarative dataflow —
+    // the composition every stage above exists for: quality gate (q49's
+    // length + word-length signals) → exact dedup (min-doc_id keeper per
+    // text hash, q40's policy) → near-dup drop (MinHash pair graph,
+    // smaller id wins, q41) → benchmark decontamination (q37's trigram
+    // overlap against the eval slice). One logical plan: Catalyst sees
+    // every stage, so filters push into the shared scans and the stage
+    // frames never materialize to storage; the five survivor counts +
+    // surviving token budget combine via broadcast 1-row cross joins. At
+    // 100 TB each stage is the already-audited shape of its standalone
+    // query — composition adds no new shuffle.
+    Q("q100_curation_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"text",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+        val qual = base.filter($"n_tokens".between(25, 95) &&
+          ((length($"text") - $"n_tokens" + 1) / $"n_tokens".cast("double"))
+            .between(4.0, 5.1))
+        val keepers = qual.groupBy(md5($"text").as("h"))
+          .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+        val exq = qual.join(keepers, Seq("doc_id"), "left_semi").cache()
+        val pairs = minhashPairs(Tables.documents(s, d)).select($"a", $"b")
+        val ndDrop = pairs
+          .join(exq.select($"doc_id".as("a")), Seq("a"), "left_semi")
+          .join(exq.select($"doc_id".as("b")), Seq("b"), "left_semi")
+          .select($"b".as("doc_id")).distinct()
+        val nd = exq.join(ndDrop, Seq("doc_id"), "left_anti")
+        val sh = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).as("sg"))
+          .distinct()
+        val cont = sh.filter($"doc_id" >= 20)
+          .join(broadcast(sh.filter($"doc_id" < 20)
+            .select($"doc_id".as("ed"), $"sg")), "sg")
+          .groupBy($"doc_id", $"ed").agg(count(lit(1)).as("ns"))
+          .filter($"ns" >= 2).select($"doc_id").distinct()
+        val clean = nd.filter($"doc_id" >= 20)
+          .join(cont, Seq("doc_id"), "left_anti")
+        def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+        n(base, "n_all")
+          .crossJoin(broadcast(n(qual, "n_quality")))
+          .crossJoin(broadcast(n(exq, "n_exact")))
+          .crossJoin(broadcast(n(nd, "n_neardup")))
+          .crossJoin(broadcast(n(clean, "n_clean")))
+          .crossJoin(broadcast(
+            clean.agg(sum($"n_tokens").as("kept_tokens"))))
+      },
+      Some(s"""WITH $minhashPairsSql,
+             |base AS (
+             |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |qual AS (
+             |  SELECT doc_id, text, n_tokens FROM base
+             |  WHERE n_tokens BETWEEN 25 AND 95
+             |    AND (length(text) - n_tokens + 1) * 1.0 / n_tokens
+             |      BETWEEN 4.0 AND 5.1),
+             |keepers AS (
+             |  SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+             |exq AS (SELECT q.* FROM qual q JOIN keepers USING (doc_id)),
+             |nddrop AS (
+             |  SELECT DISTINCT p.b AS doc_id FROM pairs p
+             |  JOIN exq x ON x.doc_id = p.a
+             |  JOIN exq y ON y.doc_id = p.b),
+             |nd AS (SELECT * FROM exq
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |shg AS (
+             |  SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS sg
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             |        FROM tk)),
+             |cont AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT c.doc_id, e.doc_id AS ed, count(*) AS ns
+             |    FROM shg c JOIN shg e ON c.sg = e.sg
+             |      AND e.doc_id < 20 AND c.doc_id >= 20
+             |    GROUP BY 1, 2) WHERE ns >= 2),
+             |clean AS (
+             |  SELECT * FROM nd WHERE doc_id >= 20
+             |    AND doc_id NOT IN (SELECT doc_id FROM cont))
+             |SELECT
+             |  (SELECT count(*) FROM base) AS n_all,
+             |  (SELECT count(*) FROM qual) AS n_quality,
+             |  (SELECT count(*) FROM exq) AS n_exact,
+             |  (SELECT count(*) FROM nd) AS n_neardup,
+             |  (SELECT count(*) FROM clean) AS n_clean,
+             |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM clean) AS kept_tokens""".stripMargin))
   )
 }
