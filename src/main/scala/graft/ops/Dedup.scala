@@ -849,6 +849,43 @@ object Dedup {
              |  (SELECT count(*) FROM exq) AS n_exact,
              |  (SELECT count(*) FROM nd) AS n_neardup,
              |  (SELECT count(*) FROM clean) AS n_clean,
-             |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM clean) AS kept_tokens""".stripMargin))
+             |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM clean) AS kept_tokens""".stripMargin)),
+
+    // Edit-distance fuzzy matching — the near-dup modality the hash
+    // families miss: small in-place edits (typo fixes, template fills)
+    // that shift every shingle but leave the string metrically close.
+    // All-pairs Levenshtein is O(n²·L²) and unrunnable at scale, so pairs
+    // are blocked by (lang, first token) — cheap stable keys under which
+    // true edit-variants almost always collide — and only the 40-char
+    // prefixes of block-mates are compared (bounds the DP matrix at 40×40
+    // per pair). The block self-join is an equi-join on the block key,
+    // AQE-splittable on skew; levenshtein() is a codegen'd built-in in
+    // both engines with identical classic-DP semantics.
+    Q("q104_fuzzy_match",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            split($"text", " ").getItem(0).as("blk"),
+            substring($"text", 1, 40).as("p"))
+        val a = base.select($"doc_id".as("id_a"), $"lang", $"blk", $"p".as("pa"))
+        val b = base.select($"doc_id".as("id_b"), $"lang", $"blk", $"p".as("pb"))
+        a.join(b, Seq("lang", "blk"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            levenshtein($"pa", $"pb").cast("long").as("lev"))
+          .filter($"lev" <= 12)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, string_split(text, ' ')[1] AS blk,
+             |    substr(text, 1, 40) AS p
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+             |FROM base a JOIN base b
+             |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.p, b.p) <= 12
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

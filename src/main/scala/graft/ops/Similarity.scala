@@ -350,7 +350,59 @@ object Similarity {
              |  FROM embeddings)
              |SELECT label, CAST(dim AS INT) AS dim,
              |  round(avg(CAST(v AS DOUBLE)), 6) AS mean_v, count(*) AS n
-             |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin))
+             |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    // Semantic outliers — embedding-space quality filtering: the vectors
+    // farthest (lowest cosine) from their label's mean embedding are the
+    // mislabeled / off-topic candidates a curation pass reviews first.
+    // Centroids are a bounded (labels × dims) aggregate broadcast to the
+    // scoring join, the score is one codegen'd dot product per row, and
+    // the bottom-5 ranking partitions by label — per-partition state is
+    // label-sized, never corpus-sized. Cosines round to 4 dp before
+    // ranking (ties break on vec_id) so float-summation order can't flip
+    // the oracle hash; centroid components round to 6 dp, mirroring the
+    // q51 Lloyd convention.
+    Q("q102_centroid_outliers",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = e
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(round(avg($"v".cast("double")), 6).as("cv"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+            .as("ce"))
+        val scored = e.join(broadcast(cents), "label")
+          .select($"label", $"vec_id",
+            round(dot($"embedding", $"ce") / (norm($"embedding") * norm($"ce")), 4)
+              .as("cos_c"))
+        val byLabel = Window.partitionBy($"label").orderBy($"cos_c".asc, $"vec_id")
+        scored.withColumn("rn", row_number().over(byLabel).cast("long"))
+          .filter($"rn" <= 5)
+          .orderBy($"label", $"rn")
+      },
+      Some("""WITH u AS (
+             |  SELECT label, vec_id, unnest(range(len(embedding))) AS dim,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, dim, round(avg(v), 6) AS cv FROM u GROUP BY label, dim),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY vec_id),
+             |cn AS (SELECT label, sqrt(sum(cv * cv)) AS nc FROM cent GROUP BY label),
+             |cosv AS (
+             |  SELECT u.label, u.vec_id,
+             |    round(sum(u.v * c.cv) / (any_value(n.nv) * any_value(cn.nc)), 4) AS cos_c
+             |  FROM u JOIN cent c ON c.label = u.label AND c.dim = u.dim
+             |  JOIN nrm n ON n.vec_id = u.vec_id
+             |  JOIN cn ON cn.label = u.label
+             |  GROUP BY u.label, u.vec_id),
+             |rk AS (
+             |  SELECT label, vec_id, cos_c,
+             |    row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rn
+             |  FROM cosv)
+             |SELECT label, vec_id, cos_c, rn FROM rk WHERE rn <= 5
+             |ORDER BY label, rn""".stripMargin))
   )
 
   /** Unrolled deterministic-k-means oracle for q51: seeds → `iters` Lloyd

@@ -766,7 +766,121 @@ object TextAnalysis {
             round($"n_bpe_tok".cast("double") / $"n_char_tok", 6))
           .orderBy($"doc_id")
       },
-      Some(TextAnalysisOracles.bpeApplySql))
+      Some(TextAnalysisOracles.bpeApplySql)),
+
+    // Mixture audit: KL(source ‖ corpus) over unigram distributions — the
+    // drift check run before re-weighting a pretraining mixture (a source
+    // whose token distribution diverges from the blend gets inspected or
+    // down-weighted). Three bounded shuffles at any scale: (source, term)
+    // partial-agg, the term roll-up to the corpus distribution, and the
+    // term-keyed join back; the corpus total is a broadcast 1-row frame.
+    // KL is finite by construction — every source term is a corpus term.
+    Q("q101_kl_mixture",
+      (s, d) => {
+        import s.implicits._
+        val stf = Tables.documents(s, d)
+          .select($"source", explode(tokens($"text")).as("t"))
+          .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+          .cache() // read twice: source totals + corpus roll-up
+        val stot = stf.groupBy($"source").agg(sum($"c").as("st"))
+        val ctf = stf.groupBy($"t").agg(sum($"c").as("cc")).cache()
+        stf.join(ctf, "t").join(broadcast(stot), "source")
+          .crossJoin(broadcast(ctf.agg(sum($"cc").as("ct"))))
+          .groupBy($"source")
+          .agg(
+            round(sum(($"c" / $"st") * log(($"c" / $"st") / ($"cc" / $"ct"))), 6)
+              .as("kl"),
+            count(lit(1)).as("n_terms"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+             |stf AS (SELECT source, t, count(*) AS c FROM toks GROUP BY source, t),
+             |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM stf GROUP BY source),
+             |ctf AS (SELECT t, CAST(sum(c) AS BIGINT) AS cc FROM stf GROUP BY t),
+             |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM ctf)
+             |SELECT s.source,
+             |  round(sum((c * 1.0 / st) * ln((c * 1.0 / st) / (cc * 1.0 / ct))), 6) AS kl,
+             |  count(*) AS n_terms
+             |FROM stf s JOIN ctf USING (t) JOIN stot USING (source), ctot
+             |GROUP BY s.source ORDER BY s.source""".stripMargin)),
+
+    // Shard-balance audit — the pre-flight check before writing an N-way
+    // sharded dataset: assign every document to a shard by a stable hash
+    // of its id (reproducible across runs and engines, survives
+    // repartitioning) and report each shard's doc/token/byte load against
+    // the ideal. One per-row hash plus one 16-group aggregate — the audit
+    // itself costs a single partial-agg shuffle at any corpus size; a
+    // load_ratio far from 1.0 flags a broken shard key before 100 TB of
+    // writes happen, not after.
+    Q("q103_shard_balance",
+      (s, d) => {
+        import s.implicits._
+        val shard = expr(
+          "cast(conv(substring(md5(concat('shard:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 16")
+        val perShard = Tables.documents(s, d)
+          .select(shard.as("shard"),
+            size(tokens($"text")).cast("long").as("n_tok"), $"n_chars")
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+            sum($"n_chars").as("n_bytes"))
+        perShard
+          .crossJoin(broadcast(perShard.agg((sum($"n_tokens") / 16.0).as("ideal"))))
+          .select($"shard", $"n_docs", $"n_tokens", $"n_bytes",
+            round($"n_tokens" / $"ideal", 6).as("load_ratio"))
+          .orderBy($"shard")
+      },
+      Some("""WITH a AS (
+             |  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+             |    len(string_split(text, ' ')) AS n_tok, n_chars
+             |  FROM documents),
+             |p AS (
+             |  SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+             |  FROM a GROUP BY shard)
+             |SELECT shard, n_docs, n_tokens, n_bytes,
+             |  round(n_tokens / (SELECT sum(n_tokens) / 16.0 FROM p), 6) AS load_ratio
+             |FROM p ORDER BY shard""".stripMargin)),
+
+    // Trigram novelty — dedup-aware sampling signal: the share of a
+    // document's distinct token-trigrams NOT already seen in any
+    // earlier-id document. Curation pipelines use it to prefer novel text
+    // once near-dups are clustered. Inverted-index shape, never pairwise:
+    // the trigram table shuffles once to find each gram's first holder
+    // (min doc_id — a partial agg) and once back on the gram key; cost is
+    // linear in corpus grams where pairwise overlap would be quadratic.
+    Q("q105_trigram_novelty",
+      (s, d) => {
+        import s.implicits._
+        val tri = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """case when size(w) < 3 then cast(array() as array<string>)
+              |else transform(sequence(1, size(w) - 2),
+              |  i -> concat_ws(' ', slice(w, i, 3))) end""".stripMargin)).as("tg"))
+          .distinct()
+          .cache() // read twice: first-holder agg + join back
+        val first = tri.groupBy($"tg").agg(min($"doc_id").as("fd"))
+        tri.join(first, "tg")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tri"),
+            sum(when($"fd" < $"doc_id", 1L).otherwise(0L)).as("n_seen"))
+          .select($"doc_id", $"n_tri", $"n_seen",
+            round(lit(1.0) - $"n_seen" / $"n_tri", 6).as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |tri AS (
+             |  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS tg
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, n - 2)) AS i FROM t)),
+             |fst AS (SELECT tg, min(doc_id) AS fd FROM tri GROUP BY tg)
+             |SELECT tri.doc_id, count(*) AS n_tri,
+             |  CAST(sum(CASE WHEN fst.fd < tri.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+             |  round(1.0 - sum(CASE WHEN fst.fd < tri.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+             |FROM tri JOIN fst USING (tg)
+             |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin))
   )
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
