@@ -886,6 +886,53 @@ object Dedup {
              |FROM base a JOIN base b
              |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.p, b.p) <= 12
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Benchmark contamination sweep — the decontamination check run
+    // before any training shard ships: treat one source (src0) as the
+    // held-out eval set and find training documents sharing any distinct
+    // 5-token gram with it. Inverted-index shape: the eval gram set
+    // dedupes to a bounded build side, training grams probe it with one
+    // hash join on the gram key, and the per-doc roll-up is a partial
+    // agg — linear in corpus grams, never a doc×doc comparison. The
+    // overlap fraction (hit grams / doc's distinct grams) ranks docs for
+    // removal versus span-level scrubbing.
+    Q("q109_contamination",
+      (s, d) => {
+        import s.implicits._
+        def grams(df: DataFrame) = df
+          .select($"doc_id", $"source", split($"text", " ").as("w"))
+          .select($"doc_id", $"source", explode(expr(
+            """case when size(w) < 5 then cast(array() as array<string>)
+              |else transform(sequence(1, size(w) - 4),
+              |  i -> concat_ws(' ', slice(w, i, 5))) end""".stripMargin)).as("g"))
+          .distinct()
+        val all = Tables.documents(s, d)
+        val evalG = grams(all.filter($"source" === "src0"))
+          .select($"g").distinct()
+        val trainG = grams(all.filter($"source" =!= "src0"))
+        trainG.join(evalG.withColumn("hit", lit(1L)), Seq("g"), "left")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_gram"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          .filter($"n_hit" > 0)
+          .select($"doc_id", $"source", $"n_gram", $"n_hit",
+            round($"n_hit".cast("double") / $"n_gram", 6).as("contam_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, source,
+             |    array_to_string(list_slice(w, i, i + 4), ' ') AS g
+             |  FROM (SELECT doc_id, source, w, unnest(generate_series(1, n - 4)) AS i FROM t)),
+             |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+             |tr AS (SELECT doc_id, source, g.g, CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END AS hit
+             |  FROM g LEFT JOIN ev ON g.g = ev.g WHERE g.source != 'src0')
+             |SELECT doc_id, source, count(*) AS n_gram,
+             |  CAST(sum(hit) AS BIGINT) AS n_hit,
+             |  round(sum(hit) * 1.0 / count(*), 6) AS contam_frac
+             |FROM tr GROUP BY doc_id, source
+             |HAVING sum(hit) > 0 ORDER BY doc_id""".stripMargin))
   )
 }

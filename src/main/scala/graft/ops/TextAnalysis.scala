@@ -880,7 +880,233 @@ object TextAnalysis {
              |  CAST(sum(CASE WHEN fst.fd < tri.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
              |  round(1.0 - sum(CASE WHEN fst.fd < tri.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
              |FROM tri JOIN fst USING (tg)
-             |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin))
+             |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin)),
+
+    // Within-document repetition (the Gopher/MassiveText rule family):
+    // the fraction of a document's bigram occurrences that belong to a
+    // repeated bigram, plus the hottest bigram's count. Boilerplate and
+    // template spam score high and get filtered before training. Grouping
+    // is (doc_id, gram) — co-partitioned by document, embarrassingly
+    // parallel, no cross-document state at any corpus size.
+    Q("q106_repetition",
+      (s, d) => {
+        import s.implicits._
+        val bi = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """case when size(w) < 2 then cast(array() as array<string>)
+              |else transform(sequence(1, size(w) - 1),
+              |  i -> concat_ws(' ', slice(w, i, 2))) end""".stripMargin)).as("g"))
+          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        bi.groupBy($"doc_id")
+          .agg(sum($"c").as("n_bi"),
+            sum(when($"c" > 1, $"c").otherwise(0L)).as("n_rep"),
+            max($"c").as("max_rep"))
+          .select($"doc_id", $"n_bi", $"n_rep", $"max_rep",
+            round($"n_rep".cast("double") / $"n_bi", 6).as("rep_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (
+             |  SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+             |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+             |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_rep,
+             |  CAST(max(c) AS BIGINT) AS max_rep,
+             |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS rep_frac
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Composite quality gates (Gopher-style rule stack) rolled up per
+    // source: token-count bounds, mean-word-length bounds, and a
+    // ≥2-distinct-stopwords gate, each counted separately so a source's
+    // dominant failure mode is visible before re-weighting. Pure per-row
+    // column expressions into one bounded (20-source) aggregate — the
+    // cheapest possible shape for a corpus-wide quality report.
+    Q("q107_quality_gates",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"source",
+            size(tokens($"text")).cast("long").as("n_tok"),
+            length($"text").cast("long").as("len"),
+            expr(s"size(array_distinct(filter(split(text, ' '), x -> x IN ($stopwordsSql))))")
+              .as("n_stop"))
+          .select($"source", $"n_tok", $"n_stop",
+            (($"len" - $"n_tok" + lit(1)).cast("double") / $"n_tok").as("mwl"))
+          .select($"source",
+            ($"n_tok" >= 30 && $"n_tok" <= 500).as("g_len"),
+            ($"mwl" >= 3.0 && $"mwl" <= 10.0).as("g_word"),
+            ($"n_stop" >= 2).as("g_stop"))
+        docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"g_len" && $"g_word" && $"g_stop", 1L).otherwise(0L)).as("n_pass"),
+            sum(when(!$"g_len", 1L).otherwise(0L)).as("n_fail_len"),
+            sum(when(!$"g_word", 1L).otherwise(0L)).as("n_fail_word"),
+            sum(when(!$"g_stop", 1L).otherwise(0L)).as("n_fail_stop"))
+          .withColumn("pass_rate", round($"n_pass".cast("double") / $"n_docs", 6))
+          .orderBy($"source")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT source,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    len(list_distinct(list_filter(string_split(text, ' '),
+             |      x -> x IN ($stopwordsSql)))) AS n_stop,
+             |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+             |      / len(string_split(text, ' ')) AS mwl
+             |  FROM documents),
+             |f AS (
+             |  SELECT source,
+             |    (n_tok >= 30 AND n_tok <= 500) AS g_len,
+             |    (mwl >= 3.0 AND mwl <= 10.0) AS g_word,
+             |    (n_stop >= 2) AS g_stop
+             |  FROM g)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN g_len AND g_word AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |  CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+             |  CAST(sum(CASE WHEN NOT g_word THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word,
+             |  CAST(sum(CASE WHEN NOT g_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+             |  round(sum(CASE WHEN g_len AND g_word AND g_stop THEN 1 ELSE 0 END) * 1.0
+             |    / count(*), 6) AS pass_rate
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Deterministic importance resampling toward a uniform source
+    // mixture: each source's acceptance probability is
+    // min(1, target_share / actual_share) and each document accepts iff
+    // a stable md5 fraction of its id falls under it — reproducible
+    // across runs, engines, and repartitioning (no RNG state). The
+    // source-share table is a bounded aggregate broadcast to a
+    // single per-row hash pass; nothing shuffles at corpus size.
+    Q("q108_resample",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+        val shares = docs.groupBy($"source").agg(sum($"n_tok").as("st"))
+        val tot = shares.agg(sum($"st").as("tt"), count(lit(1)).as("ns"))
+        val p = shares.crossJoin(broadcast(tot))
+          .select($"source",
+            least(lit(1.0), ($"tt" / $"ns") / $"st").as("p_keep"))
+        val hashed = docs.join(broadcast(p), "source")
+          .withColumn("hf",
+            expr("cast(conv(substring(md5(concat('rs:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+              / lit(4294967296.0))
+        hashed.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"hf" < $"p_keep", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"hf" < $"p_keep", $"n_tok").otherwise(0L)).as("kept_tokens"),
+            round(first($"p_keep"), 6).as("p_keep"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+             |sh AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS st FROM d GROUP BY source),
+             |t AS (SELECT CAST(sum(st) AS BIGINT) AS tt, count(*) AS ns FROM sh),
+             |p AS (SELECT source, least(1.0, (tt * 1.0 / ns) / st) AS p_keep FROM sh, t),
+             |h AS (
+             |  SELECT d.source, d.n_tok, p.p_keep,
+             |    ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      / 4294967296.0 AS hf
+             |  FROM d JOIN p USING (source))
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN hf < p_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN hf < p_keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+             |  round(any_value(p_keep), 6) AS p_keep
+             |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Sequence-packing audit — concat-and-chunk packing into 512-token
+    // context windows, the layout step between curation and training.
+    // Per source: how many windows the stream fills, the tokens wasted
+    // in each tail window, and how many documents straddle a window
+    // boundary (attention-mask fragmentation). The running offset is a
+    // per-source window cumsum — at 100 TB the partition key becomes
+    // (source, shard) so no partition outgrows an executor; the roll-up
+    // is a bounded per-source aggregate.
+    Q("q110_packing",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        val off = Tables.documents(s, d)
+          .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+          .withColumn("end_off", sum($"n_tok").over(w))
+          .withColumn("start_off", $"end_off" - $"n_tok")
+        off.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("total_tokens"),
+            sum(when(expr("start_off div 512") =!= expr("(end_off - 1) div 512"), 1L)
+              .otherwise(0L)).as("n_straddling"))
+          .select($"source", $"n_docs", $"total_tokens",
+            expr("(total_tokens + 511) div 512").as("n_ctx"),
+            (expr("(total_tokens + 511) div 512") * 512 - $"total_tokens").as("tail_waste"),
+            round($"total_tokens".cast("double")
+              / (expr("(total_tokens + 511) div 512") * 512), 6).as("fill_rate"),
+            $"n_straddling")
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+             |o AS (
+             |  SELECT source, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS end_off
+             |  FROM d),
+             |g AS (
+             |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             |    CAST(sum(CASE WHEN (end_off - n_tok) // 512 != (end_off - 1) // 512
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+             |  FROM o GROUP BY source)
+             |SELECT source, n_docs, total_tokens,
+             |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_ctx,
+             |  CAST((total_tokens + 511) // 512 * 512 - total_tokens AS BIGINT) AS tail_waste,
+             |  round(total_tokens * 1.0 / ((total_tokens + 511) // 512 * 512), 6) AS fill_rate,
+             |  n_straddling
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // PMI collocation mining — which adjacent token pairs co-occur far
+    // beyond chance (log p(xy)/(p(x)p(y))). The vocabulary aggregates
+    // once; bigrams join their unigram margins on the term key (two
+    // hash joins that stay shuffle-bounded however large the vocab) and
+    // the corpus totals ride in as broadcast 1-row frames. Top-20 by
+    // PMI with a ≥20-occurrence support floor, ties broken on the gram.
+    Q("q111_pmi",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val uni = docs.select(explode(tokens($"text")).as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("cu"))
+        val nU = uni.agg(sum($"cu").as("nu"))
+        val bi = docs.select(split($"text", " ").as("w"))
+          .select(explode(expr(
+            """case when size(w) < 2 then cast(array() as array<struct<x:string,y:string>>)
+              |else transform(sequence(1, size(w) - 1),
+              |  i -> struct(element_at(w, i) as x, element_at(w, i + 1) as y)) end""".stripMargin))
+            .as("g"))
+          .select($"g.x", $"g.y")
+          .groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+          .filter($"cxy" >= 20)
+        val nB = bi.agg(sum($"cxy").as("nb"))
+        val scored = bi
+          .join(uni.withColumnRenamed("t", "x").withColumnRenamed("cu", "cx"), "x")
+          .join(uni.withColumnRenamed("t", "y").withColumnRenamed("cu", "cy"), "y")
+          .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+          .select($"x", $"y", $"cxy",
+            round(log(($"cxy" / $"nb") / (($"cx" / $"nu") * ($"cy" / $"nu"))), 6)
+              .as("pmi"))
+        scored.orderBy($"pmi".desc, $"x", $"y").limit(20)
+      },
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |uni AS (
+             |  SELECT t, count(*) AS cu FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+             |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+             |bi AS (
+             |  SELECT w[i] AS x, w[i + 1] AS y, count(*) AS cxy
+             |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+             |  GROUP BY 1, 2 HAVING count(*) >= 20),
+             |nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM bi)
+             |SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+             |  round(ln((cxy * 1.0 / nb) / ((cx * 1.0 / nu) * (cy * 1.0 / nu))), 6) AS pmi
+             |FROM bi
+             |JOIN (SELECT t AS x, cu AS cx FROM uni) USING (x)
+             |JOIN (SELECT t AS y, cu AS cy FROM uni) USING (y), nu, nb
+             |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin))
   )
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
