@@ -1106,7 +1106,95 @@ object TextAnalysis {
              |FROM bi
              |JOIN (SELECT t AS x, cu AS cx FROM uni) USING (x)
              |JOIN (SELECT t AS y, cu AS cy FROM uni) USING (y), nu, nb
-             |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin))
+             |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin)),
+
+    // Cross-source vocabulary overlap — the source-similarity matrix a
+    // mixture designer reads before merging or down-weighting corpora:
+    // token-set Jaccard for every source pair. Inverted-index shape, not
+    // pairwise doc work: the (source, token) set dedupes once, the
+    // token-keyed self-join fans out to at most sources² rows per token
+    // (bounded by the 20-source roster, however large the vocabulary),
+    // and set sizes ride in as a broadcast dim.
+    Q("q113_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val st = Tables.documents(s, d)
+          .select($"source", explode(tokens($"text")).as("t"))
+          .distinct()
+        val sizes = st.groupBy($"source").agg(count(lit(1)).as("nv"))
+        val a = st.toDF("src_a", "t")
+        val b = st.toDF("src_b", "t")
+        a.join(b, "t").filter($"src_a" < $"src_b")
+          .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+          .join(broadcast(sizes.toDF("src_a", "nv_a")), "src_a")
+          .join(broadcast(sizes.toDF("src_b", "nv_b")), "src_b")
+          .select($"src_a", $"src_b", $"n_inter",
+            round($"n_inter".cast("double") / ($"nv_a" + $"nv_b" - $"n_inter"), 6)
+              .as("jaccard"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH st AS (
+             |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |sz AS (SELECT source, count(*) AS nv FROM st GROUP BY source),
+             |pr AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+             |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, n_inter,
+             |  round(n_inter * 1.0 / (x.nv + y.nv - n_inter), 6) AS jaccard
+             |FROM pr
+             |JOIN sz x ON x.source = src_a
+             |JOIN sz y ON y.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Heaps-law vocabulary growth — how fast each source's vocabulary
+    // saturates as documents accumulate (flat growth ⇒ templated text,
+    // steep ⇒ genuinely diverse). Never recounts prefixes: each token
+    // contributes only its FIRST holding document (a min-aggregate over
+    // the source's doc ordinals), new-token counts bucket by 5-doc
+    // steps, and the cumulative sum runs inside each source's bounded
+    // bucket list. At 100 TB the ordinal window keys by (source, shard);
+    // the expensive part stays the one (source, token) dedup shuffle.
+    Q("q114_heaps",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val ord = docs.select($"source", $"doc_id").distinct()
+          .withColumn("ord",
+            row_number().over(Window.partitionBy($"source").orderBy($"doc_id")))
+        val firstOrd = docs
+          .select($"source", $"doc_id", explode(tokens($"text")).as("t"))
+          .distinct()
+          .join(ord, Seq("source", "doc_id"))
+          .groupBy($"source", $"t").agg(min($"ord").as("fo"))
+        val buckets = firstOrd
+          .groupBy($"source", (ceil($"fo" / 5.0) * 5).cast("long").as("k_docs"))
+          .agg(count(lit(1)).as("new_tokens"))
+        buckets
+          .withColumn("vocab",
+            sum($"new_tokens").over(
+              Window.partitionBy($"source").orderBy($"k_docs")))
+          .orderBy($"source", $"k_docs")
+      },
+      Some("""WITH ord AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS ord
+             |  FROM (SELECT DISTINCT source, doc_id FROM documents)),
+             |ft AS (
+             |  SELECT st.source, st.t, min(ord.ord) AS fo
+             |  FROM (SELECT DISTINCT source, doc_id, unnest(string_split(text, ' ')) AS t
+             |        FROM documents) st
+             |  JOIN ord ON ord.source = st.source AND ord.doc_id = st.doc_id
+             |  GROUP BY st.source, st.t),
+             |b AS (
+             |  SELECT source, CAST(ceil(fo / 5.0) * 5 AS BIGINT) AS k_docs,
+             |    count(*) AS new_tokens
+             |  FROM ft GROUP BY 1, 2)
+             |SELECT source, k_docs, new_tokens,
+             |  CAST(sum(new_tokens) OVER (PARTITION BY source ORDER BY k_docs) AS BIGINT)
+             |    AS vocab
+             |FROM b ORDER BY source, k_docs""".stripMargin))
   )
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge

@@ -1230,7 +1230,47 @@ object RelationalQueries {
              |SELECT b.from_type, b.to_type, b.n,
              |  round(b.n * 1.0 / t.tot, 6) AS p
              |FROM b JOIN t USING (from_type)
-             |ORDER BY b.from_type, b.to_type""".stripMargin))
+             |ORDER BY b.from_type, b.to_type""".stripMargin)),
+
+    // Weekly retention cohorts — the canonical product-analytics matrix:
+    // users grouped by first-active week, tracked by distinct activity in
+    // each later week, each cell normalized by its cohort's size. The
+    // user-week activity set dedupes FIRST (one shuffle keyed on user —
+    // at 100 TB this is the only pass over raw events; everything after
+    // operates on the much smaller distinct set), the first-week lookup
+    // is a partial-agg join back on user, and the matrix itself is a
+    // bounded (weeks × weeks) aggregate with cohort sizes broadcast.
+    // Monday-anchored date_trunc('week') agrees across both engines.
+    Q("q112_retention",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+          .distinct()
+        val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+        val cells = ev.join(first, "user_id")
+          .groupBy($"cohort", expr("datediff(wk, cohort) div 7").as("week_n"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = cells.filter($"week_n" === 0L)
+          .select($"cohort", $"n_active".as("cohort_size"))
+        cells.join(broadcast(sizes), "cohort")
+          .select($"cohort", $"week_n", $"n_active", $"cohort_size",
+            round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
+          .orderBy($"cohort", $"week_n")
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+             |r AS (
+             |  SELECT cohort, CAST((wk - cohort) // 7 AS BIGINT) AS week_n,
+             |    count(*) AS n_active
+             |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
+             |c0 AS (SELECT cohort, n_active AS cohort_size FROM r WHERE week_n = 0)
+             |SELECT r.cohort, r.week_n, r.n_active, c0.cohort_size,
+             |  round(r.n_active * 1.0 / c0.cohort_size, 6) AS retention
+             |FROM r JOIN c0 USING (cohort)
+             |ORDER BY r.cohort, r.week_n""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
