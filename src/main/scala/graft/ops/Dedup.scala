@@ -933,6 +933,90 @@ object Dedup {
              |  CAST(sum(hit) AS BIGINT) AS n_hit,
              |  round(sum(hit) * 1.0 / count(*), 6) AS contam_frac
              |FROM tr GROUP BY doc_id, source
-             |HAVING sum(hit) > 0 ORDER BY doc_id""".stripMargin))
+             |HAVING sum(hit) > 0 ORDER BY doc_id""".stripMargin)),
+
+    // MinHash estimator calibration — before trusting a 16-row signature
+    // to gate dedup at 100 TB, measure it: for every LSH-retrieved pair,
+    // the signature's Jaccard estimate against the EXACT shingle-set
+    // Jaccard, with the per-pair error. The exact overlap never goes
+    // pairwise over documents — the candidate list (already bounded by
+    // LSH retrieval) joins each side's distinct shingle set on the
+    // shingle key, so cost is pairs × shingles-per-doc, and set sizes
+    // ride a broadcast dim. A drifting mean error here is the signal to
+    // widen the signature before the production dedup run.
+    Q("q115_minhash_calibration",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val sh = docs
+          .select($"doc_id", graft.kmer.Kmers.kmerExplode($"text", 12).as("sg"))
+          .distinct().cache()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val pairs = minhashPairs(docs).select($"a", $"b", $"est_j")
+        val inter = pairs.select($"a", $"b")
+          .join(sh.toDF("a", "sg"), "a")
+          .join(sh.toDF("b", "sg2"), "b")
+          .filter($"sg" === $"sg2")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("n_inter"))
+        pairs
+          .join(inter, Seq("a", "b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(broadcast(sizes.toDF("a", "nsh_a")), "a")
+          .join(broadcast(sizes.toDF("b", "nsh_b")), "b")
+          .select($"a", $"b", round($"est_j", 4).as("est_j"),
+            round($"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter"), 6)
+              .as("exact_j"))
+          .withColumn("err", round($"est_j" - $"exact_j", 6))
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH $minhashPairsSql,
+             |szs AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+             |iv AS (
+             |  SELECT p.a, p.b, count(*) AS n_inter
+             |  FROM pairs p
+             |  JOIN sh sa ON sa.doc_id = p.a
+             |  JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s
+             |  GROUP BY p.a, p.b)
+             |SELECT p.a, p.b, round(p.est_j, 4) AS est_j,
+             |  round(coalesce(iv.n_inter, 0) * 1.0
+             |    / (xa.nsh + xb.nsh - coalesce(iv.n_inter, 0)), 6) AS exact_j,
+             |  round(round(p.est_j, 4) - round(coalesce(iv.n_inter, 0) * 1.0
+             |    / (xa.nsh + xb.nsh - coalesce(iv.n_inter, 0)), 6), 6) AS err
+             |FROM pairs p
+             |LEFT JOIN iv ON iv.a = p.a AND iv.b = p.b
+             |JOIN szs xa ON xa.doc_id = p.a
+             |JOIN szs xb ON xb.doc_id = p.b
+             |ORDER BY p.a, p.b""".stripMargin)),
+
+    // Threshold sweep — how many near-dup pairs a given Jaccard cutoff
+    // would act on, as a cumulative curve over 0.05-wide estimate bins.
+    // Planners read this before picking the production threshold: the
+    // knee of the curve separates boilerplate twins from borderline
+    // paraphrases. Costs one bounded (≤16-bin) aggregate over the
+    // already-retrieved pair list; the cumulative window runs over that
+    // bin list, never over pairs.
+    Q("q117_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val bins = minhashPairs(Tables.documents(s, d))
+          .select((floor($"est_j" * 20) / 20.0).as("j_bin"))
+          .groupBy($"j_bin").agg(count(lit(1)).as("n_pairs"))
+        // cumulative-from-the-top via a triangular self-join over the
+        // bounded bin list — a global ordered window here would plan the
+        // banned single-partition exchange for no reason
+        bins.join(broadcast(bins.toDF("j_bin2", "n_pairs2")),
+            $"j_bin2" >= $"j_bin")
+          .groupBy($"j_bin", $"n_pairs")
+          .agg(sum($"n_pairs2").as("n_at_or_above"))
+          .orderBy($"j_bin")
+      },
+      Some(s"""WITH $minhashPairsSql,
+             |b AS (
+             |  SELECT floor(est_j * 20) / 20.0 AS j_bin, count(*) AS n_pairs
+             |  FROM pairs GROUP BY 1)
+             |SELECT x.j_bin, x.n_pairs,
+             |  CAST(sum(y.n_pairs) AS BIGINT) AS n_at_or_above
+             |FROM b x JOIN b y ON y.j_bin >= x.j_bin
+             |GROUP BY x.j_bin, x.n_pairs ORDER BY x.j_bin""".stripMargin))
   )
 }

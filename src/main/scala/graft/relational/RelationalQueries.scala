@@ -1270,7 +1270,55 @@ object RelationalQueries {
              |SELECT r.cohort, r.week_n, r.n_active, c0.cohort_size,
              |  round(r.n_active * 1.0 / c0.cohort_size, 6) AS retention
              |FROM r JOIN c0 USING (cohort)
-             |ORDER BY r.cohort, r.week_n""".stripMargin))
+             |ORDER BY r.cohort, r.week_n""".stripMargin)),
+
+    // 7-day RANGE-framed trailing average of daily order revenue per
+    // nation — the value-based window frame (RANGE, not ROWS: calendar
+    // gaps must widen the divisor's reach, so the frame is keyed on an
+    // integer day offset, which both engines frame identically). Daily
+    // totals aggregate FIRST — the window runs over nation × day rows,
+    // already thousands of times smaller than orders — and each
+    // nation's series is one hash-partition; at 100 TB the day grid per
+    // nation is still bounded by the calendar, not the fact table.
+    Q("q116_moving_avg",
+      (s, d) => {
+        import s.implicits._
+        // daily totals quantize to integer cents BEFORE the window: the
+        // frame's running sum is then exact integer math, immune to the
+        // float-summation-order drift a double avg() would leak into the
+        // 2-dp rounding on either engine
+        val daily = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"o_orderdate")
+          .agg(round(sum($"o_totalprice") * 100).cast("long").as("day_cents"))
+          .withColumn("day_off", datediff($"o_orderdate", lit("1992-01-01")))
+        val w = Window.partitionBy($"n_name").orderBy($"day_off").rangeBetween(-6, 0)
+        daily
+          .withColumn("wsum", sum($"day_cents").over(w))
+          .withColumn("wn", count(lit(1)).over(w))
+          // half-up to whole cents in integer math — double round() breaks
+          // ties differently across engines on exact .xx5 averages
+          .select($"n_name", $"o_orderdate",
+            round($"day_cents" / 100.0, 2).as("day_rev"),
+            (expr("(2 * wsum + wn) div (2 * wn)") / 100.0).as("ma7"))
+          .orderBy($"n_name", $"o_orderdate")
+      },
+      Some("""WITH daily AS (
+             |  SELECT n_name, o_orderdate,
+             |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS day_cents,
+             |    CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS day_off
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name, o_orderdate)
+             |SELECT n_name, o_orderdate, round(day_cents / 100.0, 2) AS day_rev,
+             |  ((2 * sum(day_cents) OVER w + count(*) OVER w)
+             |    // (2 * count(*) OVER w)) / 100.0 AS ma7
+             |FROM daily
+             |WINDOW w AS (PARTITION BY n_name ORDER BY day_off
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY n_name, o_orderdate""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
