@@ -402,7 +402,86 @@ object Similarity {
              |    row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rn
              |  FROM cosv)
              |SELECT label, vec_id, cos_c, rn FROM rk WHERE rn <= 5
-             |ORDER BY label, rn""".stripMargin))
+             |ORDER BY label, rn""".stripMargin)),
+
+    // Product quantization — the memory-side half of ANN at 100 TB: the
+    // 64-dim embedding splits into 8 contiguous 8-dim subvectors, each
+    // subspace trains a 4-centroid codebook (seeds = vectors 0–3, one
+    // Lloyd refinement), and every vector compresses to 8 2-bit codes.
+    // The query reports each codebook cell's population and mean L2²
+    // reconstruction distortion — the number a PQ deployment watches
+    // before trusting compressed distances. All 8 subspaces train in ONE
+    // generic dataflow (subspace is a grouping column, not an unrolled
+    // loop); distances round to 6 dp before the argmin (ties → lower
+    // cid) so float summation order cannot flip an assignment on either
+    // engine, mirroring the q51 Lloyd conventions.
+    Q("q118_pq",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("i", "v0")))
+          .select($"vec_id", expr("i div 8").as("sub"), ($"i" % 8).as("j"),
+            $"v0".cast("double").as("v"))
+          .cache() // probed three times: init, refine, final assign
+        val cent0 = e.filter($"vec_id" < 4)
+          .select($"vec_id".as("cid"), $"sub", $"j", $"v".as("cv"))
+        def assign(cent: DataFrame) =
+          e.join(broadcast(cent), Seq("sub", "j"))
+            .groupBy($"vec_id", $"sub", $"cid")
+            .agg(round(sum(($"v" - $"cv") * ($"v" - $"cv")), 6).as("d2"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")))
+            .filter($"rn" === 1)
+            .select($"vec_id", $"sub", $"cid", $"d2")
+        val a1 = assign(cent0)
+        val cent1 = e.join(a1.select($"vec_id", $"sub", $"cid"), Seq("vec_id", "sub"))
+          .groupBy($"sub", $"cid", $"j").agg(round(avg($"v"), 6).as("cv"))
+        // distortion averages in integer micro-units — a double avg() over
+        // the rounded d2s can land ±1 ulp off the 6-dp boundary depending
+        // on summation order
+        assign(cent1)
+          .withColumn("d2u", round($"d2" * 1e6).cast("long"))
+          .groupBy($"sub", $"cid")
+          .agg(count(lit(1)).as("n_assigned"), sum($"d2u").as("su"))
+          .select($"sub", $"cid", $"n_assigned",
+            (expr("(2 * su + n_assigned) div (2 * n_assigned)") / 1e6)
+              .as("distortion"))
+          .orderBy($"sub", $"cid")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS j,
+             |    CAST(v AS DOUBLE) AS v
+             |  FROM (SELECT vec_id, unnest(embedding) AS v,
+             |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+             |c0 AS (SELECT vec_id AS cid, sub, j, v AS cv FROM e WHERE vec_id < 4),
+             |d1 AS (
+             |  SELECT e.vec_id, e.sub, c.cid,
+             |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+             |  FROM e JOIN c0 c ON c.sub = e.sub AND c.j = e.j
+             |  GROUP BY 1, 2, 3),
+             |a1 AS (
+             |  SELECT vec_id, sub, cid FROM (
+             |    SELECT vec_id, sub, cid, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+             |    FROM d1) WHERE rn = 1),
+             |c1 AS (
+             |  SELECT a.cid, e.sub, e.j, round(avg(e.v), 6) AS cv
+             |  FROM e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub
+             |  GROUP BY 1, 2, 3),
+             |d2t AS (
+             |  SELECT e.vec_id, e.sub, c.cid,
+             |    round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+             |  FROM e JOIN c1 c ON c.sub = e.sub AND c.j = e.j
+             |  GROUP BY 1, 2, 3),
+             |a2 AS (
+             |  SELECT vec_id, sub, cid, d2 FROM (
+             |    SELECT vec_id, sub, cid, d2, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+             |    FROM d2t) WHERE rn = 1)
+             |SELECT sub, cid, count(*) AS n_assigned,
+             |  ((2 * sum(CAST(round(d2 * 1e6) AS BIGINT)) + count(*))
+             |    // (2 * count(*))) / 1000000.0 AS distortion
+             |FROM a2 GROUP BY sub, cid ORDER BY sub, cid""".stripMargin))
   )
 
   /** Unrolled deterministic-k-means oracle for q51: seeds → `iters` Lloyd

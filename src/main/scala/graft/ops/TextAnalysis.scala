@@ -1194,7 +1194,57 @@ object TextAnalysis {
              |SELECT source, k_docs, new_tokens,
              |  CAST(sum(new_tokens) OVER (PARTITION BY source ORDER BY k_docs) AS BIGINT)
              |    AS vocab
-             |FROM b ORDER BY source, k_docs""".stripMargin))
+             |FROM b ORDER BY source, k_docs""".stripMargin)),
+
+    // BM25 ranking — the production lexical retrieval score (tf-idf with
+    // saturation and length normalization; k1=1.2, b=0.75) for a fixed
+    // 3-term query. Inverted-probe shape: the corpus filters to query
+    // terms FIRST (at 100 TB the posting lists, not the corpus, flow
+    // into the score), document frequencies and the average doc length
+    // ride in as broadcast 1-row dims, and the per-doc score sums ≤3
+    // codegen'd terms. Scores round to 6 dp before ranking (ties →
+    // doc_id) so term-summation order can't reorder the top-20.
+    Q("q119_bm25",
+      (s, d) => {
+        import s.implicits._
+        val qTerms = Seq("spark", "join", "filter")
+        val qSql = qTerms.map(t => s"'$t'").mkString(", ")
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", size($"w").cast("long").as("dl"), $"w")
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          (sum($"dl") / count(lit(1))).as("avgdl"))
+        val tf = docs
+          .select($"doc_id", $"dl", explode($"w").as("t"))
+          .filter($"t".isin(qTerms: _*))
+          .groupBy($"doc_id", $"dl", $"t").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "t").crossJoin(broadcast(stats))
+          .select($"doc_id",
+            (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+              ($"tf" * 2.2) /
+              ($"tf" + (lit(0.25) + $"dl" / $"avgdl" * 0.75) * 1.2)).as("term_score"))
+          .groupBy($"doc_id")
+          .agg(round(sum($"term_score"), 6).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS dl FROM documents),
+             |st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM d),
+             |tf AS (
+             |  SELECT doc_id, dl, t, count(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
+             |  WHERE t IN ('spark', 'join', 'filter')
+             |  GROUP BY doc_id, dl, t),
+             |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+             |SELECT doc_id,
+             |  round(sum(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |    * (tf.tf * 2.2)
+             |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS bm25
+             |FROM tf JOIN df USING (t), st
+             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
