@@ -1244,7 +1244,43 @@ object TextAnalysis {
              |    * (tf.tf * 2.2)
              |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS bm25
              |FROM tf JOIN df USING (t), st
-             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis): each
+    // document draws key = -ln(u)/w with u a stable md5 fraction of its
+    // id and w its token count; the top-3 keys per source ARE a weighted
+    // sample — the distributed-sampling identity that replaces any
+    // sequential roulette wheel at 100 TB. Fully deterministic (no RNG
+    // state), one per-row expression plus a per-source top-k window over
+    // source-bounded partitions. Keys round to 9 dp before ranking so a
+    // last-ulp ln() difference between engines cannot reorder the draw.
+    Q("q120_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, d)
+          .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+          .withColumn("u",
+            (expr("cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+              + 1L) / 4294967297.0)
+          .withColumn("k", round(-log($"u") / $"n_tok", 9))
+        keyed
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"source").orderBy($"k".desc, $"doc_id")))
+          .filter($"rnk" <= 3)
+          .select($"source", $"rnk".cast("long").as("rnk"), $"doc_id", $"n_tok", $"k")
+          .orderBy($"source", $"rnk")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+             |    round(-ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+             |      / 4294967297.0) / len(string_split(text, ' ')), 9) AS k
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, n_tok, k,
+             |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+             |  FROM keyed)
+             |SELECT source, rnk, doc_id, CAST(n_tok AS BIGINT) AS n_tok, k
+             |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin))
   )
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge

@@ -1318,7 +1318,51 @@ object RelationalQueries {
              |FROM daily
              |WINDOW w AS (PARTITION BY n_name ORDER BY day_off
              |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             |ORDER BY n_name, o_orderdate""".stripMargin))
+             |ORDER BY n_name, o_orderdate""".stripMargin)),
+
+    // Robust per-group outlier stats — median + MAD, the estimator pair
+    // that survives the heavy tails that wreck mean/stddev z-scores.
+    // Two passes by construction (MAD needs |v − median|): medians
+    // broadcast back to the stream, then the second interpolated
+    // percentile and the >3-robust-σ count aggregate per group. Spark's
+    // exact `percentile` buffers per group here; at 100 TB swap in the
+    // q17 sort-free interpolation machinery — the dataflow shape (two
+    // bounded aggregates + one broadcast) is already the scalable one.
+    Q("q121_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type", $"value")
+        val med = ev.groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs($"value" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy($"event_type")
+          .agg(round(first($"med"), 6).as("median_v"),
+            round(first($"mad"), 6).as("mad"),
+            count(lit(1)).as("n"),
+            sum(when($"adev" > $"mad" * 3 * 1.4826, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY event_type),
+             |dev AS (
+             |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+             |  FROM events e JOIN med m USING (event_type)),
+             |md AS (
+             |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |  FROM dev GROUP BY event_type)
+             |SELECT event_type, round(any_value(dev.med), 6) AS median_v,
+             |  round(any_value(md.mad), 6) AS mad,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN adev > md.mad * 3 * 1.4826 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev JOIN md USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
