@@ -1017,6 +1017,57 @@ object Dedup {
              |SELECT x.j_bin, x.n_pairs,
              |  CAST(sum(y.n_pairs) AS BIGINT) AS n_at_or_above
              |FROM b x JOIN b y ON y.j_bin >= x.j_bin
-             |GROUP BY x.j_bin, x.n_pairs ORDER BY x.j_bin""".stripMargin))
+             |GROUP BY x.j_bin, x.n_pairs ORDER BY x.j_bin""".stripMargin)),
+
+    // 3-hop BFS over the near-dup graph — the blast-radius probe run
+    // before deleting a duplicate cluster: which documents are within k
+    // edges of a suspect doc (here doc 0). Driver-looped frontier
+    // expansion, the same constant-depth discipline as the component/
+    // PageRank loops: each round is one edge join + one anti-join
+    // against the visited set, localCheckpoint'ed so three rounds can't
+    // grow the Catalyst plan; per-round cost is one shuffle of the
+    // (bounded) frontier against the edge list, never the whole graph.
+    Q("q123_bfs",
+      (s, d) => {
+        import s.implicits._
+        val sym = minhashPairs(Tables.documents(s, d)).select($"a", $"b")
+          .select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+          .localCheckpoint()
+        var frontier = Seq(0L).toDF("doc_id").withColumn("hop", lit(0L))
+        var visited = frontier
+        for (h <- 1 to 3) {
+          val nxt = sym
+            .join(frontier.select($"doc_id".as("src")), "src")
+            .select($"dst".as("doc_id")).distinct()
+            .join(visited.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .withColumn("hop", lit(h.toLong))
+            .localCheckpoint()
+          visited = visited.union(nxt).localCheckpoint()
+          frontier = nxt
+        }
+        visited.orderBy($"hop", $"doc_id")
+      },
+      Some(s"""WITH $minhashPairsSql,
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |h0 AS (SELECT CAST(0 AS BIGINT) AS doc_id),
+             |h1 AS (
+             |  SELECT DISTINCT s.dst AS doc_id FROM sym s JOIN h0 ON s.src = h0.doc_id
+             |  WHERE s.dst NOT IN (SELECT doc_id FROM h0)),
+             |h2 AS (
+             |  SELECT DISTINCT s.dst AS doc_id FROM sym s JOIN h1 ON s.src = h1.doc_id
+             |  WHERE s.dst NOT IN (SELECT doc_id FROM h0 UNION ALL SELECT doc_id FROM h1)),
+             |h3 AS (
+             |  SELECT DISTINCT s.dst AS doc_id FROM sym s JOIN h2 ON s.src = h2.doc_id
+             |  WHERE s.dst NOT IN (SELECT doc_id FROM h0 UNION ALL
+             |    SELECT doc_id FROM h1 UNION ALL SELECT doc_id FROM h2))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM h0
+             |UNION ALL SELECT doc_id, 1 FROM h1
+             |UNION ALL SELECT doc_id, 2 FROM h2
+             |UNION ALL SELECT doc_id, 3 FROM h3
+             |ORDER BY hop, doc_id""".stripMargin))
   )
 }

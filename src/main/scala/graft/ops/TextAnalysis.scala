@@ -1280,7 +1280,50 @@ object TextAnalysis {
              |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
              |  FROM keyed)
              |SELECT source, rnk, doc_id, CAST(n_tok AS BIGINT) AS n_tok, k
-             |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin))
+             |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin)),
+
+    // Zipf frequency spectrum — the tokenizer-design view of the corpus:
+    // terms bucketed by power-of-two frequency band, with each band's
+    // share of total occurrences and the cumulative coverage reading
+    // down from the hottest band (how much of the corpus a
+    // high-frequency-only vocabulary would cover). The band index is
+    // length(bin(freq))−1 — integer-exact floor(log2) on both engines,
+    // where a float log2 would straddle exact powers of two. Cumulative
+    // coverage comes from a triangular self-join over the ≤40 bands,
+    // never a global window.
+    Q("q122_freq_spectrum",
+      (s, d) => {
+        import s.implicits._
+        val tf = Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("c"))
+        val bands = tf
+          .groupBy(expr("cast(length(bin(c)) - 1 as bigint)").as("band"))
+          .agg(count(lit(1)).as("n_terms"), sum($"c").as("n_occ"))
+        val total = bands.agg(sum($"n_occ").as("tot"))
+        bands.join(broadcast(bands.toDF("band2", "nt2", "occ2")),
+            $"band2" >= $"band")
+          .groupBy($"band", $"n_terms", $"n_occ")
+          .agg(sum($"occ2").as("cum_occ"))
+          .crossJoin(broadcast(total))
+          .select($"band", $"n_terms", $"n_occ",
+            round($"cum_occ".cast("double") / $"tot", 6).as("cum_coverage"))
+          .orderBy($"band")
+      },
+      Some("""WITH tf AS (
+             |  SELECT t, count(*) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |  GROUP BY t),
+             |b AS (
+             |  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS band,
+             |    count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_occ
+             |  FROM tf GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot FROM b)
+             |SELECT x.band, x.n_terms, x.n_occ,
+             |  round(sum(y.n_occ) * 1.0 / any_value(t.tot), 6) AS cum_coverage
+             |FROM b x JOIN b y ON y.band >= x.band, t
+             |GROUP BY x.band, x.n_terms, x.n_occ
+             |ORDER BY x.band""".stripMargin))
   )
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
