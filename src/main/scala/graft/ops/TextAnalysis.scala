@@ -1323,8 +1323,110 @@ object TextAnalysis {
              |  round(sum(y.n_occ) * 1.0 / any_value(t.tot), 6) AS cum_coverage
              |FROM b x JOIN b y ON y.band >= x.band, t
              |GROUP BY x.band, x.n_terms, x.n_occ
-             |ORDER BY x.band""".stripMargin))
+             |ORDER BY x.band""".stripMargin)),
+
+    // Bigram-LM perplexity — the CCNet-style quality signal: an add-one
+    // smoothed bigram model trains on the whole corpus and every
+    // document scores its own token stream against it (low perplexity =
+    // fluent/typical, high = noise). Model training is two shuffle-
+    // bounded count aggregates; scoring joins each document's bigram
+    // stream to the model on the bigram key (many-to-one), with vocab
+    // size as a broadcast scalar. Perplexity rounds to 4 dp — the exp of
+    // a mean keeps summation-order noise ~10 orders below that.
+    Q("q124_bigram_ppl",
+      (s, d) => docPpl(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH $pplSql
+             |SELECT doc_id, n_big, ppl FROM ppl ORDER BY doc_id""".stripMargin)),
+
+    // CCNet head/middle/tail partition — the production use of q124's
+    // perplexity: tercile boundaries over the per-doc scores split the
+    // corpus into keep/inspect/drop bands, reported per source so a
+    // noisy source shows up as a tail-heavy row. Boundaries are two
+    // interpolated percentiles over the (already tiny) per-doc score
+    // frame, broadcast back; bucket means average in integer 1e-4 units
+    // so both engines round identically.
+    Q("q125_ppl_buckets",
+      (s, d) => {
+        import s.implicits._
+        val pp = docPpl(s, d)
+          .join(Tables.documents(s, d).select($"doc_id", $"source"), "doc_id")
+        val bounds = pp.agg(
+          expr("percentile(ppl, 0.333333)").as("t1"),
+          expr("percentile(ppl, 0.666667)").as("t2"))
+        pp.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when($"ppl" <= $"t1", "head")
+              .when($"ppl" <= $"t2", "middle").otherwise("tail"))
+          .withColumn("pu", round($"ppl" * 10000).cast("long"))
+          .groupBy($"source", $"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"pu").as("su"))
+          .select($"source", $"bucket", $"n_docs",
+            (expr("(2 * su + n_docs) div (2 * n_docs)") / 10000.0).as("avg_ppl"))
+          .orderBy($"source", $"bucket")
+      },
+      Some(s"""WITH $pplSql,
+             |pps AS (
+             |  SELECT p.doc_id, p.ppl, d.source FROM ppl p
+             |  JOIN documents d ON d.doc_id = p.doc_id),
+             |bounds AS (
+             |  SELECT quantile_cont(ppl, 0.333333) AS t1,
+             |    quantile_cont(ppl, 0.666667) AS t2 FROM pps),
+             |lab AS (
+             |  SELECT source,
+             |    CASE WHEN ppl <= t1 THEN 'head'
+             |         WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+             |    CAST(round(ppl * 10000) AS BIGINT) AS pu
+             |  FROM pps, bounds)
+             |SELECT source, bucket, count(*) AS n_docs,
+             |  ((2 * sum(pu) + count(*)) // (2 * count(*))) / 10000.0 AS avg_ppl
+             |FROM lab GROUP BY source, bucket ORDER BY source, bucket""".stripMargin))
   )
+
+  /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
+    * q125: corpus bigram/context counts + a broadcast vocab scalar score
+    * each document's own bigram stream. */
+  private def docPpl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigStream = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        """case when size(w) < 2 then cast(array() as array<struct<x:string,y:string>>)
+          |else transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) as x, element_at(w, i + 1) as y)) end""".stripMargin))
+        .as("g"))
+      .select($"doc_id", $"g.x".as("x"), $"g.y".as("y"))
+      .cache() // read three times: two count aggregates + the scoring join
+    val bc = bigStream.groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+    val cl = bigStream.groupBy($"x").agg(count(lit(1)).as("cx"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("t"))
+      .agg(countDistinct($"t").as("v"))
+    bigStream
+      .join(bc, Seq("x", "y"))
+      .join(cl, Seq("x"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        sum(log(($"cxy" + 1.0) / ($"cx" + $"v"))).as("ll"))
+      .select($"doc_id", $"n_big", round(exp(-$"ll" / $"n_big"), 4).as("ppl"))
+  }
+
+  /** The q124/q125 perplexity pipeline as oracle WITH-blocks ending in
+    * `ppl(doc_id, n_big, ppl)` — the SQL mirror of [[docPpl]]. */
+  private def pplSql: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |big AS (
+      |  SELECT doc_id, w[i] AS x, w[i + 1] AS y
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+      |bc AS (SELECT x, y, count(*) AS cxy FROM big GROUP BY x, y),
+      |cl AS (SELECT x, count(*) AS cx FROM big GROUP BY x),
+      |vv AS (SELECT count(DISTINCT t) AS v
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |ppl AS (
+      |  SELECT b.doc_id, count(*) AS n_big,
+      |    round(exp(-sum(ln((bc.cxy + 1.0) / (cl.cx + vv.v))) / count(*)), 4) AS ppl
+      |  FROM big b JOIN bc USING (x, y) JOIN cl USING (x), vv
+      |  GROUP BY b.doc_id)""".stripMargin
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
     * (see q90 doc). @return (merge table, initial char-token frame, final

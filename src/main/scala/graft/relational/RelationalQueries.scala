@@ -1362,7 +1362,82 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN adev > md.mad * 3 * 1.4826 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_outliers
              |FROM dev JOIN md USING (event_type)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Join-key heavy hitters — the skew diagnosis read before picking a
+    // salting factor: the 20 hottest l_partkey values with each key's
+    // share and the cumulative share of the hot set. The per-key count
+    // is one partial-agg shuffle; the top-20 is a TakeOrdered (no global
+    // sort materializes), and rank/cumulative-share come from a
+    // triangular self-join over those 20 rows — bounded, no
+    // single-partition window. If cum_share says 20 keys carry half the
+    // table, the join they feed needs AQE skew handling or salt.
+    Q("q126_skew_audit",
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.lineitem(s, d)
+          .groupBy($"l_partkey").agg(count(lit(1)).as("n_lines"))
+        val tot = counts.agg(sum($"n_lines").as("tot"))
+        val top = counts.orderBy($"n_lines".desc, $"l_partkey").limit(20)
+        top.join(broadcast(top.toDF("pk2", "n2")),
+            $"n2" > $"n_lines" || ($"n2" === $"n_lines" && $"pk2" <= $"l_partkey"))
+          .groupBy($"l_partkey", $"n_lines")
+          .agg(count(lit(1)).as("rnk"), sum($"n2").as("cum_n"))
+          .crossJoin(broadcast(tot))
+          .select($"rnk", $"l_partkey", $"n_lines",
+            round($"n_lines" / $"tot", 6).as("share"),
+            round($"cum_n" / $"tot", 6).as("cum_share"))
+          .orderBy($"rnk")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey),
+             |t AS (SELECT CAST(sum(n_lines) AS BIGINT) AS tot FROM c),
+             |top AS (SELECT * FROM c ORDER BY n_lines DESC, l_partkey LIMIT 20)
+             |SELECT count(*) AS rnk, x.l_partkey, x.n_lines,
+             |  round(x.n_lines * 1.0 / any_value(t.tot), 6) AS share,
+             |  round(sum(y.n_lines) * 1.0 / any_value(t.tot), 6) AS cum_share
+             |FROM top x JOIN top y
+             |  ON y.n_lines > x.n_lines
+             |  OR (y.n_lines = x.n_lines AND y.l_partkey <= x.l_partkey), t
+             |GROUP BY x.l_partkey, x.n_lines ORDER BY rnk""".stripMargin)),
+
+    // DAU / trailing-28-day MAU stickiness — the engagement ratio every
+    // growth dashboard tracks. The raw stream collapses to the distinct
+    // user-day set FIRST (the only pass over full events); each user-day
+    // then claims membership in the 28 window-days it supports via a
+    // bounded 28-way offset explode, and both actives counts are
+    // partial-agg shuffles on the day key. No distinct-over-window
+    // gymnastics, no state proportional to anything but users × days.
+    Q("q127_stickiness",
+      (s, d) => {
+        import s.implicits._
+        val ud = Tables.events(s, d)
+          .select($"user_id", to_date($"ts").as("day"))
+          .distinct()
+          .cache() // read twice: DAU + the window-membership explode
+        val dau = ud.groupBy($"day").agg(count(lit(1)).as("n_dau"))
+        val mau = ud
+          .select($"user_id", explode(sequence(lit(0), lit(27))).as("i"),
+            $"day")
+          .select($"user_id", expr("date_add(day, i)").as("wday"))
+          .distinct()
+          .groupBy($"wday").agg(count(lit(1)).as("n_mau"))
+        dau.join(mau, $"day" === $"wday")
+          .select($"day", $"n_dau", $"n_mau",
+            round($"n_dau".cast("double") / $"n_mau", 6).as("stickiness"))
+          .orderBy($"day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |dau AS (SELECT day, count(*) AS n_dau FROM ud GROUP BY day),
+             |mau AS (
+             |  SELECT wday, count(*) AS n_mau FROM (
+             |    SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+             |    FROM ud, (SELECT unnest(generate_series(0, 27)) AS i))
+             |  GROUP BY wday)
+             |SELECT day, n_dau, n_mau,
+             |  round(n_dau * 1.0 / n_mau, 6) AS stickiness
+             |FROM dau JOIN mau ON day = wday ORDER BY day""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
