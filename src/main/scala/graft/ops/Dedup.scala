@@ -1068,6 +1068,53 @@ object Dedup {
              |UNION ALL SELECT doc_id, 1 FROM h1
              |UNION ALL SELECT doc_id, 2 FROM h2
              |UNION ALL SELECT doc_id, 3 FROM h3
-             |ORDER BY hop, doc_id""".stripMargin))
+             |ORDER BY hop, doc_id""".stripMargin)),
+
+    // Train/test leakage through near-duplicates — the failure a naive
+    // random split cannot see: a document and its near-copy landing on
+    // opposite sides of the split, leaking eval content into training.
+    // Split assignment is the stable md5-fraction rule (engine- and
+    // run-reproducible); the audit joins each LSH-retrieved pair to both
+    // members' splits and reports pair counts and mean similarity per
+    // split combination. The cross-split row is the leak — its n_pairs
+    // is the number of eval documents that must be re-assigned or
+    // dropped (the reason production splits assign by CLUSTER, not doc).
+    Q("q128_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        val split = Tables.documents(s, d).select($"doc_id",
+          when(expr("cast(conv(substring(md5(concat('sp:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+            / 4294967296.0 < 0.8, "train").otherwise("test").as("sp"))
+        val pairs = minhashPairs(Tables.documents(s, d))
+          .withColumn("ju", round($"est_j" * 10000).cast("long"))
+        pairs
+          .join(split.toDF("a", "sp_a"), "a")
+          .join(split.toDF("b", "sp_b"), "b")
+          .select(
+            when($"sp_a" <= $"sp_b", concat_ws("|", $"sp_a", $"sp_b"))
+              .otherwise(concat_ws("|", $"sp_b", $"sp_a")).as("combo"),
+            $"ju")
+          .groupBy($"combo")
+          .agg(count(lit(1)).as("n_pairs"), sum($"ju").as("su"))
+          .select($"combo", $"n_pairs",
+            (expr("(2 * su + n_pairs) div (2 * n_pairs)") / 10000.0).as("avg_est_j"))
+          .orderBy($"combo")
+      },
+      Some(s"""WITH $minhashPairsSql,
+             |sp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      / 4294967296.0 < 0.8 THEN 'train' ELSE 'test' END AS sp
+             |  FROM documents),
+             |lab AS (
+             |  SELECT CASE WHEN sa.sp <= sb.sp THEN sa.sp || '|' || sb.sp
+             |              ELSE sb.sp || '|' || sa.sp END AS combo,
+             |    CAST(round(p.est_j * 10000) AS BIGINT) AS ju
+             |  FROM pairs p
+             |  JOIN sp sa ON sa.doc_id = p.a
+             |  JOIN sp sb ON sb.doc_id = p.b)
+             |SELECT combo, count(*) AS n_pairs,
+             |  ((2 * sum(ju) + count(*)) // (2 * count(*))) / 10000.0 AS avg_est_j
+             |FROM lab GROUP BY combo ORDER BY combo""".stripMargin))
   )
 }

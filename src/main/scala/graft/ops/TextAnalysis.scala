@@ -1379,7 +1379,87 @@ object TextAnalysis {
              |  FROM pps, bounds)
              |SELECT source, bucket, count(*) AS n_docs,
              |  ((2 * sum(pu) + count(*)) // (2 * count(*))) / 10000.0 AS avg_ppl
-             |FROM lab GROUP BY source, bucket ORDER BY source, bucket""".stripMargin))
+             |FROM lab GROUP BY source, bucket ORDER BY source, bucket""".stripMargin)),
+
+    // Template extraction — each source's 3 most common document-opening
+    // 4-grams with their share of the source's documents. A prefix that
+    // opens a third of a source's documents IS a template (scraped
+    // boilerplate, form letters), and the cheapest boilerplate detector
+    // there is: one (source, prefix) count shuffle, a top-3 window over
+    // source-bounded partitions, and source totals broadcast back.
+    Q("q129_templates",
+      (s, d) => {
+        import s.implicits._
+        val pref = Tables.documents(s, d)
+          .select($"source",
+            concat_ws(" ", slice(split($"text", " "), 1, 4)).as("prefix"))
+        val counts = pref.groupBy($"source", $"prefix").agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy($"source").agg(sum($"n").as("tot"))
+        counts
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"source").orderBy($"n".desc, $"prefix")))
+          .filter($"rnk" <= 3)
+          .join(broadcast(totals), "source")
+          .select($"source", $"rnk".cast("long").as("rnk"), $"prefix", $"n",
+            round($"n".cast("double") / $"tot", 6).as("doc_share"))
+          .orderBy($"source", $"rnk")
+      },
+      Some("""WITH p AS (
+             |  SELECT source,
+             |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS prefix
+             |  FROM documents),
+             |c AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY source, prefix),
+             |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
+             |r AS (
+             |  SELECT source, prefix, n,
+             |    row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) AS rnk
+             |  FROM c)
+             |SELECT r.source, r.rnk, r.prefix, r.n,
+             |  round(r.n * 1.0 / t.tot, 6) AS doc_share
+             |FROM r JOIN t USING (source)
+             |WHERE r.rnk <= 3 ORDER BY r.source, r.rnk""".stripMargin)),
+
+    // Conditional next-token entropy H(Y|X) per source — the
+    // information-theoretic diversity number: templated/repetitive
+    // sources sit near zero (the next token is predictable), diverse
+    // prose sits high. Computed from each source's own bigram and
+    // context counts — two shuffle-bounded aggregates joined on the
+    // (source, context) key, with the per-source normalizer broadcast.
+    // Complements q101's KL (cross-source drift) and q111's PMI
+    // (pairwise association) with a per-source sequence statistic.
+    Q("q130_cond_entropy",
+      (s, d) => {
+        import s.implicits._
+        val big = Tables.documents(s, d)
+          .select($"source", split($"text", " ").as("w"))
+          .select($"source", explode(expr(
+            """case when size(w) < 2 then cast(array() as array<struct<x:string,y:string>>)
+              |else transform(sequence(1, size(w) - 1),
+              |  i -> struct(element_at(w, i) as x, element_at(w, i + 1) as y)) end""".stripMargin))
+            .as("g"))
+          .select($"source", $"g.x".as("x"), $"g.y".as("y"))
+        val bc = big.groupBy($"source", $"x", $"y").agg(count(lit(1)).as("cxy"))
+          .cache() // read three times: context roll-up, normalizer, entropy
+        val cl = bc.groupBy($"source", $"x").agg(sum($"cxy").as("cx"))
+        val tot = bc.groupBy($"source").agg(sum($"cxy").as("nb"))
+        bc.join(cl, Seq("source", "x")).join(broadcast(tot), "source")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-sum(($"cxy" / $"nb") * log($"cxy" / $"cx")), 6).as("h_cond"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+             |big AS (
+             |  SELECT source, w[i] AS x, w[i + 1] AS y
+             |  FROM (SELECT source, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+             |bc AS (SELECT source, x, y, count(*) AS cxy FROM big GROUP BY source, x, y),
+             |cl AS (SELECT source, x, CAST(sum(cxy) AS BIGINT) AS cx
+             |       FROM bc GROUP BY source, x),
+             |tt AS (SELECT source, CAST(sum(cxy) AS BIGINT) AS nb FROM bc GROUP BY source)
+             |SELECT bc.source, count(*) AS n_bigrams,
+             |  round(-sum((cxy * 1.0 / nb) * ln(cxy * 1.0 / cx)), 6) AS h_cond
+             |FROM bc JOIN cl USING (source, x) JOIN tt USING (source)
+             |GROUP BY bc.source ORDER BY bc.source""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
