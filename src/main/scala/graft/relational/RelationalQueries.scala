@@ -1437,7 +1437,93 @@ object RelationalQueries {
              |  GROUP BY wday)
              |SELECT day, n_dau, n_mau,
              |  round(n_dau * 1.0 / n_mau, 6) AS stickiness
-             |FROM dau JOIN mau ON day = wday ORDER BY day""".stripMargin))
+             |FROM dau JOIN mau ON day = wday ORDER BY day""".stripMargin)),
+
+    // Ranking-window completeness — ntile quartiles, percent_rank, and
+    // cume_dist in one pass over source-partitioned windows (the length-
+    // distribution placement of every document within its source). All
+    // three are rank-family functions: one sort per partition serves the
+    // whole select, partitions stay source-bounded, and the tie-break on
+    // doc_id makes every rank value engine-reproducible.
+    Q("q131_window_zoo",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"n_tok", $"doc_id")
+        Tables.documents(s, d)
+          .select($"source", $"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tok"))
+          .select($"source", $"doc_id", $"n_tok",
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy($"source", $"n_tok", $"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+             |  FROM documents)
+             |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM d
+             |WINDOW w AS (PARTITION BY source ORDER BY n_tok, doc_id)
+             |ORDER BY source, n_tok, doc_id""".stripMargin)),
+
+    // Lag-k autocorrelation of daily revenue (k = 1…7) — the
+    // seasonality probe run before fitting any forecast. The daily
+    // series aggregates once (integer cents); each lag is an equi-join
+    // of the bounded series against itself shifted k days, and the
+    // correlation assembles from INTEGER moment sums (n, Σx, Σy, Σxy,
+    // Σx², Σy²) — exact in any summation order on any engine; only the
+    // final divide/sqrt touches floating point. The weekly TPC-H order
+    // cadence shows up as the k=7 peak.
+    Q("q132_autocorr",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .groupBy(datediff($"o_orderdate", lit("1992-01-01")).as("day_off"))
+          .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+          .cache() // joined against itself once per lag
+        // moments accumulate in decimal(38,0) (HUGEINT on the oracle
+        // side): cents² × a century of days overflows a 64-bit sum long
+        // before it overflows 38 digits
+        val lags = (1 to 7).map { k =>
+          daily.toDF("d1", "x0").join(daily.toDF("d2", "y0"),
+              $"d2" === $"d1" - k)
+            .select($"x0".cast("decimal(38,0)").as("x"),
+              $"y0".cast("decimal(38,0)").as("y"))
+            .agg(lit(k.toLong).as("lag_k"), count(lit(1)).as("n"),
+              sum($"x").as("sx"), sum($"y").as("sy"),
+              sum($"x" * $"y").as("sxy"),
+              sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        }.reduce(_ union _)
+        lags.select($"lag_k", $"n",
+            round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6).as("acf"))
+          .orderBy($"lag_k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS day_off,
+             |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |lagged AS (
+             |  SELECT k.lag_k, a.cents AS x, b.cents AS y
+             |  FROM (SELECT unnest(generate_series(1, 7)) AS lag_k) k
+             |  JOIN daily a ON true
+             |  JOIN daily b ON b.day_off = a.day_off - k.lag_k),
+             |m AS (
+             |  SELECT lag_k, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM lagged GROUP BY lag_k)
+             |SELECT lag_k, n,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+             |FROM m ORDER BY lag_k""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
