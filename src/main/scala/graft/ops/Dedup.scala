@@ -1115,6 +1115,83 @@ object Dedup {
              |  JOIN sp sb ON sb.doc_id = p.b)
              |SELECT combo, count(*) AS n_pairs,
              |  ((2 * sum(ju) + count(*)) // (2 * count(*))) / 10000.0 AS avg_est_j
-             |FROM lab GROUP BY combo ORDER BY combo""".stripMargin))
+             |FROM lab GROUP BY combo ORDER BY combo""".stripMargin)),
+
+    // Prefix-filtered set-similarity join (PPJoin's core) — the
+    // EXACT-recall complement to MinHash: for token-set Jaccard ≥ 0.6,
+    // two sets MUST share a token among each one's first
+    // m − ⌈0.6·m⌉ + 1 tokens when both are ordered by global rarity —
+    // so the inverted index is built over those short prefixes only,
+    // rare tokens first (tiny posting lists), and no qualifying pair
+    // can be missed. Candidates then verify exactly on the full sets
+    // via one token-keyed join. Same shuffle-bounded shape as LSH
+    // retrieval but with a guarantee instead of an estimate.
+    Q("q133_ppjoin",
+      (s, d) => {
+        import s.implicits._
+        // bigram sets, not unigram: the corpus vocabulary is tiny, so
+        // unigram sets saturate (every pair looks similar) — bigrams give
+        // the distinctive element universe prefix filtering needs
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """case when size(w) < 2 then cast(array() as array<string>)
+              |else transform(sequence(1, size(w) - 1),
+              |  i -> concat_ws(' ', slice(w, i, 2))) end""".stripMargin)).as("t"))
+          .distinct().cache()
+        val freq = tok.groupBy($"t").agg(count(lit(1)).as("f"))
+        val pos = tok.join(freq, "t")
+          .withColumn("m", count(lit(1)).over(Window.partitionBy($"doc_id")))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"f", $"t")))
+        val pref = pos.filter($"pos" <= $"m" - ceil($"m" * 0.6) + 1)
+          .select($"doc_id", $"t")
+        val cand = pref.toDF("a", "t").join(pref.toDF("b", "t"), "t")
+          .filter($"a" < $"b").select($"a", $"b").distinct()
+        val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+        val inter = cand
+          .join(tok.toDF("a", "ta"), "a")
+          .join(tok.toDF("b", "tb"), "b")
+          .filter($"ta" === $"tb")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.toDF("a", "ma")), "a")
+          .join(broadcast(sizes.toDF("b", "mb")), "b")
+          .withColumn("jaccard",
+            round($"inter".cast("double") / ($"ma" + $"mb" - $"inter"), 6))
+          .filter($"jaccard" >= 0.6)
+          .select($"a", $"b", $"inter", $"jaccard")
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tok AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(list_slice(w, i, i + 1), ' ') AS t
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             |        FROM t0)),
+             |freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+             |pos AS (
+             |  SELECT tok.doc_id, tok.t,
+             |    count(*) OVER (PARTITION BY tok.doc_id) AS m,
+             |    row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.f, tok.t) AS pos
+             |  FROM tok JOIN freq f USING (t)),
+             |pref AS (SELECT doc_id, t FROM pos WHERE pos <= m - ceil(m * 0.6) + 1),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM pref x JOIN pref y ON x.t = y.t AND x.doc_id < y.doc_id),
+             |sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
+             |iv AS (
+             |  SELECT c.a, c.b, count(*) AS inter
+             |  FROM cand c
+             |  JOIN tok xa ON xa.doc_id = c.a
+             |  JOIN tok xb ON xb.doc_id = c.b AND xb.t = xa.t
+             |  GROUP BY c.a, c.b)
+             |SELECT iv.a, iv.b, iv.inter,
+             |  round(iv.inter * 1.0 / (sa.m + sb.m - iv.inter), 6) AS jaccard
+             |FROM iv
+             |JOIN sz sa ON sa.doc_id = iv.a
+             |JOIN sz sb ON sb.doc_id = iv.b
+             |WHERE round(iv.inter * 1.0 / (sa.m + sb.m - iv.inter), 6) >= 0.6
+             |ORDER BY iv.a, iv.b""".stripMargin))
   )
 }

@@ -1523,7 +1523,48 @@ object RelationalQueries {
              |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
              |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
-             |FROM m ORDER BY lag_k""".stripMargin))
+             |FROM m ORDER BY lag_k""".stripMargin)),
+
+    // Burst detection — each user's hottest sliding hour: for every
+    // event, the count of that user's events in [t, t+1h) — an interval
+    // self-join made shuffle-bounded by the q72/q84 bin trick (anchor
+    // probes its own and the next hour bin; each event lands in exactly
+    // 2 candidate bins, so fan-out is a constant ×2, never a cross
+    // join). The per-user max rolls up from the per-anchor counts; a
+    // max_burst far above the user's hourly mean is the bot/incident
+    // signature this probe exists for.
+    Q("q134_bursts",
+      (s, d) => {
+        import s.implicits._
+        val winUs = 3600L * 1000000L
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+          .cache() // anchors and probes both scan it
+        val probes = ev
+          .select($"user_id", $"us".as("p_us"),
+            explode(array(expr(s"us div $winUs"), expr(s"us div $winUs - 1")))
+              .as("bin"))
+        val anchors = ev
+          .select($"user_id", $"event_id", $"us",
+            expr(s"us div $winUs").as("bin"))
+        val bursts = anchors.join(probes, Seq("user_id", "bin"))
+          .filter($"p_us" >= $"us" && $"p_us" < $"us" + winUs)
+          .groupBy($"user_id", $"event_id").agg(count(lit(1)).as("burst"))
+        bursts.groupBy($"user_id")
+          .agg(max($"burst").as("max_burst"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |b AS (
+             |  SELECT a.user_id, a.event_id, count(*) AS burst
+             |  FROM ev a JOIN ev p
+             |    ON p.user_id = a.user_id
+             |    AND p.us >= a.us AND p.us < a.us + 3600000000
+             |  GROUP BY a.user_id, a.event_id)
+             |SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst,
+             |  count(*) AS n_events
+             |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
