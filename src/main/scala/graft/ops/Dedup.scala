@@ -1129,15 +1129,17 @@ object Dedup {
     Q("q133_ppjoin",
       (s, d) => {
         import s.implicits._
-        // bigram sets, not unigram: the corpus vocabulary is tiny, so
-        // unigram sets saturate (every pair looks similar) — bigrams give
-        // the distinctive element universe prefix filtering needs
+        // trigram sets, not unigram: the corpus vocabulary is tiny, so
+        // unigram sets saturate (every pair looks similar) and even
+        // bigram prefixes keep posting lists long enough to explode the
+        // candidate stage ~25× — trigrams give the distinctive, RARE
+        // element universe prefix filtering needs
         val tok = Tables.documents(s, d)
           .select($"doc_id", split($"text", " ").as("w"))
           .select($"doc_id", explode(expr(
-            """case when size(w) < 2 then cast(array() as array<string>)
-              |else transform(sequence(1, size(w) - 1),
-              |  i -> concat_ws(' ', slice(w, i, 2))) end""".stripMargin)).as("t"))
+            """case when size(w) < 3 then cast(array() as array<string>)
+              |else transform(sequence(1, size(w) - 2),
+              |  i -> concat_ws(' ', slice(w, i, 3))) end""".stripMargin)).as("t"))
           .distinct().cache()
         val freq = tok.groupBy($"t").agg(count(lit(1)).as("f"))
         val pos = tok.join(freq, "t")
@@ -1145,9 +1147,18 @@ object Dedup {
           .withColumn("pos", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"f", $"t")))
         val pref = pos.filter($"pos" <= $"m" - ceil($"m" * 0.6) + 1)
-          .select($"doc_id", $"t")
-        val cand = pref.toDF("a", "t").join(pref.toDF("b", "t"), "t")
-          .filter($"a" < $"b").select($"a", $"b").distinct()
+          .select($"doc_id", $"t", $"pos", $"m")
+        // positional filter (PPJoin proper): a match at prefix positions
+        // (pa, pb) can contribute at most 1 + min(ma−pa, mb−pb) overlap;
+        // below the α = ⌈0.375·(ma+mb)⌉ overlap bound implied by J ≥ 0.6
+        // the pair cannot qualify, so it never reaches the verify join
+        // (0.375 = 0.6/1.6 written exactly so both engines agree)
+        val cand = pref.toDF("a", "t", "pa", "ma")
+          .join(pref.toDF("b", "t", "pb", "mb"), "t")
+          .filter($"a" < $"b" &&
+            lit(1) + least($"ma" - $"pa", $"mb" - $"pb")
+              >= ceil(($"ma" + $"mb") * 0.375))
+          .select($"a", $"b").distinct()
         val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
         val inter = cand
           .join(tok.toDF("a", "ta"), "a")
@@ -1166,8 +1177,8 @@ object Dedup {
       Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |tok AS (
              |  SELECT DISTINCT doc_id,
-             |    array_to_string(list_slice(w, i, i + 1), ' ') AS t
-             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             |    array_to_string(list_slice(w, i, i + 2), ' ') AS t
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
              |        FROM t0)),
              |freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
              |pos AS (
@@ -1175,10 +1186,13 @@ object Dedup {
              |    count(*) OVER (PARTITION BY tok.doc_id) AS m,
              |    row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.f, tok.t) AS pos
              |  FROM tok JOIN freq f USING (t)),
-             |pref AS (SELECT doc_id, t FROM pos WHERE pos <= m - ceil(m * 0.6) + 1),
+             |pref AS (SELECT doc_id, t, pos, m FROM pos
+             |         WHERE pos <= m - ceil(m * 0.6) + 1),
              |cand AS (
              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             |  FROM pref x JOIN pref y ON x.t = y.t AND x.doc_id < y.doc_id),
+             |  FROM pref x JOIN pref y ON x.t = y.t AND x.doc_id < y.doc_id
+             |  WHERE 1 + least(x.m - x.pos, y.m - y.pos)
+             |    >= ceil((x.m + y.m) * 0.375)),
              |sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
              |iv AS (
              |  SELECT c.a, c.b, count(*) AS inter
