@@ -27,6 +27,21 @@ object Dedup {
     * 25) but bounds the worst join key at 64² rows at any corpus size. */
   val MaxShingleDf = 64
 
+  /** q135 (SemDeDup) cosine threshold: within a trained cluster, a vector
+    * with a lower-id neighbor at or above this cosine is a semantic
+    * duplicate. 0.4 sits just under the synthetic corpus's near-dup band
+    * (within-cell cosines top out near 0.5). */
+  val SemDedupTau = 0.4
+
+  /** q137's document-frequency cap for CHARACTER trigrams — much more
+    * ubiquitous than q43's word trigrams, so the cap is higher; same
+    * purpose: bound the inverted-index join's worst key at cap² rows. */
+  val MaxCharShingleDf = 250
+
+  /** q137 ignores docs whose informative-shingle set is smaller than this —
+    * a 3-shingle set fully covered by accident is not containment. */
+  val MinContainSetSize = 30
+
   /** Character shingles of length `k`, distinct per doc:
     * DataFrame(doc_id, s). Shingling streams through the native
     * KmerGenerator — no intermediate array materialization per document. */
@@ -1206,6 +1221,105 @@ object Dedup {
              |JOIN sz sa ON sa.doc_id = iv.a
              |JOIN sz sb ON sb.doc_id = iv.b
              |WHERE round(iv.inter * 1.0 / (sa.m + sb.m - iv.inter), 6) >= 0.6
-             |ORDER BY iv.a, iv.b""".stripMargin))
+             |ORDER BY iv.a, iv.b""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup:
+    // cluster the embedding space with the shared deterministic k-means
+    // (Similarity.trainedCells — fixed CoarseCells cells, 2 Lloyd
+    // iterations, 6-dp centroids), then compare pairs ONLY within a
+    // cluster and drop every vector that has a lower-id neighbor above
+    // the cosine threshold. Differs from q45 (embed_neardup) exactly the
+    // way the paper differs from blocking-LSH: candidates come from the
+    // TRAINED partition of the space, and the keep-rule is per-cluster
+    // (min id survives), so the operator both finds near-dups and
+    // resolves them in one pass. At 100 TB the cluster id is the shuffle
+    // key: the pair join is cell-local (cells are bounded by corpus/C on
+    // average, and a pathological hot cell is AQE-skew-splittable), the
+    // centroid set is a constant-size broadcast, and nothing all-pairs.
+    Q("q135_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val assign = Similarity.trainedCells(e)._2
+          .withColumn("nrm", Similarity.norm($"embedding"))
+          .cache() // both sides of the cell-local pair join read this
+        val u = assign.select($"cid", $"vec_id".as("a"),
+          $"embedding".as("ea"), $"nrm".as("na"))
+        val v = assign.select($"cid", $"vec_id".as("b"),
+          $"embedding".as("eb"), $"nrm".as("nb"))
+        u.join(v, "cid").filter($"a" < $"b")
+          .select($"cid", $"a", $"b",
+            round(Similarity.dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cos"))
+          .filter($"cos" >= SemDedupTau)
+          .groupBy($"b", $"cid")
+          .agg(min($"a").as("dup_of"), max($"cos").as("max_cos"))
+          .select($"b".as("vec_id"), $"cid", $"dup_of", $"max_cos")
+          .orderBy($"vec_id")
+      },
+      Some(Similarity.kmeansTrainSql(2) + s"""
+             |,pr AS (
+             |  SELECT u.cid, u.vec_id AS a, v.vec_id AS b,
+             |    round(sum(eu.v * ev.v) / (nu.nrm * nv.nrm), 4) AS cos
+             |  FROM a2 u JOIN a2 v ON u.cid = v.cid AND u.vec_id < v.vec_id
+             |  JOIN e eu ON eu.vec_id = u.vec_id
+             |  JOIN e ev ON ev.vec_id = v.vec_id AND ev.i = eu.i
+             |  JOIN nrm nu ON nu.vec_id = u.vec_id
+             |  JOIN nrm nv ON nv.vec_id = v.vec_id
+             |  GROUP BY u.cid, u.vec_id, v.vec_id, nu.nrm, nv.nrm)
+             |SELECT b AS vec_id, cid, min(a) AS dup_of, max(cos) AS max_cos
+             |FROM pr WHERE cos >= $SemDedupTau
+             |GROUP BY b, cid ORDER BY vec_id""".stripMargin)),
+
+    // Shingle-CONTAINMENT near-dup detection — the asymmetric complement
+    // of q43's Jaccard: C(A→B) = |S_A ∩ S_B| / |S_A| finds a document
+    // embedded inside a larger one (quote farms, wrapper pages, train/test
+    // contamination by inclusion), which symmetric Jaccard under-scores
+    // when |S_B| ≫ |S_A|. Character-trigram sets (the q133 shingling) with
+    // a document-frequency cap: ubiquitous trigrams are dropped from BOTH
+    // the intersection and the set sizes, bounding the inverted-index
+    // join's worst key fan-out at cap² rows at any corpus size. The small
+    //-set floor (MinContainSetSize) keeps docs whose informative-shingle
+    // set is tiny from reporting vacuous 100% containment.
+    Q("q137_containment",
+      (s, d) => {
+        import s.implicits._
+        val all = Tables.documents(s, d)
+          .select($"doc_id", graft.kmer.Kmers.kmerExplode($"text", 3).as("s"))
+          .distinct()
+        val hot = all.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" > MaxCharShingleDf).select($"s")
+        val sh = all.join(hot, Seq("s"), "left_anti").cache()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+        val shared = sh.as("x").join(sh.as("y"),
+            $"x.s" === $"y.s" && $"x.doc_id" =!= $"y.doc_id")
+          .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select($"doc_id".as("a"), $"sz".as("sz_a")), "a")
+          .filter($"sz_a" >= MinContainSetSize)
+          .withColumn("containment", round($"shared" / $"sz_a".cast("double"), 4))
+          .filter($"containment" >= 0.85)
+          .select($"a", $"b", $"sz_a", $"shared", $"containment")
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH allsh AS (
+             |  SELECT DISTINCT doc_id, substr(text, i, 3) AS s
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i
+             |        FROM documents)),
+             |sh AS (
+             |  SELECT doc_id, s FROM allsh
+             |  WHERE s NOT IN (SELECT s FROM allsh GROUP BY s
+             |                  HAVING count(*) > $MaxCharShingleDf)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |ov AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+             |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id != y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b, sz_a, shared, containment FROM (
+             |  SELECT ov.a, ov.b, sa.sz AS sz_a, ov.shared,
+             |    round(ov.shared / CAST(sa.sz AS DOUBLE), 4) AS containment
+             |  FROM ov JOIN sizes sa ON sa.doc_id = ov.a
+             |  WHERE sa.sz >= $MinContainSetSize)
+             |WHERE containment >= 0.85 ORDER BY a, b""".stripMargin))
   )
 }

@@ -154,14 +154,8 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val cent0 = seedCentroids(e, CoarseCells)
-        // cached: the trained-centroid frame is 64 rows but its lineage is
-        // two Lloyd passes over the corpus, and it is referenced twice (the
-        // query-side broadcast AND the corpus assignment) — uncached, the
-        // training chain would execute once per reference
-        val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
-          .cache()
-        val assign = assignCells(e, cent).cache()
+        val (cent, assign0) = trainedCells(e)
+        val assign = assign0.cache()
         // query side: top-nprobe cells by (rounded) centroid cosine
         val qcells = e.filter($"vec_id" < 8)
           .withColumn("qn", norm($"embedding"))
@@ -481,13 +475,81 @@ object Similarity {
              |SELECT sub, cid, count(*) AS n_assigned,
              |  ((2 * sum(CAST(round(d2 * 1e6) AS BIGINT)) + count(*))
              |    // (2 * count(*))) / 1000000.0 AS distortion
-             |FROM a2 GROUP BY sub, cid ORDER BY sub, cid""".stripMargin))
+             |FROM a2 GROUP BY sub, cid ORDER BY sub, cid""".stripMargin)),
+
+    // Hard-negative mining — the training-pair construction step of
+    // contrastive / embedding-model fine-tuning: for each query vector,
+    // the most cosine-similar vectors whose LABEL differs (the "hard"
+    // negatives that sit near the decision boundary). Identical dataflow
+    // shape to q50's brute top-k — query side broadcast, codegen'd
+    // dot_product, norms projected below the pair join — plus a label
+    // inequality predicate evaluated before ranking, so the window ranks
+    // only eligible negatives. At 100 TB this composes with q51/q53:
+    // replace the brute pair source with the IVF/LSH candidate stream and
+    // keep the same label filter + rank.
+    Q("q139_hard_negatives",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val q = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"embedding".as("qe"), norm($"embedding").as("qn"))
+        e.select($"vec_id".as("did"), $"label".as("dlabel"),
+            $"embedding".as("de"), norm($"embedding").as("dn"))
+          .crossJoin(broadcast(q))
+          .filter($"dlabel" =!= $"qlabel")
+          .select($"qid", $"did", $"dlabel",
+            (dot($"qe", $"de") / ($"qn" * $"dn")).as("c"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"qid").orderBy(round($"c", 4).desc, $"did")))
+          .filter($"rnk" <= 3)
+          .select($"qid", $"did", $"dlabel", round($"c", 4).as("cosine"), $"rnk")
+          .orderBy($"qid", $"rnk")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+             |lab AS (SELECT vec_id, label FROM embeddings),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS did, sum(q.v * e.v) AS dot
+             |  FROM e q JOIN e USING (i)
+             |  WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+             |  GROUP BY 1, 2),
+             |cos AS (
+             |  SELECT qid, did, ld.label AS dlabel, dot / (nq.nrm * nd.nrm) AS c
+             |  FROM dots
+             |  JOIN nrm nq ON nq.vec_id = qid JOIN nrm nd ON nd.vec_id = did
+             |  JOIN lab lq ON lq.vec_id = qid JOIN lab ld ON ld.vec_id = did
+             |  WHERE ld.label != lq.label),
+             |rk AS (
+             |  SELECT qid, did, dlabel, c,
+             |    row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, did) AS rnk
+             |  FROM cos)
+             |SELECT qid, did, dlabel, round(c, 4) AS cosine, rnk
+             |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin))
   )
 
-  /** Unrolled deterministic-k-means oracle for q51: seeds → `iters` Lloyd
-    * updates (centroid components rounded to 6 dp, mirroring lloydUpdate) →
-    * final cell assignment → probe-own-cell top-k. */
-  private def ivfOracleSql(iters: Int): String = {
+  /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds
+    * → 2 Lloyd updates → final cell assignment. The trained-centroid frame
+    * is CoarseCells rows but its lineage is two passes over the corpus and
+    * it is referenced at least twice by every caller, so it is cached here.
+    * @return (trained centroids (cid, ce), assignment (vec_id, embedding, cid))
+    */
+  private[ops] def trainedCells(e: DataFrame): (DataFrame, DataFrame) = {
+    val cent0 = seedCentroids(e, CoarseCells)
+    val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
+      .cache()
+    (cent, assignCells(e, cent))
+  }
+
+  /** Unrolled deterministic-k-means WITH-prefix shared by the q51 and
+    * Dedup-q135 oracles: CTEs `e` (exploded vectors), `nrm` (norms), seeds →
+    * `iters` Lloyd updates (centroid components rounded to 6 dp, mirroring
+    * lloydUpdate) → final cell assignment `a{iters}(vec_id, cid)` and its
+    * score frame `cc{iters}`. Callers append their continuation CTEs. */
+  private[ops] def kmeansTrainSql(iters: Int): String = {
     def assignBlock(t: Int, centFrom: String) = s"""
       |cn$t AS (SELECT cid, sqrt(sum(cv * cv)) AS cnrm FROM $centFrom GROUP BY cid),
       |cc$t AS (
@@ -515,7 +577,12 @@ object Similarity {
       |  FROM embeddings),
       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
       |cent0 AS (SELECT vec_id AS cid, v AS cv, i FROM e WHERE ${seedSqlPredicate(CoarseCells)}),""".stripMargin +
-      train + s"""
+      train
+  }
+
+  /** q51's oracle: the trained assignment, then probe-own-cell top-k. */
+  private def ivfOracleSql(iters: Int): String =
+    kmeansTrainSql(iters) + s"""
       |,q AS (
       |  SELECT vec_id AS qid, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -539,5 +606,4 @@ object Similarity {
       |  FROM cos)
       |SELECT qid, did, round(c, 4) AS cosine, rnk
       |FROM topk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-  }
 }

@@ -1459,7 +1459,126 @@ object TextAnalysis {
              |SELECT bc.source, count(*) AS n_bigrams,
              |  round(-sum((cxy * 1.0 / nb) * ln(cxy * 1.0 / cx)), 6) AS h_cond
              |FROM bc JOIN cl USING (source, x) JOIN tt USING (source)
-             |GROUP BY bc.source ORDER BY bc.source""".stripMargin))
+             |GROUP BY bc.source ORDER BY bc.source""".stripMargin)),
+
+    // DSIR — data selection via importance resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every raw document by how target-like its
+    // HASHED n-gram features are. Features are md5-hashed unigrams folded
+    // into a FIXED 256-bucket space (the paper's trick that keeps the
+    // model two bounded count vectors no matter the corpus size); the
+    // target here is the English slice, the raw distribution is the whole
+    // corpus; each doc scores sum over its token stream of
+    // log(p_target(f)/p_raw(f)) with add-one smoothing, and the top-100
+    // selection is what a DSIR pipeline would keep. Dataflow: one
+    // tokenize pass, two bounded (≤256-row) count aggregates joined back
+    // by feature id, a per-doc sum, and a global top-k (TakeOrdered —
+    // per-partition heads merged at the driver, no global sort). The
+    // per-feature log-ratios are rounded to 6 dp before the per-doc sum
+    // (and the sum to 4 dp) so summation order cannot move a hash.
+    Q("q136_dsir",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val feat = docs
+          .select($"doc_id", $"lang", explode(tokens($"text")).as("t"))
+          .select($"doc_id", $"lang",
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("f"))
+          .cache() // read three times: target counts, raw counts, scoring join
+        val tgt = feat.filter($"lang" === "en").groupBy($"f").agg(count(lit(1)).as("ct"))
+        val raw = feat.groupBy($"f").agg(count(lit(1)).as("cr"))
+        val nt = feat.filter($"lang" === "en").agg(count(lit(1)).as("n"))
+        val nr = feat.agg(count(lit(1)).as("n"))
+        val lr = raw.join(tgt, Seq("f"), "left")
+          .crossJoin(broadcast(nt.select($"n".as("tn"))))
+          .crossJoin(broadcast(nr.select($"n".as("rn"))))
+          .select($"f", round(
+            log(((coalesce($"ct", lit(0L)) + 1.0) / ($"tn" + 256)) /
+              (($"cr" + 1.0) / ($"rn" + 256))), 6).as("w"))
+        feat.join(broadcast(lr), "f")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_feat"), round(sum($"w"), 4).as("weight"))
+          .orderBy($"weight".desc, $"doc_id")
+          .limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy($"weight".desc, $"doc_id")))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+             |feat AS (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS f FROM tok),
+             |tgt AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f),
+             |raw AS (SELECT f, count(*) AS cr FROM feat GROUP BY f),
+             |nt AS (SELECT count(*) AS n FROM feat WHERE lang = 'en'),
+             |nr AS (SELECT count(*) AS n FROM feat),
+             |lr AS (
+             |  SELECT r.f,
+             |    round(ln(((COALESCE(t.ct, 0) + 1.0) / (nt.n + 256))
+             |      / ((r.cr + 1.0) / (nr.n + 256))), 6) AS w
+             |  FROM raw r LEFT JOIN tgt t USING (f), nt, nr),
+             |dw AS (
+             |  SELECT doc_id, lang, count(*) AS n_feat, round(sum(w), 4) AS weight
+             |  FROM feat JOIN lr USING (f) GROUP BY doc_id, lang)
+             |SELECT doc_id, lang, n_feat, weight,
+             |  row_number() OVER (ORDER BY weight DESC, doc_id) AS rnk
+             |FROM dw ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Distribution-drift monitor — the two-sample Kolmogorov–Smirnov
+    // statistic of every source's document-length distribution against
+    // the corpus blend: KS(s) = max over x of |F_s(x) − F(x)|. The check
+    // a pipeline runs when a crawl snapshot or upstream extractor changes
+    // — a drifted source shows a large KS before any model ever sees the
+    // data. Scale shape: the corpus collapses to a (source, length)
+    // HISTOGRAM first (bounded by sources × distinct lengths, not by
+    // rows), CDFs are windows over that bounded frame, and the only
+    // unpartitioned window runs over the ≤|distinct lengths| global
+    // histogram — never over documents.
+    Q("q138_ks_drift",
+      (s, d) => {
+        import s.implicits._
+        val h = Tables.documents(s, d)
+          .groupBy($"source", $"n_chars".as("x")).agg(count(lit(1)).as("c"))
+          .cache() // read four times: grid spine, per-source counts, totals
+        val g = h.groupBy($"x").agg(sum($"c").as("cg"))
+        val gc = g.select($"x", $"cg",
+          sum($"cg").over(Window.orderBy($"x")).as("cumg"))
+        val ns = h.groupBy($"source").agg(sum($"c").as("n"))
+        val nt = g.agg(sum($"cg").as("n"))
+        val grid = h.select($"source").distinct()
+          .crossJoin(gc.select($"x", $"cumg"))
+          .join(h, Seq("source", "x"), "left")
+          .select($"source", $"x", $"cumg", coalesce($"c", lit(0L)).as("cs"))
+        grid
+          .withColumn("cums",
+            sum($"cs").over(Window.partitionBy($"source").orderBy($"x")))
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(nt.select($"n".as("tn"))))
+          .groupBy($"source", $"n")
+          .agg(max(abs($"cums" / $"n".cast("double") -
+            $"cumg" / $"tn".cast("double"))).as("ksRaw"))
+          .select($"source", $"n".as("n_docs"), round($"ksRaw", 6).as("ks"))
+          .orderBy($"source")
+      },
+      Some("""WITH h AS (
+             |  SELECT source, n_chars AS x, count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |g AS (SELECT x, sum(c) AS cg FROM h GROUP BY x),
+             |gc AS (SELECT x, sum(cg) OVER (ORDER BY x) AS cumg FROM g),
+             |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY source),
+             |nt AS (SELECT sum(cg) AS n FROM g),
+             |grid AS (
+             |  SELECT s.source, gc.x, gc.cumg, COALESCE(h.c, 0) AS cs
+             |  FROM (SELECT DISTINCT source FROM h) s CROSS JOIN gc
+             |  LEFT JOIN h ON h.source = s.source AND h.x = gc.x),
+             |cdf AS (
+             |  SELECT source, x, cumg,
+             |    sum(cs) OVER (PARTITION BY source ORDER BY x) AS cums
+             |  FROM grid)
+             |SELECT c.source, ns.n AS n_docs,
+             |  round(max(abs(c.cums / CAST(ns.n AS DOUBLE)
+             |    - c.cumg / CAST(nt.n AS DOUBLE))), 6) AS ks
+             |FROM cdf c JOIN ns USING (source), nt
+             |GROUP BY c.source, ns.n, nt.n ORDER BY source""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
