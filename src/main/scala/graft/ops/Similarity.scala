@@ -528,7 +528,153 @@ object Similarity {
              |    row_number() OVER (PARTITION BY qid ORDER BY round(c, 4) DESC, did) AS rnk
              |  FROM cos)
              |SELECT qid, did, dlabel, round(c, 4) AS cosine, rnk
-             |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin))
+             |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
+    // Cluster-quality audit — simplified silhouette over the trained
+    // k-means partition that q51 (IVF) and q135 (SemDeDup) both rely on:
+    // per vector, a = cosine distance to its OWN centroid, b = distance
+    // to the nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    // per-cell mean s is the number that says whether a cell is a real
+    // cluster (s → 1) or an arbitrary slice of space (s → 0) before
+    // anyone trusts cell-local dedup decisions. Centroid distances come
+    // from the SAME broadcast cross join the assignment uses (n·C dot
+    // products, constant C), the per-vector a/b reduce to the top-2
+    // assignment scores (cc desc ordering makes the 2nd-ranked cosine
+    // the nearest-other by construction), and the per-cell mean
+    // averages in integer 1e-4 units so summation order is moot.
+    Q("q141_silhouette",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cent = trainedCells(e)._1
+        val scored = e.withColumn("vnrm", norm($"embedding"))
+          .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
+          .select($"vec_id", $"cid",
+            round(dot($"embedding", $"ce") / ($"vnrm" * $"cnrm"), 4).as("cc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
+          .filter($"rn" <= 2)
+        val tops = scored.groupBy($"vec_id")
+          .agg(max(when($"rn" === 1, $"cid")).as("cid"),
+            max(when($"rn" === 1, $"cc")).as("cc1"),
+            max(when($"rn" === 2, $"cc")).as("cc2"))
+          .withColumn("a", lit(1.0) - $"cc1")
+          .withColumn("b", lit(1.0) - $"cc2")
+          .withColumn("sil", when(greatest($"a", $"b") <= 0, 0.0)
+            .otherwise(round(($"b" - $"a") / greatest($"a", $"b"), 4)))
+        tops
+          .withColumn("su", round($"sil" * 10000).cast("long"))
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n_members"), sum($"su").as("ssu"))
+          .select($"cid", $"n_members",
+            (expr("(2 * ssu + n_members) div (2 * n_members)") / 10000.0)
+              .as("mean_silhouette"))
+          .orderBy($"cid")
+      },
+      Some(kmeansTrainSql(2) + """
+             |,top2 AS (
+             |  SELECT vec_id, cid, cc,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+             |  FROM cc2),
+             |tops AS (
+             |  SELECT vec_id,
+             |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+             |    1.0 - max(CASE WHEN rn = 1 THEN cc END) AS a,
+             |    1.0 - max(CASE WHEN rn = 2 THEN cc END) AS b
+             |  FROM top2 WHERE rn <= 2 GROUP BY vec_id),
+             |sil AS (
+             |  SELECT vec_id, cid,
+             |    CAST(round((CASE WHEN greatest(a, b) <= 0 THEN 0.0
+             |      ELSE round((b - a) / greatest(a, b), 4) END) * 10000) AS BIGINT) AS su
+             |  FROM tops)
+             |SELECT cid, count(*) AS n_members,
+             |  ((2 * sum(su) + count(*)) // (2 * count(*))) / 10000.0 AS mean_silhouette
+             |FROM sil GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    // ANN recall curve — the tuning measurement behind q51's Nprobe
+    // choice: recall@3 of the IVF index as a function of how many cells
+    // a query probes. Ground truth is the brute-force top-3 (q50's
+    // dataflow); because those are the globally highest cosines, a
+    // ground-truth neighbor is retrieved at probe depth p iff its cell
+    // ranks ≤ p in the query's centroid ordering — so the whole curve
+    // falls out of ONE join of the truth set against the assignment and
+    // the query's cell ranking, no per-p re-execution. At 100 TB this is
+    // the cheap offline audit: truth for a small query sample via brute
+    // scan, then a constant-size rank join, recall averaged in integer
+    // 1e-4 units per probe depth.
+    Q("q142_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val (cent, assign0) = trainedCells(e)
+        val assign = assign0.cache()
+        val q = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"),
+            norm($"embedding").as("qn"))
+        // ground truth: brute top-3 per query (q50 semantics)
+        val truth = e.select($"vec_id".as("did"), $"embedding".as("de"),
+            norm($"embedding").as("dn"))
+          .crossJoin(broadcast(q))
+          .filter($"did" =!= $"qid")
+          .select($"qid", $"did",
+            round(dot($"qe", $"de") / ($"qn" * $"dn"), 4).as("c"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"qid").orderBy($"c".desc, $"did")))
+          .filter($"rnk" <= 3)
+          .select($"qid", $"did")
+        // the query's centroid ordering (cell rank 1..C)
+        val qrank = q.crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
+          .select($"qid", $"cid",
+            round(dot($"qe", $"ce") / ($"qn" * $"cnrm"), 4).as("cc"))
+          .withColumn("cellrank", row_number().over(
+            Window.partitionBy($"qid").orderBy($"cc".desc, $"cid")))
+          .select($"qid", $"cid", $"cellrank")
+        val hitDepth = truth
+          .join(assign.select($"vec_id".as("did"), $"cid"), "did")
+          .join(qrank, Seq("qid", "cid"))
+          .select($"qid", $"did", $"cellrank")
+        val probes = s.range(1, Nprobe + 1).select($"id".cast("int").as("nprobe"))
+        hitDepth.crossJoin(broadcast(probes))
+          .groupBy($"nprobe")
+          .agg(sum(when($"cellrank" <= $"nprobe", 1L).otherwise(0L)).as("n_hit"),
+            count(lit(1)).as("n_truth"))
+          .select($"nprobe", $"n_hit", $"n_truth",
+            (expr("(2 * n_hit * 10000 + n_truth) div (2 * n_truth)") / 10000.0)
+              .as("recall"))
+          .orderBy($"nprobe")
+      },
+      Some(kmeansTrainSql(2) + s"""
+             |,qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 8),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS did, sum(q.v * e.v) AS dot
+             |  FROM e q JOIN e USING (i)
+             |  WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+             |  GROUP BY 1, 2),
+             |truth AS (
+             |  SELECT qid, did FROM (
+             |    SELECT qid, did, row_number() OVER (PARTITION BY qid
+             |      ORDER BY round(dot / (nq.nrm * nd.nrm), 4) DESC, did) AS rnk
+             |    FROM dots JOIN nrm nq ON nq.vec_id = qid
+             |    JOIN nrm nd ON nd.vec_id = did) WHERE rnk <= 3),
+             |qrank AS (
+             |  SELECT vec_id AS qid, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid)
+             |      AS cellrank
+             |  FROM cc2 WHERE vec_id < 8),
+             |hd AS (
+             |  SELECT t.qid, t.did, qr.cellrank
+             |  FROM truth t JOIN a2 a ON a.vec_id = t.did
+             |  JOIN qrank qr ON qr.qid = t.qid AND qr.cid = a.cid),
+             |pr AS (SELECT unnest(generate_series(1, $Nprobe)) AS nprobe)
+             |SELECT pr.nprobe,
+             |  CAST(sum(CASE WHEN hd.cellrank <= pr.nprobe THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hit,
+             |  count(*) AS n_truth,
+             |  ((2 * CAST(sum(CASE WHEN hd.cellrank <= pr.nprobe THEN 1 ELSE 0 END)
+             |      AS BIGINT) * 10000 + count(*)) // (2 * count(*))) / 10000.0
+             |    AS recall
+             |FROM pr CROSS JOIN hd
+             |GROUP BY pr.nprobe ORDER BY pr.nprobe""".stripMargin))
   )
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds

@@ -1564,7 +1564,55 @@ object RelationalQueries {
              |  GROUP BY a.user_id, a.event_id)
              |SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst,
              |  count(*) AS n_events
-             |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Incremental view maintenance — the 100 TB pattern for keeping a
+    // rollup current without rescanning history: the day-partitioned
+    // event stream splits into BASE (all closed days) and DELTA (the
+    // newest day); each side aggregates independently and the rollup is
+    // the pure partial-aggregate MERGE (counts and sums add; min/max
+    // take extrema; avg is NOT mergeable, so the state carries (sum,
+    // count) and the average derives after the merge — value sums ride
+    // in integer cents so merge order cannot move a bit). In production
+    // the base side is the stored aggregate state, so per refresh only
+    // the delta partition is ever read; here both sides compute from the
+    // corpus and the oracle checks the merged result equals the direct
+    // full-history rollup.
+    Q("q140_incremental_agg",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_type", to_date($"ts").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+        val split = ev.crossJoin(broadcast(ev.agg(max($"day").as("maxDay"))))
+        def rollup(side: DataFrame) = side
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+            min($"cents").as("mn"), max($"cents").as("mx"))
+        val base  = rollup(split.filter($"day" < $"maxDay"))
+        val delta = rollup(split.filter($"day" === $"maxDay"))
+        // the merge: outer-join the two states, add/extremize columnwise
+        base.as("b").join(delta.as("d"), Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"b.n", lit(0L)) + coalesce($"d.n", lit(0L))).as("n_events"),
+            (coalesce($"b.sc", lit(0L)) + coalesce($"d.sc", lit(0L))).as("sum_cents"),
+            least($"b.mn", $"d.mn").as("min_cents"),
+            greatest($"b.mx", $"d.mx").as("max_cents"))
+          // half-up average in exact integer 1e-4-dollar units (the q125
+          // trick) — a double division could land on a rounding boundary
+          .withColumn("avg_value",
+            expr("(2 * sum_cents * 100 + n_events) div (2 * n_events)") / 10000.0)
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  min(cents) AS min_cents, max(cents) AS max_cents,
+             |  ((2 * CAST(sum(cents) AS BIGINT) * 100 + count(*))
+             |    // (2 * count(*))) / 10000.0 AS avg_value
+             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
