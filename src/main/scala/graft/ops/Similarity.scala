@@ -674,7 +674,52 @@ object Similarity {
              |      AS BIGINT) * 10000 + count(*)) // (2 * count(*))) / 10000.0
              |    AS recall
              |FROM pr CROSS JOIN hd
-             |GROUP BY pr.nprobe ORDER BY pr.nprobe""".stripMargin))
+             |GROUP BY pr.nprobe ORDER BY pr.nprobe""".stripMargin)),
+
+    // Embedding-dimension health audit — the feature-store check run
+    // before trusting any ANN index: per dimension, mean, variance, and
+    // the fraction of exact zeros. A dead dimension (zero variance) or a
+    // sparsity spike flags an upstream encoder bug long before recall
+    // drops. One posexplode pass into a 64-row aggregate: the shuffle
+    // carries (dim, partial moment) rows, never vectors; moments
+    // accumulate as exact integer sums of 1e-6-scaled components so
+    // summation order cannot move a bit at any corpus size.
+    Q("q145_dim_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select(posexplode($"embedding").as(Seq("dim", "v")))
+          // exact integer micro-units: Σx and Σx² in 1e-6/1e-12 scale
+          .select($"dim", expr("cast(round(cast(v as double) * 1e6) as bigint)").as("u"))
+          .groupBy($"dim")
+          .agg(count(lit(1)).as("n"), sum($"u").as("su"),
+            sum($"u" * $"u").as("squ"),
+            sum(when($"u" === 0L, 1L).otherwise(0L)).as("n_zero"))
+          // mean in exact integers: Spark's `div` and DuckDB's `//` both
+          // truncate toward zero (verified: -9//2 = -4 in DuckDB), so the
+          // same half-up expression matches bit-for-bit on either sign;
+          // variance numerator squ·n − su² is ≥ 0 regardless
+          .select($"dim", $"n",
+            (expr("(2*su + n) div (2*n)") / 1e6).as("mean"),
+            (expr("(2*(squ*n - su*su) + n*n*1000000L) div (2*n*n*1000000L)") / 1e6)
+              .as("variance"),
+            round($"n_zero" / $"n".cast("double"), 6).as("zero_frac"))
+          .orderBy($"dim")
+      },
+      Some("""WITH u AS (
+             |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS u
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT dim, count(*) AS n, CAST(sum(u) AS BIGINT) AS su,
+             |    CAST(sum(u * u) AS BIGINT) AS squ,
+             |    CAST(sum(CASE WHEN u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+             |  FROM u GROUP BY dim)
+             |SELECT dim, n, ((2*su + n) // (2*n)) / 1e6 AS mean,
+             |  ((2*(squ*n - su*su) + n*n*1000000) // (2*n*n*1000000)) / 1e6
+             |    AS variance,
+             |  round(n_zero * 1.0 / n, 6) AS zero_frac
+             |FROM m ORDER BY dim""".stripMargin))
   )
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds

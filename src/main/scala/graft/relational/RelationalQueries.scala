@@ -1612,7 +1612,92 @@ object RelationalQueries {
              |  min(cents) AS min_cents, max(cents) AS max_cents,
              |  ((2 * CAST(sum(cents) AS BIGINT) * 100 + count(*))
              |    // (2 * count(*))) / 10000.0 AS avg_value
-             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Frequent-pair mining (association rules, the a-priori first pass):
+    // part pairs that co-occur in the same order, scored by support and
+    // LIFT = P(a,b)/(P(a)·P(b)). The a-priori pruning step is the scale
+    // lever: items below the per-item support floor are dropped BEFORE
+    // the pair join, so the inverted-index self-join on the order key
+    // only ever sees frequent items and a basket of m frequent items
+    // contributes m² pairs with m already bounded in practice (baskets
+    // are small; a pathological hot order is AQE-skew-splittable). Lift
+    // is a ratio of exact integers (rounded at 4 dp identically on both
+    // engines); the output is the deterministic top-50.
+    Q("q143_market_basket",
+      (s, d) => {
+        import s.implicits._
+        val b = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+          .cache() // read three times: item supports, both pair sides
+        val f = b.groupBy($"p").agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 3)
+        val fp = b.join(f, "p")
+        val nOrders = b.select($"o").distinct().agg(count(lit(1)).as("n"))
+        fp.select($"o", $"p".as("pa"), $"supp".as("sa"))
+          .join(fp.select($"o", $"p".as("pb"), $"supp".as("sb")), "o")
+          .filter($"pa" < $"pb")
+          .groupBy($"pa", $"pb", $"sa", $"sb")
+          .agg(count(lit(1)).as("n_both"))
+          .crossJoin(broadcast(nOrders))
+          .select($"pa", $"pb", $"n_both", $"sa", $"sb",
+            round($"n_both" * $"n" / ($"sa" * $"sb").cast("double"), 4).as("lift"))
+          .orderBy($"n_both".desc, $"lift".desc, $"pa", $"pb")
+          .limit(50)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |f AS (SELECT p, count(*) AS supp FROM b GROUP BY p HAVING count(*) >= 3),
+             |fp AS (SELECT b.o, b.p, f.supp FROM b JOIN f USING (p)),
+             |n AS (SELECT count(DISTINCT o) AS n FROM b),
+             |pairs AS (
+             |  SELECT x.p AS pa, y.p AS pb, x.supp AS sa, y.supp AS sb,
+             |    count(*) AS n_both
+             |  FROM fp x JOIN fp y ON x.o = y.o AND x.p < y.p
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT pa, pb, n_both, CAST(sa AS BIGINT) AS sa,
+             |  CAST(sb AS BIGINT) AS sb,
+             |  round(n_both * n.n / CAST(sa * sb AS DOUBLE), 4) AS lift
+             |FROM pairs, n
+             |ORDER BY n_both DESC, lift DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // Conversion latency — the event-sequence timing read every growth
+    // dashboard needs: per user, seconds from first signup to the first
+    // purchase at or after it, bucketed into hour/day/later bands. Two
+    // per-user min-aggregates (map-side partial) and one join — the
+    // purchase scan's event_type filter is pushed to parquet; timestamps
+    // compare in exact integer microseconds so no float ever enters.
+    Q("q144_conversion_latency",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val su = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"us").as("t0"))
+        val pu = ev.filter($"event_type" === "purchase")
+          .join(su, "user_id")
+          .filter($"us" >= $"t0")
+          .groupBy($"user_id", $"t0").agg(min($"us").as("t1"))
+        pu.select($"user_id",
+            expr("(t1 - t0) div 1000000").as("latency_sec"))
+          .withColumn("band",
+            when($"latency_sec" < 3600, "within_hour")
+              .when($"latency_sec" < 86400, "within_day").otherwise("later"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |su AS (SELECT user_id, min(us) AS t0 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (
+             |  SELECT e.user_id, su.t0, min(e.us) AS t1
+             |  FROM ev e JOIN su USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.us >= su.t0
+             |  GROUP BY 1, 2)
+             |SELECT user_id, (t1 - t0) // 1000000 AS latency_sec,
+             |  CASE WHEN (t1 - t0) // 1000000 < 3600 THEN 'within_hour'
+             |       WHEN (t1 - t0) // 1000000 < 86400 THEN 'within_day'
+             |       ELSE 'later' END AS band
+             |FROM pu ORDER BY user_id""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
