@@ -1578,7 +1578,102 @@ object TextAnalysis {
              |  round(max(abs(c.cums / CAST(ns.n AS DOUBLE)
              |    - c.cumg / CAST(nt.n AS DOUBLE))), 6) AS ks
              |FROM cdf c JOIN ns USING (source), nt
-             |GROUP BY c.source, ns.n, nt.n ORDER BY source""".stripMargin))
+             |GROUP BY c.source, ns.n, nt.n ORDER BY source""".stripMargin)),
+
+    // Count-min-sketch heavy-hitter audit — the streaming-scale frequency
+    // sketch, exercised batch-side and checked against exact counts: a
+    // depth-3 × width-1024 counter grid (hashes = affine maps of a 48-bit
+    // md5 fingerprint mod a Mersenne-ish prime, deterministic on both
+    // engines), point estimate = min over the three rows, always an
+    // OVERcount. The scale contract is the whole point: the sketch is
+    // 3·1024 counters no matter the corpus — partial-agg to (k, bucket)
+    // rows, merge = vector add — so at 100 TB the shuffle carries ≤ 3072
+    // rows per task while the exact top-k it is audited against needs a
+    // full per-token aggregate. Reports the top-20 tokens with exact
+    // count, estimate, and overcount (0 here: the corpus vocabulary is
+    // far smaller than the grid, so collisions are rare).
+    Q("q149_cms_topk",
+      (s, d) => {
+        import s.implicits._
+        val fp = Tables.documents(s, d)
+          .select(explode(tokens($"text")).as("t"))
+          .select($"t",
+            expr("cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint)").as("fp"))
+        val hs = Seq((0, 131L, 7L), (1, 137L, 11L), (2, 139L, 13L))
+          .toDF("k", "a", "b")
+        val sk = fp.crossJoin(broadcast(hs))
+          .groupBy($"k",
+            (($"a" * $"fp" + $"b") % 1000000007L % 1024L).as("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val exact = fp.groupBy($"t").agg(count(lit(1)).as("exact"))
+          .orderBy($"exact".desc, $"t").limit(20)
+          .select($"t", $"exact",
+            expr("cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint)").as("fp"))
+        exact.crossJoin(broadcast(hs))
+          .select($"t", $"exact", $"k",
+            (($"a" * $"fp" + $"b") % 1000000007L % 1024L).as("bkt"))
+          .join(sk, Seq("k", "bkt"))
+          .groupBy($"t", $"exact").agg(min($"c").as("est"))
+          .select($"t".as("token"), $"exact", $"est",
+            ($"est" - $"exact").as("overcount"))
+          .orderBy($"exact".desc, $"token")
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |fp AS (
+             |  SELECT t, ('0x' || substr(md5(t), 1, 12))::BIGINT AS fp FROM tok),
+             |hs AS (SELECT * FROM (VALUES (0, 131, 7), (1, 137, 11), (2, 139, 13)) AS h(k, a, b)),
+             |sk AS (
+             |  SELECT hs.k, ((hs.a * fp.fp + hs.b) % 1000000007) % 1024 AS bkt,
+             |    count(*) AS c
+             |  FROM fp, hs GROUP BY 1, 2),
+             |exact AS (
+             |  SELECT t, count(*) AS exact,
+             |    ('0x' || substr(md5(t), 1, 12))::BIGINT AS fp
+             |  FROM fp GROUP BY t ORDER BY exact DESC, t LIMIT 20),
+             |est AS (
+             |  SELECT e.t, e.exact, min(sk.c) AS est
+             |  FROM exact e JOIN hs ON true
+             |  JOIN sk ON sk.k = hs.k
+             |    AND sk.bkt = ((hs.a * e.fp + hs.b) % 1000000007) % 1024
+             |  GROUP BY 1, 2)
+             |SELECT t AS token, exact, CAST(est AS BIGINT) AS est,
+             |  CAST(est - exact AS BIGINT) AS overcount
+             |FROM est ORDER BY exact DESC, token""".stripMargin)),
+
+    // Write-side bin packing — the lakehouse small-files fix, planned
+    // declaratively: within each (lang, source) output partition, docs are
+    // packed greedily in doc_id order into ~16 KiB target files; a doc
+    // starts a new file when the running prefix of bytes crosses the
+    // target (file_no = start-offset div target — exact, no float). The
+    // report is one row per planned file with its doc count and bytes —
+    // what a writer would hand to the commit protocol. Parallelism is
+    // bounded by partition-key cardinality (the prefix sum is per-group
+    // sequential by construction); production writers trade exactness for
+    // a per-task greedy pack after a range shuffle, but the planned
+    // layout itself — the contract checked here — is deterministic.
+    Q("q151_write_binpack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+        Tables.documents(s, d)
+          .select($"lang", $"source", $"doc_id",
+            length($"text").cast("bigint").as("bytes"))
+          .withColumn("cum", sum($"bytes").over(w))
+          .withColumn("file_no", expr("(cum - bytes) div 16384"))
+          .groupBy($"lang", $"source", $"file_no")
+          .agg(count(lit(1)).as("n_docs"), sum($"bytes").as("file_bytes"))
+          .orderBy($"lang", $"source", $"file_no")
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, source, doc_id, length(text) AS bytes,
+             |    sum(length(text)) OVER (PARTITION BY lang, source
+             |      ORDER BY doc_id) AS cum
+             |  FROM documents)
+             |SELECT lang, source, (cum - bytes) // 16384 AS file_no,
+             |  count(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS file_bytes
+             |FROM d GROUP BY 1, 2, 3 ORDER BY lang, source, file_no""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and

@@ -1797,7 +1797,44 @@ object RelationalQueries {
              |    greatest(sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE)) *
              |      (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE)) *
              |      (1.0 / n0 + 1.0 / n1)), 1e-12), 4) AS z
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // Benford first-digit audit — the forensic-accounting check for
+    // fabricated or synthetic numeric columns: the observed first
+    // significant digit distribution of line-item prices vs the Benford
+    // expectation log10(1 + 1/d), with the per-digit χ² contribution.
+    // (This corpus is synthetic-uniform, so the audit correctly screams —
+    // digit 1 at ~15% instead of 30%.) The digit is taken from the exact
+    // integer cents (no float parse); one 9-row aggregate after a
+    // map-side partial, the normalizer a broadcast 1-row frame. log10 of
+    // the nine rationals agrees across engines to ~1 ulp, far below the
+    // 6/4-dp rounding.
+    Q("q150_benford",
+      (s, d) => {
+        import s.implicits._
+        val digits = Tables.lineitem(s, d)
+          .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+          .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("cnt"))
+        val bp = log(10.0, lit(1.0) + lit(1.0) / $"digit")
+        digits.crossJoin(broadcast(digits.agg(sum($"cnt").as("n"))))
+          .select($"digit", $"cnt",
+            round($"cnt" / $"n".cast("double"), 6).as("obs_frac"),
+            round(bp, 6).as("benford_p"),
+            round(pow($"cnt" - $"n" * bp, 2) / ($"n" * bp), 4).as("chi2_term"))
+          .orderBy($"digit")
+      },
+      Some("""WITH digits AS (
+             |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |      AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM digits)
+             |SELECT digit, cnt,
+             |  round(cnt / CAST(n.n AS DOUBLE), 6) AS obs_frac,
+             |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+             |  round(pow(cnt - n.n * log10(1.0 + 1.0 / digit), 2)
+             |    / (n.n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+             |FROM digits, n ORDER BY digit""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
