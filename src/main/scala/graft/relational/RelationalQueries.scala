@@ -1834,7 +1834,217 @@ object RelationalQueries {
              |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
              |  round(pow(cnt - n.n * log10(1.0 + 1.0 / digit), 2)
              |    / (n.n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
-             |FROM digits, n ORDER BY digit""".stripMargin))
+             |FROM digits, n ORDER BY digit""".stripMargin)),
+
+    // HyperLogLog distinct-count audit — the mergeable cardinality sketch
+    // built from first principles and checked against the exact count:
+    // 256 registers, bucket = low 8 bits of a 48-bit md5 fingerprint,
+    // register value = leading-zero rank of the remaining 40 bits (via
+    // the length of the binary string — pure integer/string ops, so both
+    // engines agree bit-for-bit), estimate = α·m²/Σ2^(−M_j). The harmonic
+    // sum adds dyadic rationals whose exponent span (≤ 41 bits) fits one
+    // double mantissa, so even that float sum is EXACT in any order. The
+    // sketch is what survives at 100 TB: registers partial-agg to ≤ 256
+    // rows per task and merge by max, while the exact side needs a full
+    // distinct shuffle — the audit row reports both and the relative
+    // error (~1.04/√256 ≈ 6.5% expected).
+    Q("q152_hll_audit",
+      (s, d) => {
+        import s.implicits._
+        val fp = Tables.lineitem(s, d).select($"l_partkey").distinct()
+          .select(expr(
+            "cast(conv(substring(md5(cast(l_partkey as string)), 1, 12), 16, 10) as bigint)")
+            .as("fp"))
+        val reg = fp
+          .select(($"fp" % 256).as("bucket"),
+            expr("41 - length(bin(fp div 256))").as("rho"))
+          .groupBy($"bucket").agg(max($"rho").as("mr"))
+        val regs = s.range(256).select($"id".as("bucket"))
+          .join(reg, Seq("bucket"), "left")
+          .select(coalesce($"mr", lit(0)).as("mr"))
+        val est = regs.agg(
+          sum(pow(lit(2.0), -$"mr")).as("z"),
+          sum(when($"mr" === 0, 1L).otherwise(0L)).as("empty_regs"),
+          max($"mr").as("max_rho"))
+        val exact = Tables.lineitem(s, d)
+          .agg(countDistinct($"l_partkey").as("exact"))
+        est.crossJoin(broadcast(exact))
+          .select($"exact",
+            round(lit(0.7123) * 65536 / $"z", 1).as("hll_est"),
+            round(abs(lit(0.7123) * 65536 / $"z" - $"exact") /
+              $"exact".cast("double"), 4).as("rel_err"),
+            (lit(256L) - $"empty_regs").as("regs_used"), $"max_rho")
+      },
+      Some("""WITH k AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+             |fp AS (SELECT ('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 12))::BIGINT AS fp
+             |       FROM k),
+             |rg AS (SELECT fp % 256 AS bucket, max(41 - length(bin(fp // 256))) AS mr
+             |       FROM fp GROUP BY 1),
+             |grid AS (SELECT range AS bucket FROM range(256)),
+             |regs AS (SELECT COALESCE(rg.mr, 0) AS mr
+             |         FROM grid LEFT JOIN rg USING (bucket)),
+             |est AS (
+             |  SELECT sum(pow(2.0, -mr)) AS z,
+             |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_regs,
+             |    max(mr) AS max_rho
+             |  FROM regs),
+             |ex AS (SELECT count(DISTINCT l_partkey) AS exact FROM lineitem)
+             |SELECT ex.exact, round(0.7123 * 65536 / z, 1) AS hll_est,
+             |  round(abs(0.7123 * 65536 / z - ex.exact) / CAST(ex.exact AS DOUBLE), 4)
+             |    AS rel_err,
+             |  256 - empty_regs AS regs_used, max_rho
+             |FROM est, ex""".stripMargin)),
+
+    // Last-touch attribution — the marketing-analytics read over the
+    // event stream: every purchase is credited to the user's most recent
+    // PRECEDING click or view (an as-of lookup expressed as one
+    // ignore-nulls window with a rows-preceding frame — no join at all),
+    // then rolled up per touch type with the average touch→purchase gap
+    // in exact half-up integer seconds. One shuffle on the natural
+    // entity key; per-user window state is one carried value, so the
+    // pass is memory-bounded at any corpus size.
+    Q("q153_attribution",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("touch",
+            last(when($"event_type".isin("click", "view"), $"event_type"),
+              ignoreNulls = true).over(w))
+          .withColumn("touch_us",
+            last(when($"event_type".isin("click", "view"), $"us"),
+              ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase" && $"touch".isNotNull)
+          .groupBy($"touch")
+          .agg(count(lit(1)).as("purchases"),
+            expr("(2 * sum((us - touch_us) div 1000000) + count(*)) div (2 * count(*))")
+              .as("avg_gap_sec"))
+          .orderBy($"touch")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+             |tagged AS (
+             |  SELECT user_id, event_type, us,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |                    THEN event_type END IGNORE NULLS)
+             |      OVER w AS touch,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |                    THEN us END IGNORE NULLS)
+             |      OVER w AS touch_us
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT touch, count(*) AS purchases,
+             |  (2 * CAST(sum((us - touch_us) // 1000000) AS BIGINT) + count(*))
+             |    // (2 * count(*)) AS avg_gap_sec
+             |FROM tagged WHERE event_type = 'purchase' AND touch IS NOT NULL
+             |GROUP BY touch ORDER BY touch""".stripMargin)),
+
+    // Revenue concentration (Pareto/ABC) — cumulative revenue share of
+    // the top-k parts, reported at k ∈ {10, 50, 100, 250, 500}. Revenue
+    // quantizes to exact 1e-4 fixed-point BEFORE any aggregation, so the
+    // cumulative sums are integers and the single ordered window runs on
+    // the PART-level aggregate (dimension cardinality, not fact rows) —
+    // the one place a single-partition sort is legitimate because the
+    // input is already reduced. Ties rank deterministically by part key.
+    Q("q154_pareto",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, d)
+          .select($"l_partkey", expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)")
+            .as("cents"))
+          .groupBy($"l_partkey").agg(sum($"cents").as("cents"))
+        val w = Window.orderBy($"cents".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"cents".desc, $"l_partkey")))
+          .withColumn("cum", sum($"cents").over(w))
+          .filter($"rk".isin(10, 50, 100, 250, 500))
+          .crossJoin(broadcast(rev.agg(sum($"cents").as("tot"))))
+          .select($"rk".as("top_k"),
+            round($"cum" / $"tot".cast("double"), 6).as("rev_share"))
+          .orderBy($"top_k")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |ranked AS (
+             |  SELECT cents,
+             |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rk,
+             |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM rev),
+             |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev)
+             |SELECT rk AS top_k, round(cum / CAST(tot.tot AS DOUBLE), 6) AS rev_share
+             |FROM ranked, tot WHERE rk IN (10, 50, 100, 250, 500)
+             |ORDER BY top_k""".stripMargin)),
+
+    // Snapshot diff (CDC-style) — compare each user's state (their latest
+    // event type) at two cutoffs over the append-only log and classify
+    // the drift: added (new user between snapshots), changed, unchanged.
+    // Cutoffs compare in exact epoch microseconds, so no timezone or
+    // parse semantics can diverge between engines. Both snapshots are
+    // one filtered window pass partitioned by the entity key; the diff
+    // is a full outer join on that same key (co-partitioned, no extra
+    // shuffle) rolled up into a bounded (status, state_a, state_b) grid.
+    Q("q155_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def stateAt(cutUs: Long): DataFrame = {
+          val w = Window.partitionBy($"user_id")
+            .orderBy($"us".desc, $"event_id".desc)
+          Tables.events(s, d)
+            .select($"user_id", $"event_type",
+              unix_micros($"ts").as("us"), $"event_id")
+            .filter($"us" <= cutUs)
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1)
+            .select($"user_id", $"event_type")
+        }
+        val a = stateAt(1704844800000000L).withColumnRenamed("event_type", "state_a")
+        val b = stateAt(1705708800000000L).withColumnRenamed("event_type", "state_b")
+        a.join(b, Seq("user_id"), "full_outer")
+          .select(
+            when($"state_a".isNull, "added")
+              .when($"state_a" === $"state_b", "unchanged")
+              .otherwise("changed").as("status"),
+            coalesce($"state_a", lit("-")).as("state_a"),
+            coalesce($"state_b", lit("-")).as("state_b"))
+          .groupBy($"status", $"state_a", $"state_b")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"status", $"state_a", $"state_b")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+             |a AS (
+             |  SELECT user_id, event_type AS state_a FROM (
+             |    SELECT user_id, event_type, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+             |    FROM ev WHERE us <= 1704844800000000) WHERE rn = 1),
+             |b AS (
+             |  SELECT user_id, event_type AS state_b FROM (
+             |    SELECT user_id, event_type, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+             |    FROM ev WHERE us <= 1705708800000000) WHERE rn = 1)
+             |SELECT
+             |  CASE WHEN a.state_a IS NULL THEN 'added'
+             |       WHEN a.state_a = b.state_b THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  COALESCE(a.state_a, '-') AS state_a,
+             |  COALESCE(b.state_b, '-') AS state_b,
+             |  count(*) AS n_users
+             |FROM a FULL OUTER JOIN b USING (user_id)
+             |GROUP BY 1, 2, 3 ORDER BY status, state_a, state_b""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
