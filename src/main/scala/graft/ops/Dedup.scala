@@ -1320,6 +1320,153 @@ object Dedup {
              |    round(ov.shared / CAST(sa.sz AS DOUBLE), 4) AS containment
              |  FROM ov JOIN sizes sa ON sa.doc_id = ov.a
              |  WHERE sa.sz >= $MinContainSetSize)
-             |WHERE containment >= 0.85 ORDER BY a, b""".stripMargin))
+             |WHERE containment >= 0.85 ORDER BY a, b""".stripMargin)),
+
+    // Quality-aware cluster resolution — q46 keeps the SMALLEST doc_id per
+    // duplicate cluster; production curation keeps the BEST document (the
+    // highest-quality member), because near-dup clusters routinely pair a
+    // clean original with truncated or boilerplate-padded copies. Clusters
+    // are the q41/q46 components; the representative is the member with the
+    // highest lexical-diversity score (distinct-token ratio, the q31
+    // signal), doc_id as the deterministic tiebreak. One row_number window
+    // per cluster — the cluster frame is |dup docs| ≪ corpus, so the
+    // ranking shuffle is on the small side of the pipeline at any scale.
+    Q("q156_dedup_keep_best",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(Tables.documents(s, d)).select($"a", $"b")
+        val comp = connectedComponents(pairs)
+        val qual = Tables.documents(s, d)
+          .select($"doc_id",
+            (size(array_distinct(split($"text", " "))).cast("double") /
+              size(split($"text", " "))).as("uniq_ratio"))
+        val ranked = comp.join(qual, comp("id") === qual("doc_id"))
+          .select($"component", $"doc_id", $"uniq_ratio")
+          .withColumn("rk", row_number().over(Window.partitionBy($"component")
+            .orderBy($"uniq_ratio".desc, $"doc_id".asc)))
+        ranked.groupBy($"component")
+          .agg(count(lit(1)).as("n_members"),
+            max(when($"rk" === 1, $"doc_id")).as("keeper"),
+            round(max(when($"rk" === 1, $"uniq_ratio")), 6).as("keeper_uniq"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy($"component")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM sym
+             |  UNION
+             |  SELECT x.id, e.dst FROM reach x JOIN sym e ON e.src = x.r),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |qual AS (
+             |  SELECT doc_id,
+             |    len(list_distinct(string_split(text, ' '))) * 1.0
+             |      / len(string_split(text, ' ')) AS uniq_ratio
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT c.component, c.id AS doc_id, q.uniq_ratio,
+             |    row_number() OVER (PARTITION BY c.component
+             |      ORDER BY q.uniq_ratio DESC, c.id ASC) AS rk
+             |  FROM comp c JOIN qual q ON q.doc_id = c.id)
+             |SELECT component, count(*) AS n_members,
+             |  max(CASE WHEN rk = 1 THEN doc_id END) AS keeper,
+             |  round(max(CASE WHEN rk = 1 THEN uniq_ratio END), 6) AS keeper_uniq,
+             |  count(*) - 1 AS n_dropped
+             |FROM ranked GROUP BY component ORDER BY component""".stripMargin)),
+
+    // Incremental (batch-vs-corpus) dedup — the ingest-time path a live
+    // 100 TB pipeline actually runs: the standing corpus keeps its LSH band
+    // index materialized (here sources src0–src15); an incoming batch
+    // (src16–src19) is signed, banded, and joined ONLY against the corpus
+    // index — never against itself and never re-bucketing the corpus. The
+    // join is incoming-bands ⋈ corpus-bands on (band, bucket): its cost is
+    // proportional to the BATCH, not the corpus, which is what makes
+    // continuous ingestion feasible (the full self-join of q41 would grow
+    // quadratically with every shard added). Collisions are verified by the
+    // signature-match estimate before a document is dropped, so bucket
+    // coincidences don't delete clean docs.
+    Q("q157_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val newSrc = Seq("src16", "src17", "src18", "src19")
+        val mhs = minhashWide(docs, 12, 16)
+          .join(docs.select($"doc_id", $"source"), "doc_id").cache()
+        val bandCols = (0 until 8).map { j =>
+          struct(lit(j).as("band"),
+            md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
+        }
+        val bands = mhs.select($"doc_id", $"source",
+            explode(array(bandCols: _*)).as("bb"))
+          .select($"doc_id", $"source", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+        val corpus = bands.filter(!$"source".isInCollection(newSrc))
+          .select($"doc_id".as("cid"), $"band", $"bucket")
+        val incoming = bands.filter($"source".isInCollection(newSrc))
+        val cand = incoming.join(corpus, Seq("band", "bucket"))
+          .select($"doc_id", $"source", $"cid").distinct()
+        val xa = mhs.select((0 until 16).map(i => col(s"mh$i").as(s"mh${i}_a")) :+
+          $"doc_id": _*)
+        val xb = mhs.select((0 until 16).map(i => col(s"mh$i").as(s"mh${i}_b")) :+
+          $"doc_id".as("cid"): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+          .reduce(_ + _)
+        val dropped = cand.join(xa, "doc_id").join(xb, "cid")
+          .withColumn("est_j", matches / lit(16.0))
+          .filter($"est_j" >= 0.25)
+          .select($"doc_id", $"source").distinct()
+          .groupBy($"source").agg(count(lit(1)).as("n_dropped"))
+        docs.filter($"source".isInCollection(newSrc))
+          .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .join(dropped, Seq("source"), "left")
+          .select($"source", $"n_docs",
+            coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+            ($"n_docs" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some {
+        val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
+        val bandCases = (0 until 8)
+          .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
+        val eqSum = (0 until 16)
+          .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
+           |  FROM (SELECT doc_id, text,
+           |          unnest(generate_series(1, length(text) - 11)) AS i
+           |        FROM documents)),
+           |hx AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
+           |    ('0x' || substr(md5(s), 15, 14))::BIGINT AS b
+           |  FROM sh),
+           |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
+           |mhs AS (SELECT mh.*, d.source FROM mh JOIN documents d USING (doc_id)),
+           |bands AS (
+           |  SELECT doc_id, source, t.i AS band, CASE t.i $bandCases END AS bucket
+           |  FROM mhs, generate_series(0, 7) AS t(i)),
+           |corpus AS (SELECT doc_id AS cid, band, bucket FROM bands
+           |           WHERE source NOT IN ('src16','src17','src18','src19')),
+           |incoming AS (SELECT * FROM bands
+           |             WHERE source IN ('src16','src17','src18','src19')),
+           |cand AS (
+           |  SELECT DISTINCT i.doc_id, i.source, c.cid
+           |  FROM incoming i JOIN corpus c USING (band, bucket)),
+           |dropped AS (
+           |  SELECT source, count(*) AS n_dropped FROM (
+           |    SELECT DISTINCT cand.doc_id, cand.source
+           |    FROM cand JOIN mh x ON x.doc_id = cand.doc_id
+           |    JOIN mh y ON y.doc_id = cand.cid
+           |    WHERE ($eqSum) / 16.0 >= 0.25)
+           |  GROUP BY source),
+           |nd AS (
+           |  SELECT source, count(*) AS n_docs FROM documents
+           |  WHERE source IN ('src16','src17','src18','src19') GROUP BY source)
+           |SELECT nd.source, nd.n_docs,
+           |  COALESCE(dropped.n_dropped, 0) AS n_dropped,
+           |  nd.n_docs - COALESCE(dropped.n_dropped, 0) AS n_kept
+           |FROM nd LEFT JOIN dropped USING (source) ORDER BY source""".stripMargin
+      })
   )
 }
