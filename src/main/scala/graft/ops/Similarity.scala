@@ -793,7 +793,180 @@ object Similarity {
              |w4 AS (SELECT b.i AS dim, sum(b.c * v3.vq) AS w FROM b JOIN v3 ON b.j = v3.dim GROUP BY 1),
              |m4 AS (SELECT max(abs(w)) AS mx FROM w4)
              |SELECT dim, round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS loading
-             |FROM w4, m4 ORDER BY dim""".stripMargin))
+             |FROM w4, m4 ORDER BY dim""".stripMargin)),
+
+    // Reciprocal-rank-fusion hybrid retrieval — the step that combines a
+    // lexical ranker (BM25, q119's scorer) with a semantic ranker (cosine
+    // to a query embedding, q50's scorer) into one list:
+    // rrf = Σ 1/(60 + rank_i), the score that needs no calibration between
+    // incomparable scales. Each ranker contributes only its TOP-100 list
+    // (TakeOrdered — no global sort shuffle), so the fusion join runs over
+    // two query-result-sized frames no matter the corpus size; a document
+    // found by only one ranker still scores on that list alone. Scores
+    // round before ranking on both sides so last-ulp sums can't reorder.
+    Q("q158_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        val qTerms = Seq("spark", "join", "filter")
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", size($"w").cast("long").as("dl"), $"w")
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          (sum($"dl") / count(lit(1))).as("avgdl"))
+        val tf = docs
+          .select($"doc_id", $"dl", explode($"w").as("t"))
+          .filter($"t".isin(qTerms: _*))
+          .groupBy($"doc_id", $"dl", $"t").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+        val lexTop = tf.join(broadcast(df), "t").crossJoin(broadcast(stats))
+          .select($"doc_id",
+            (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+              ($"tf" * 2.2) /
+              ($"tf" + (lit(0.25) + $"dl" / $"avgdl" * 0.75) * 1.2)).as("ts"))
+          .groupBy($"doc_id").agg(round(sum($"ts"), 6).as("bm25"))
+          .orderBy($"bm25".desc, $"doc_id").limit(100)
+        val lex = lexTop.withColumn("lex_rk",
+          row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter($"vec_id" === 0)
+          .select($"embedding".as("qe"), norm($"embedding").as("qn"))
+        val semTop = e.filter($"vec_id" =!= 0)
+          .select($"vec_id".as("doc_id"), $"embedding".as("de"),
+            norm($"embedding").as("dn"))
+          .crossJoin(broadcast(qv))
+          .select($"doc_id", round(dot($"qe", $"de") / ($"qn" * $"dn"), 4).as("cos"))
+          .orderBy($"cos".desc, $"doc_id").limit(100)
+        val sem = semTop.withColumn("sem_rk",
+          row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            round(coalesce(lit(1.0) / (lit(60) + $"lex_rk"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"sem_rk"), lit(0.0)), 6).as("rrf"),
+            $"lex_rk", $"sem_rk")
+          .orderBy($"rrf".desc, $"doc_id").limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+             |st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM d),
+             |tf AS (
+             |  SELECT doc_id, dl, t, count(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS t
+             |        FROM documents JOIN d USING (doc_id))
+             |  WHERE t IN ('spark', 'join', 'filter')
+             |  GROUP BY doc_id, dl, t),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+             |lexTop AS (
+             |  SELECT doc_id,
+             |    round(sum(ln((n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             |      * (tf.tf * 2.2)
+             |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS bm25
+             |  FROM tf JOIN dfq USING (t), st
+             |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100),
+             |lex AS (
+             |  SELECT doc_id, bm25,
+             |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rk
+             |  FROM lexTop),
+             |e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+             |semTop AS (
+             |  SELECT ed.vec_id AS doc_id,
+             |    round(sum(eq.v * ed.v) / (nq.nrm * nd.nrm), 4) AS cos
+             |  FROM e eq JOIN e ed ON ed.i = eq.i AND eq.vec_id = 0 AND ed.vec_id != 0
+             |  JOIN nrm nq ON nq.vec_id = 0 JOIN nrm nd ON nd.vec_id = ed.vec_id
+             |  GROUP BY ed.vec_id, nq.nrm, nd.nrm
+             |  ORDER BY cos DESC, doc_id LIMIT 100),
+             |sem AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rk
+             |  FROM semTop)
+             |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             |  round(COALESCE(1.0 / (60 + lex_rk), 0) +
+             |        COALESCE(1.0 / (60 + sem_rk), 0), 6) AS rrf,
+             |  lex_rk, sem_rk
+             |FROM lex FULL OUTER JOIN sem USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Johnson–Lindenstrauss sparse random projection (Achlioptas): dim-64
+    // embeddings down to k=8 via a deterministic {+1, −1, 0} matrix drawn
+    // from md5 (P = 1/6, 1/6, 2/3), with the distance-preservation audit
+    // that justifies using the projection for blocking at 100 TB. The whole
+    // computation is EXACT integer arithmetic: components quantize to 1e-4
+    // units, the projection is an integer dot, and squared distances are
+    // integer sums — no float summation anywhere until the final ratios,
+    // so both engines agree bit-for-bit regardless of aggregation order.
+    // The projection itself is one broadcast join + partial agg (corpus ×
+    // 64·8 constant matrix); the audit pairs only the vec_id < 30 sample.
+    Q("q159_jl_projection",
+      (s, d) => {
+        import s.implicits._
+        // r(i, p) ∈ {+1, −1, 0}: md5("jl:p:i") mod 6 → 0 ⇒ +1, 1 ⇒ −1
+        val proj = s.range(64L * 8L).select(
+          ($"id" % 64).cast("int").as("i"),
+          ($"id" / 64).cast("int").as("p"),
+          expr("""cast(conv(substring(md5(concat('jl:', cast(id div 64 as string),
+                 |  ':', cast(id % 64 as string))), 1, 8), 16, 10) as bigint) % 6"""
+            .stripMargin).as("m"))
+          .select($"i", $"p",
+            when($"m" === 0, 1L).when($"m" === 1, -1L).otherwise(0L).as("r"))
+        val e = Tables.embeddings(s, d).filter($"vec_id" < 30)
+          .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+          .select($"vec_id", $"i",
+            expr("cast(round(cast(x as double) * 1e4) as bigint)").as("xi"))
+        val y = e.join(broadcast(proj), "i")
+          .groupBy($"vec_id", $"p").agg(sum($"xi" * $"r").as("y"))
+        val projD = y.as("a").join(y.as("b"),
+            $"a.p" === $"b.p" && $"a.vec_id" < $"b.vec_id")
+          .groupBy($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+          .agg(sum(($"a.y" - $"b.y") * ($"a.y" - $"b.y")).as("pd2"))
+        val origD = e.as("a").join(e.as("b"),
+            $"a.i" === $"b.i" && $"a.vec_id" < $"b.vec_id")
+          .groupBy($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+          .agg(sum(($"a.xi" - $"b.xi") * ($"a.xi" - $"b.xi")).as("od2"))
+        val ratios = projD.join(origD, Seq("u", "v"))
+          .select(expr("cast(round(3.0 * pd2 / (8.0 * od2) * 1e6) as bigint)")
+            .as("rq"))
+        ratios.agg(count(lit(1)).as("n_pairs"),
+            round(min($"rq") / 1e6, 4).as("min_ratio"),
+            round(max($"rq") / 1e6, 4).as("max_ratio"),
+            round(sum($"rq") / (count(lit(1)) * 1e6), 4).as("mean_ratio"),
+            round(sum(when($"rq".between(700000L, 1300000L), 1L).otherwise(0L))
+              / count(lit(1)).cast("double"), 4).as("frac_within_30pct"))
+      },
+      Some("""WITH proj AS (
+             |  SELECT (t.g % 64) AS i, (t.g // 64) AS p,
+             |    CASE ('0x' || substr(md5('jl:' || (t.g // 64) || ':' || (t.g % 64)),
+             |        1, 8))::BIGINT % 6
+             |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+             |  FROM (SELECT unnest(generate_series(0, 511)) AS g) t),
+             |e AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS xi
+             |  FROM embeddings WHERE vec_id < 30),
+             |y AS (
+             |  SELECT e.vec_id, proj.p, CAST(sum(e.xi * proj.r) AS BIGINT) AS y
+             |  FROM e JOIN proj USING (i) GROUP BY 1, 2),
+             |pd AS (
+             |  SELECT a.vec_id AS u, b.vec_id AS v,
+             |    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS pd2
+             |  FROM y a JOIN y b ON a.p = b.p AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |od AS (
+             |  SELECT a.vec_id AS u, b.vec_id AS v,
+             |    CAST(sum((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS od2
+             |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT CAST(round(3.0 * pd2 / (8.0 * od2) * 1e6) AS BIGINT) AS rq
+             |  FROM pd JOIN od USING (u, v))
+             |SELECT count(*) AS n_pairs,
+             |  round(min(rq) / 1e6, 4) AS min_ratio,
+             |  round(max(rq) / 1e6, 4) AS max_ratio,
+             |  round(CAST(sum(rq) AS BIGINT) / (count(*) * 1e6), 4) AS mean_ratio,
+             |  round(sum(CASE WHEN rq BETWEEN 700000 AND 1300000 THEN 1 ELSE 0 END)
+             |    / CAST(count(*) AS DOUBLE), 4) AS frac_within_30pct
+             |FROM r""".stripMargin))
   )
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds
