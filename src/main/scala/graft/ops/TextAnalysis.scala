@@ -1673,7 +1673,102 @@ object TextAnalysis {
              |  FROM documents)
              |SELECT lang, source, (cum - bytes) // 16384 AS file_no,
              |  count(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS file_bytes
-             |FROM d GROUP BY 1, 2, 3 ORDER BY lang, source, file_no""".stripMargin))
+             |FROM d GROUP BY 1, 2, 3 ORDER BY lang, source, file_no""".stripMargin)),
+
+    // Interpolated Kneser–Ney bigram smoothing — the LM estimator q124's
+    // add-one model is the toy version of: probability mass is discounted
+    // (D = 0.75) from observed bigrams and redistributed via the CONTINUATION
+    // distribution (how many distinct contexts a word follows), which is
+    // what separates "common word" from "common continuation". All model
+    // statistics are distinct-count / count aggregates over the bigram
+    // stream (two shuffles, both partial-agg); the scored output is the
+    // top-30 bigram list, so nothing per-corpus-row leaves the aggregates.
+    // P_kn is a ratio of exact integers rounded to 6 dp — engine-stable.
+    Q("q160_kn_bigram",
+      (s, d) => {
+        import s.implicits._
+        val big = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select(explode(expr(
+            """case when size(w) < 2 then cast(array() as array<struct<x:string,y:string>>)
+              |else transform(sequence(1, size(w) - 1),
+              |  i -> struct(element_at(w, i) as x, element_at(w, i + 1) as y)) end"""
+              .stripMargin)).as("g"))
+          .select($"g.x".as("x"), $"g.y".as("y"))
+          .cache() // three aggregates read the same stream
+        val bc = big.groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+        val cx = big.groupBy($"x").agg(count(lit(1)).as("cx"),
+          countDistinct($"y").as("fanout"))
+        val cont = big.select($"x", $"y").distinct()
+          .groupBy($"y").agg(count(lit(1)).as("n_ctx"))
+        val types = big.select($"x", $"y").distinct().agg(count(lit(1)).as("t"))
+        bc.join(cx, "x").join(cont, "y").crossJoin(broadcast(types))
+          .select($"x", $"y", $"cxy",
+            round((greatest($"cxy" - 0.75, lit(0.0)) / $"cx") +
+              (lit(0.75) * $"fanout" / $"cx") * ($"n_ctx" / $"t".cast("double")), 6)
+              .as("p_kn"))
+          .orderBy($"cxy".desc, $"x", $"y").limit(30)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |big AS (
+             |  SELECT doc_id, w[i] AS x, w[i + 1] AS y
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+             |bc AS (SELECT x, y, count(*) AS cxy FROM big GROUP BY x, y),
+             |cx AS (SELECT x, count(*) AS cx, count(DISTINCT y) AS fanout
+             |       FROM big GROUP BY x),
+             |cont AS (SELECT y, count(*) AS n_ctx
+             |         FROM (SELECT DISTINCT x, y FROM big) GROUP BY y),
+             |ty AS (SELECT count(*) AS t FROM (SELECT DISTINCT x, y FROM big))
+             |SELECT bc.x, bc.y, bc.cxy,
+             |  round(greatest(bc.cxy - 0.75, 0) / cx.cx +
+             |    (0.75 * cx.fanout / cx.cx) * (cont.n_ctx / CAST(ty.t AS DOUBLE)), 6)
+             |    AS p_kn
+             |FROM bc JOIN cx USING (x) JOIN cont USING (y), ty
+             |ORDER BY bc.cxy DESC, bc.x, bc.y LIMIT 30""".stripMargin)),
+
+    // Token-budget mixture planning — given a training-token TARGET and the
+    // desired source mixture weights, compute per-source how many tokens one
+    // epoch supplies, how many the mixture demands, and the repeat factor
+    // (epochs) needed — the data-budget arithmetic behind every pretraining
+    // mixture (and the first over-sampling red flag when repeat > 4×).
+    // Weights here are proportional to √(epoch tokens) — the standard
+    // down-weighting of huge sources — normalized in exact integer µ-units.
+    // One aggregate over the corpus; everything downstream is a 20-row
+    // broadcast frame.
+    Q("q161_token_budget",
+      (s, d) => {
+        import s.implicits._
+        val target = 2000000L // total training tokens demanded
+        val per = Tables.documents(s, d)
+          .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+          .groupBy($"source").agg(sum($"n_tok").as("epoch_tokens"))
+        val wq = per.select($"source", $"epoch_tokens",
+          expr("cast(round(sqrt(epoch_tokens) * 1e6) as bigint)").as("wq"))
+        wq.crossJoin(broadcast(wq.agg(sum($"wq").as("wtot"))))
+          .select($"source", $"epoch_tokens",
+            round($"wq" / $"wtot".cast("double"), 6).as("weight"),
+            expr(s"cast(round(wq * $target / cast(wtot as double)) as bigint)")
+              .as("demand_tokens"))
+          .withColumn("repeat_factor",
+            round($"demand_tokens" / $"epoch_tokens".cast("double"), 4))
+          .orderBy($"source")
+      },
+      Some("""WITH per AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS epoch_tokens
+             |  FROM documents GROUP BY source),
+             |wq AS (
+             |  SELECT source, epoch_tokens,
+             |    CAST(round(sqrt(epoch_tokens) * 1e6) AS BIGINT) AS wq
+             |  FROM per),
+             |wt AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM wq)
+             |SELECT source, epoch_tokens,
+             |  round(wq / CAST(wtot AS DOUBLE), 6) AS weight,
+             |  CAST(round(wq * 2000000 / CAST(wtot AS DOUBLE)) AS BIGINT)
+             |    AS demand_tokens,
+             |  round(CAST(round(wq * 2000000 / CAST(wtot AS DOUBLE)) AS BIGINT)
+             |    / CAST(epoch_tokens AS DOUBLE), 4) AS repeat_factor
+             |FROM wq, wt ORDER BY source""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
