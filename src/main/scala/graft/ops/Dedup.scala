@@ -1467,6 +1467,116 @@ object Dedup {
            |  COALESCE(dropped.n_dropped, 0) AS n_dropped,
            |  nd.n_docs - COALESCE(dropped.n_dropped, 0) AS n_kept
            |FROM nd LEFT JOIN dropped USING (source) ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Majority-vote label propagation (community detection) over the
+    // near-dup graph — unlike q46's min-label components (which find the
+    // CONNECTED pieces), LPA's majority vote finds the DENSE cores inside
+    // a component: a chain of borderline overlaps does not pull two tight
+    // duplicate cliques into one community. Three synchronous rounds, each
+    // one neighbor-join + a per-node argmax (count DESC, label ASC — fully
+    // deterministic), unrolled in the oracle as CTE blocks. Per round the
+    // shuffle is edge-list-sized on dst, and label frames are node-sized;
+    // the fixed round count is the driver-loop discipline every iterative
+    // op in this repo uses.
+    Q("q162_label_prop",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sym = minhashPairs(Tables.documents(s, d)).select($"a", $"b")
+          .select(explode(array(
+            struct($"a".as("src"), $"b".as("dst")),
+            struct($"b".as("src"), $"a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
+          .localCheckpoint()
+        val nodes = sym.select($"src".as("id")).distinct().cache()
+        var labels = nodes.select($"id", $"id".as("lbl"))
+        for (_ <- 1 to 3) {
+          val votes = sym
+            .join(labels.select($"id".as("src"), $"lbl"), "src")
+            .groupBy($"dst".as("id"), $"lbl").agg(count(lit(1)).as("n"))
+          labels = votes
+            .withColumn("rk", row_number().over(Window.partitionBy($"id")
+              .orderBy($"n".desc, $"lbl".asc)))
+            .filter($"rk" === 1).select($"id", $"lbl")
+            .localCheckpoint()
+        }
+        labels.groupBy($"lbl".as("community"))
+          .agg(count(lit(1)).as("n_members"), min($"id").as("min_doc"))
+          .orderBy($"n_members".desc, $"community").limit(10)
+      },
+      Some {
+        def round(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT id, lbl FROM (
+             |    SELECT e.dst AS id, p.lbl, count(*) AS n,
+             |      row_number() OVER (PARTITION BY e.dst
+             |        ORDER BY count(*) DESC, p.lbl ASC) AS rk
+             |    FROM edges e JOIN $prev p ON p.id = e.src
+             |    GROUP BY e.dst, p.lbl) WHERE rk = 1)""".stripMargin
+        s"""WITH $minhashPairsSql,
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION ALL SELECT b, a FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")},
+           |${round("l2", "l3")}
+           |SELECT lbl AS community, count(*) AS n_members, min(id) AS min_doc
+           |FROM l3 GROUP BY lbl ORDER BY n_members DESC, community
+           |LIMIT 10""".stripMargin
+      }),
+
+    // HITS (hubs & authorities) over the supplier→customer supply graph —
+    // the mutual-reinforcement centrality: a supplier is a good hub when it
+    // supplies well-connected customers, a customer a good authority when
+    // supplied by broad hubs. The graph is bipartite so the two scores live
+    // on disjoint node sets and each half-iteration is ONE join-aggregate
+    // over the edge list (shuffle on one endpoint), max-normalized and
+    // rounded to 6 dp per round — the same per-round rounding that lets
+    // q87/q51 unroll bit-reproducibly into oracle CTEs. Edge extraction
+    // dedups (supplier, customer) once; score frames are node-sized.
+    Q("q163_hits",
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .select($"l_suppkey".as("s"), $"o_custkey".as("c")).distinct()
+          .localCheckpoint()
+        var auth = edges.select($"c").distinct().withColumn("a", lit(1.0))
+        var hub = edges.select($"s").distinct().withColumn("h", lit(1.0))
+        for (_ <- 1 to 2) {
+          val hraw = edges.join(auth, "c").groupBy($"s").agg(sum($"a").as("hr"))
+          hub = hraw.crossJoin(broadcast(hraw.agg(max($"hr").as("mx"))))
+            .select($"s", round($"hr" / $"mx", 6).as("h")).localCheckpoint()
+          val araw = edges.join(hub, "s").groupBy($"c").agg(sum($"h").as("ar"))
+          auth = araw.crossJoin(broadcast(araw.agg(max($"ar").as("mx"))))
+            .select($"c", round($"ar" / $"mx", 6).as("a")).localCheckpoint()
+        }
+        val topHub = hub.orderBy($"h".desc, $"s").limit(15)
+          .select(lit("hub").as("role"), $"s".cast("long").as("node_id"),
+            $"h".as("score"))
+        val topAuth = auth.orderBy($"a".desc, $"c").limit(15)
+          .select(lit("authority").as("role"), $"c".cast("long").as("node_id"),
+            $"a".as("score"))
+        topHub.unionAll(topAuth).orderBy($"role", $"score".desc, $"node_id")
+      },
+      Some("""WITH edges AS (
+             |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |a0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS a FROM edges),
+             |h1r AS (SELECT s, sum(a) AS hr FROM edges JOIN a0 USING (c) GROUP BY s),
+             |h1 AS (SELECT s, round(hr / (SELECT max(hr) FROM h1r), 6) AS h FROM h1r),
+             |a1r AS (SELECT c, sum(h) AS ar FROM edges JOIN h1 USING (s) GROUP BY c),
+             |a1 AS (SELECT c, round(ar / (SELECT max(ar) FROM a1r), 6) AS a FROM a1r),
+             |h2r AS (SELECT s, sum(a) AS hr FROM edges JOIN a1 USING (c) GROUP BY s),
+             |h2 AS (SELECT s, round(hr / (SELECT max(hr) FROM h2r), 6) AS h FROM h2r),
+             |a2r AS (SELECT c, sum(h) AS ar FROM edges JOIN h2 USING (s) GROUP BY c),
+             |a2 AS (SELECT c, round(ar / (SELECT max(ar) FROM a2r), 6) AS a FROM a2r),
+             |th AS (SELECT 'hub' AS role, CAST(s AS BIGINT) AS node_id, h AS score
+             |       FROM h2 ORDER BY h DESC, s LIMIT 15),
+             |ta AS (SELECT 'authority' AS role, CAST(c AS BIGINT) AS node_id, a AS score
+             |       FROM a2 ORDER BY a DESC, c LIMIT 15)
+             |SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+             |ORDER BY role, score DESC, node_id""".stripMargin))
   )
 }
