@@ -229,6 +229,61 @@ object Multimodal {
              |  CAST((doc_id % 1000 + 1) * 10 AS BIGINT) AS n_samples,
              |  CAST(((doc_id % 1000 + 1) * 10 * 1000)
              |    // (8000 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the JPEG modality, same real-decoder contract: a minimal valid JPEG
+    // (SOI + APP0/JFIF + a VARIABLE-length COM segment + SOF0 + EOI, per
+    // the public JPEG/JFIF specs) is synthesized per document and
+    // decodeJpeg must WALK the marker stream — skipping segments by their
+    // big-endian lengths, which the variable comment forces — to find SOF0
+    // and parse precision/height/width/components. The oracle recomputes
+    // the expectation arithmetically (n_bytes depends on the comment's
+    // digit count), so the check is parse(build(...)) round-tripping
+    // through a real segment walker, not fixed offsets.
+    Q("q164_jpeg_features",
+      (s, d) => {
+        import s.implicits._
+        val records = Tables.documents(s, d)
+          .select($"doc_id").as[Long]
+          .map(id => MediaRecord(id, "image/jpeg",
+            jpegHeader((id % 400).toInt + 16, (id % 300).toInt + 9, s"doc:$id")))
+        extractJpeg(records).toDF().orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(49 + length(CAST(doc_id AS VARCHAR)) AS INT) AS n_bytes,
+             |  CAST(doc_id % 400 + 16 AS INT) AS width,
+             |  CAST(doc_id % 300 + 9 AS INT) AS height,
+             |  8 AS precision,
+             |  3 AS n_components
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the video-container modality: a minimal valid MP4 (ftyp + a
+    // variable-size free box + moov/mvhd, per the public ISO BMFF box
+    // grammar) is synthesized per document and decodeMp4 must walk the
+    // top-level box sequence by size/4CC — the free box's varying size
+    // forces real walking — then descend into moov and parse the mvhd
+    // timescale/duration into an integer duration. The oracle recomputes
+    // everything arithmetically; this is the container-metadata step a
+    // video corpus runs before any frame decode (which q61 models).
+    Q("q165_mp4_features",
+      (s, d) => {
+        import s.implicits._
+        val records = Tables.documents(s, d)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val ts = 1000 * ((id % 4).toInt + 1)
+            val dur = ((id % 5000).toInt + 1) * 100
+            MediaRecord(id, "video/mp4", mp4Header(ts, dur, (id % 17).toInt))
+          }
+        extractMp4(records).toDF().orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(140 + doc_id % 17 AS INT) AS n_bytes,
+             |  3 AS n_boxes,
+             |  CAST(1000 * (doc_id % 4 + 1) AS BIGINT) AS timescale,
+             |  CAST((doc_id % 5000 + 1) * 100 AS BIGINT) AS duration,
+             |  CAST((doc_id % 5000 + 1) * 100 * 1000
+             |    // (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
@@ -291,5 +346,148 @@ object Multimodal {
   def extractAudio(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
+  }
+
+  /** Decoded JPEG frame-header features. */
+  final case class JpegFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      precision: Int,
+      n_components: Int)
+
+  /** Synthesize a minimal valid JPEG: SOI, APP0/JFIF, a COM segment
+    * carrying `comment` (variable length — forces the decoder to walk, not
+    * peek at fixed offsets), an SOF0 frame header with the dimensions, and
+    * EOI. Markers and segment layouts per the public JPEG (ITU T.81 §B) and
+    * JFIF specs. */
+  def jpegHeader(width: Int, height: Int, comment: String): Array[Byte] = {
+    val cb = comment.getBytes("US-ASCII")
+    val buf = java.nio.ByteBuffer.allocate(45 + cb.length) // big-endian default
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.put(1.toByte).put(1.toByte) // version 1.1
+    buf.put(0.toByte).putShort(1).putShort(1) // units, densities
+    buf.put(0.toByte).put(0.toByte) // no thumbnail
+    buf.put(0xff.toByte).put(0xfe.toByte) // COM
+    buf.putShort((2 + cb.length).toShort).put(cb)
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, len 8+3·3
+    buf.put(8.toByte) // precision
+    buf.putShort(height.toShort).putShort(width.toShort)
+    buf.put(3.toByte) // components
+    for (c <- 1 to 3) { buf.put(c.toByte).put(0x11.toByte).put(0.toByte) }
+    buf.put(0xff.toByte).put(0xd9.toByte) // EOI
+    buf.array()
+  }
+
+  /** Parse the JPEG frame header FOR REAL: walk the marker stream from SOI,
+    * skipping each segment by its big-endian length (standalone markers
+    * RSTn/TEM have none), until a start-of-frame marker (SOFn, excluding
+    * DHT/JPG/DAC which share the 0xCx range) yields precision, height,
+    * width and component count. Junk payloads get the zero record. */
+  def decodeJpeg(doc_id: Long, p: Array[Byte]): JpegFeatures = {
+    def be16(o: Int): Int = (p(o) & 0xff) << 8 | (p(o + 1) & 0xff)
+    val zero = JpegFeatures(doc_id, p.length, 0, 0, 0, 0)
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) zero
+    else {
+      var pos = 2
+      while (pos + 3 < p.length && (p(pos) & 0xff) == 0xff) {
+        val m = p(pos + 1) & 0xff
+        if (m == 0xd9) return zero // EOI before any SOF
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2 // standalone
+        else {
+          val len = be16(pos + 2)
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (pos + 9 >= p.length) return zero
+            return JpegFeatures(doc_id, p.length, be16(pos + 7), be16(pos + 5),
+              p(pos + 4) & 0xff, p(pos + 9) & 0xff)
+          }
+          pos += 2 + len
+        }
+      }
+      zero
+    }
+  }
+
+  /** Partition-batched JPEG feature extraction. */
+  def extractJpeg(records: Dataset[MediaRecord]): Dataset[JpegFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => decodeJpeg(r.doc_id, r.payload)))
+  }
+
+  /** Decoded MP4 container metadata. */
+  final case class Mp4Features(
+      doc_id: Long,
+      n_bytes: Int,
+      n_boxes: Int,
+      timescale: Long,
+      duration: Long,
+      duration_ms: Long)
+
+  /** Synthesize a minimal valid MP4: an ftyp box, a variable-size free box
+    * (padding forces real box walking), and a moov box containing a
+    * version-0 mvhd with the given timescale/duration. Box grammar per the
+    * public ISO base-media spec (ISO/IEC 14496-12 §4.2, §8.2.2). */
+  def mp4Header(timescale: Int, duration: Int, pad: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(140 + pad) // big-endian default
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(8 + pad).put("free".getBytes("US-ASCII"))
+    buf.position(buf.position() + pad)
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0) // version 0 + flags
+    buf.putInt(0).putInt(0) // creation/modification time
+    buf.putInt(timescale).putInt(duration)
+    buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+    buf.putInt(0).putInt(0) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(buf.putInt)
+    (1 to 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2) // next_track_ID
+    buf.array()
+  }
+
+  /** Parse MP4 container metadata FOR REAL: walk the top-level box sequence
+    * by (u32 size, 4CC type), descend into moov, and read the version-0
+    * mvhd timescale/duration (duration_ms in integer math). Junk payloads
+    * get the zero record. */
+  def decodeMp4(doc_id: Long, p: Array[Byte]): Mp4Features = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xff).toLong << 24 | (p(o + 1) & 0xff) << 16 |
+        (p(o + 2) & 0xff) << 8 | (p(o + 3) & 0xff))
+    def fourcc(o: Int): String = new String(p, o + 4, 4, "US-ASCII")
+    var pos = 0
+    var nBoxes = 0
+    var ts = 0L; var dur = 0L
+    while (pos + 8 <= p.length) {
+      val size = be32(pos)
+      if (size < 8 || pos + size > p.length) // malformed → stop walking
+        return Mp4Features(doc_id, p.length, 0, 0L, 0L, 0L)
+      nBoxes += 1
+      if (fourcc(pos) == "moov") {
+        var cp = pos + 8
+        while (cp + 8 <= pos + size) {
+          val csize = be32(cp)
+          if (csize < 8 || cp + csize > pos + size)
+            return Mp4Features(doc_id, p.length, 0, 0L, 0L, 0L)
+          if (fourcc(cp) == "mvhd" && csize >= 28 && (p(cp + 8) & 0xff) == 0) {
+            ts = be32(cp + 20); dur = be32(cp + 24)
+          }
+          cp += csize.toInt
+        }
+      }
+      pos += size.toInt
+    }
+    val ms = if (ts > 0) dur * 1000L / ts else 0L
+    Mp4Features(doc_id, p.length, nBoxes, ts, dur, ms)
+  }
+
+  /** Partition-batched MP4 metadata extraction. */
+  def extractMp4(records: Dataset[MediaRecord]): Dataset[Mp4Features] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => decodeMp4(r.doc_id, r.payload)))
   }
 }

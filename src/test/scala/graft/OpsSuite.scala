@@ -660,6 +660,35 @@ class OpsSuite extends SparkSuite {
     assert(junk.channels === 0 && junk.n_samples === 0L, "junk must decode to zeros")
   }
 
+  test("JPEG decode walks variable-length segments to SOF0; junk degrades") {
+    import graft.ops.Multimodal
+    // two different comment lengths shift SOF0 — fixed offsets would fail one
+    for (c <- Seq("x", "a much longer comment 123456")) {
+      val f = Multimodal.decodeJpeg(1L, Multimodal.jpegHeader(641, 480, c))
+      assert(f.width === 641 && f.height === 480)
+      assert(f.precision === 8 && f.n_components === 3)
+      assert(f.n_bytes === 45 + c.length)
+    }
+    val junk = Multimodal.decodeJpeg(2L, Array[Byte](0x12, 0x34, 0x56, 0x78))
+    assert(junk.width === 0 && junk.height === 0, "junk must decode to zeros")
+    // EOI with no SOF (a truncated/metadata-only stream) → zero record
+    val noSof = Multimodal.decodeJpeg(3L,
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    assert(noSof.width === 0 && noSof.n_components === 0)
+  }
+
+  test("MP4 decode walks top-level boxes into moov/mvhd; junk degrades") {
+    import graft.ops.Multimodal
+    for (pad <- Seq(0, 13)) { // the free box size varies — forces walking
+      val f = Multimodal.decodeMp4(1L, Multimodal.mp4Header(48000, 96000, pad))
+      assert(f.timescale === 48000L && f.duration === 96000L)
+      assert(f.duration_ms === 2000L && f.n_boxes === 3)
+      assert(f.n_bytes === 140 + pad)
+    }
+    val junk = Multimodal.decodeMp4(2L, Array[Byte](0, 0, 0, 1, 'f', 'o'))
+    assert(junk.timescale === 0L && junk.n_boxes === 0, "junk must decode to zeros")
+  }
+
   test("BPE training: greedy overlap, lexicographic ties, merge exhaustion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_fixture")
