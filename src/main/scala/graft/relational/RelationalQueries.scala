@@ -2044,7 +2044,129 @@ object RelationalQueries {
              |  COALESCE(b.state_b, '-') AS state_b,
              |  count(*) AS n_users
              |FROM a FULL OUTER JOIN b USING (user_id)
-             |GROUP BY 1, 2, 3 ORDER BY status, state_a, state_b""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY status, state_a, state_b""".stripMargin)),
+
+    // SAX (symbolic aggregate approximation) of the daily-revenue series —
+    // the time-series compression that turns 100 TB of per-day metrics into
+    // motif-searchable strings: PAA segments of 8 days, z-normalized, then
+    // a 4-letter alphabet via the standard N(0,1) quartile breakpoints
+    // (±0.6745, 0). EVERY aggregate is an exact integer sum (per-order
+    // dollars, segment sums, segment sum-of-squares), so μ, σ and the z
+    // scores derive from identical integers in both engines — no float
+    // summation order anywhere. The day series is orders-of-magnitude
+    // smaller than the fact table; the single ranking window runs over
+    // that day-level frame, not the corpus.
+    Q("q166_sax",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.orders(s, d)
+          .select($"o_orderdate".as("day"),
+            expr("cast(round(o_totalprice) as bigint)").as("rev"))
+          .groupBy($"day").agg(sum($"rev").as("rev"))
+          .withColumn("rk", row_number().over(Window.orderBy($"day")))
+        val nseg = days.agg((count(lit(1)) / 8).cast("long").as("k"))
+        val segs = days.crossJoin(broadcast(nseg))
+          .filter($"rk" <= $"k" * 8)
+          .select(expr("(rk - 1) div 8").as("seg"), $"rev", $"k")
+          .groupBy($"seg", $"k")
+          .agg(sum($"rev").as("ss"), count(lit(1)).as("n_days"))
+        val mom = segs.groupBy($"k")
+          .agg(sum($"ss").as("s1"), sum($"ss" * $"ss").as("s2"))
+          .select($"k", ($"s1" / ($"k" * 8.0)).as("mu"),
+            sqrt(($"s2" / ($"k" * 64.0)) - pow($"s1" / ($"k" * 8.0), 2)).as("sigma"))
+        segs.join(broadcast(mom), "k")
+          .select($"seg", $"n_days", ($"ss" / 8.0).as("seg_mean"),
+            round((($"ss" / 8.0) - $"mu") / $"sigma", 4).as("z"))
+          .withColumn("symbol",
+            when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+              .when($"z" < 0.6745, "c").otherwise("d"))
+          .select($"seg", $"n_days", round($"seg_mean", 2).as("seg_mean"),
+            $"z", $"symbol")
+          .orderBy($"seg")
+      },
+      Some("""WITH days AS (
+             |  SELECT o_orderdate AS day,
+             |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |rk AS (SELECT rev, row_number() OVER (ORDER BY day) AS rk FROM days),
+             |k AS (SELECT count(*) // 8 AS k FROM rk),
+             |segs AS (
+             |  SELECT (rk - 1) // 8 AS seg, CAST(sum(rev) AS BIGINT) AS ss,
+             |    count(*) AS n_days
+             |  FROM rk, k WHERE rk <= k.k * 8 GROUP BY 1),
+             |mom AS (
+             |  SELECT k.k, CAST(sum(ss) AS BIGINT) / (k.k * 8.0) AS mu,
+             |    sqrt(CAST(sum(ss * ss) AS BIGINT) / (k.k * 64.0)
+             |      - pow(CAST(sum(ss) AS BIGINT) / (k.k * 8.0), 2)) AS sigma
+             |  FROM segs, k GROUP BY k.k)
+             |SELECT seg, n_days, round(ss / 8.0, 2) AS seg_mean,
+             |  round((ss / 8.0 - mu) / sigma, 4) AS z,
+             |  CASE WHEN (ss / 8.0 - mu) / sigma < -0.6745 THEN 'a'
+             |       WHEN (ss / 8.0 - mu) / sigma < 0.0 THEN 'b'
+             |       WHEN (ss / 8.0 - mu) / sigma < 0.6745 THEN 'c'
+             |       ELSE 'd' END AS symbol
+             |FROM segs, mom ORDER BY seg""".stripMargin)),
+
+    // Rank-based winsorization — robust per-group means where the clip
+    // thresholds are exact ORDER STATISTICS (the ceil(p·n)-th value by
+    // row_number), not interpolated percentiles, so both engines pick the
+    // identical threshold element and the clipped sum stays exact integer
+    // arithmetic end to end. The ranking window partitions by the group
+    // key (source-bounded state); the clip + re-aggregate is one more
+    // partial-agg pass. The audit reports raw vs winsorized mean and the
+    // clip counts — the standard tail-taming step before any mean-based
+    // quality gate at corpus scale.
+    Q("q167_winsorize",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+        val ranked = Tables.documents(s, d)
+          .select($"source", $"doc_id", $"n_chars")
+          .withColumn("rk", row_number().over(w))
+        val n = ranked.groupBy($"source").agg(count(lit(1)).as("n"))
+        val cuts = ranked.join(n, "source")
+          .groupBy($"source")
+          .agg(max(when($"rk" === expr("cast(ceil(0.05 * n) as bigint)"),
+              $"n_chars")).as("lo_cut"),
+            max(when($"rk" === expr("cast(ceil(0.95 * n) as bigint)"),
+              $"n_chars")).as("hi_cut"))
+        ranked.join(broadcast(cuts), "source")
+          .select($"source", $"n_chars", $"lo_cut", $"hi_cut",
+            greatest(least($"n_chars", $"hi_cut"), $"lo_cut").as("clipped"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            max($"lo_cut").as("lo_cut"), max($"hi_cut").as("hi_cut"),
+            round(sum($"n_chars") / count(lit(1)).cast("double"), 4).as("raw_mean"),
+            round(sum($"clipped") / count(lit(1)).cast("double"), 4).as("wins_mean"),
+            sum(when($"n_chars" < $"lo_cut" || $"n_chars" > $"hi_cut", 1L)
+              .otherwise(0L)).as("n_clipped"))
+          .orderBy($"source")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM documents),
+             |cuts AS (
+             |  SELECT source,
+             |    max(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT)
+             |        THEN n_chars END) AS lo_cut,
+             |    max(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+             |        THEN n_chars END) AS hi_cut
+             |  FROM ranked GROUP BY source)
+             |SELECT r.source, count(*) AS n_docs,
+             |  max(c.lo_cut) AS lo_cut, max(c.hi_cut) AS hi_cut,
+             |  round(CAST(sum(r.n_chars) AS BIGINT)
+             |    / CAST(count(*) AS DOUBLE), 4) AS raw_mean,
+             |  round(CAST(sum(greatest(least(r.n_chars, c.hi_cut), c.lo_cut))
+             |    AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS wins_mean,
+             |  CAST(sum(CASE WHEN r.n_chars < c.lo_cut OR r.n_chars > c.hi_cut
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+             |FROM ranked r JOIN cuts c USING (source)
+             |GROUP BY r.source ORDER BY r.source""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
