@@ -966,7 +966,177 @@ object Similarity {
              |  round(CAST(sum(rq) AS BIGINT) / (count(*) * 1e6), 4) AS mean_ratio,
              |  round(sum(CASE WHEN rq BETWEEN 700000 AND 1300000 THEN 1 ELSE 0 END)
              |    / CAST(count(*) AS DOUBLE), 4) AS frac_within_30pct
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Maximal-marginal-relevance diversification — the re-ranking step that
+    // keeps a retrieval (or a dedup-aware sampling pass) from returning five
+    // copies of the same neighborhood: greedily pick argmax of
+    // 0.7·relevance − 0.3·max-similarity-to-already-picked. The greedy loop
+    // is inherently sequential, but its STATE is k−1 picked ids over a
+    // candidate list that is already a top-20 — so each of the 4 unrolled
+    // steps is an agg over ≤ 20×k rows regardless of corpus size (the
+    // corpus-sized work all happened in the candidate retrieval). Relevance
+    // and pairwise sims round to 4 dp, scores to 6 dp before every argmax,
+    // making the whole greedy trace bit-identical in the oracle's CTE chain.
+    Q("q168_mmr_diversify",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter($"vec_id" === 0)
+          .select($"embedding".as("qe"), norm($"embedding").as("qn"))
+        val cand = e.filter($"vec_id" =!= 0)
+          .select($"vec_id", $"embedding", norm($"embedding").as("nm"))
+          .crossJoin(broadcast(qv))
+          .select($"vec_id", $"embedding", $"nm",
+            round(dot($"qe", $"embedding") / ($"qn" * $"nm"), 4).as("rel"))
+          .orderBy($"rel".desc, $"vec_id").limit(20)
+          .cache() // the pair join reads both sides; steps re-read it
+        val sims = cand.as("x").join(cand.as("y"),
+            $"x.vec_id" =!= $"y.vec_id")
+          .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+            round(dot($"x.embedding", $"y.embedding") /
+              ($"x.nm" * $"y.nm"), 4).as("sim"))
+          .cache()
+        var picked = cand.orderBy($"rel".desc, $"vec_id").limit(1)
+          .select($"vec_id", $"rel", $"rel".as("score"), lit(1).as("rank"))
+        for (t <- 2 to 5) {
+          val sel = picked.select($"vec_id".as("b"))
+          val next = cand.join(sel.select($"b".as("vec_id")), Seq("vec_id"),
+              "left_anti")
+            .join(sims.join(broadcast(sel), "b")
+              .groupBy($"a".as("vec_id")).agg(max($"sim").as("ms")), "vec_id")
+            .select($"vec_id", $"rel",
+              round(lit(0.7) * $"rel" - lit(0.3) * $"ms", 6).as("score"))
+            .orderBy($"score".desc, $"vec_id").limit(1)
+            .withColumn("rank", lit(t))
+          picked = picked.unionAll(next)
+        }
+        picked.select($"rank", $"vec_id", $"rel", $"score").orderBy($"rank")
+      },
+      Some {
+        def step(t: Int): String = {
+          val prev = (1 until t).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+          s"""s$t AS (
+             |  SELECT vec_id, rel, score, $t AS rank FROM (
+             |    SELECT c.vec_id, c.rel,
+             |      round(0.7 * c.rel - 0.3 * max(p.sim), 6) AS score
+             |    FROM cand c JOIN sims p ON p.a = c.vec_id
+             |      AND p.b IN ($prev)
+             |    WHERE c.vec_id NOT IN ($prev)
+             |    GROUP BY c.vec_id, c.rel)
+             |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+        }
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+           |cand AS (
+           |  SELECT ed.vec_id,
+           |    round(sum(eq.v * ed.v) / (nq.nrm * nd.nrm), 4) AS rel
+           |  FROM e eq JOIN e ed ON ed.i = eq.i AND eq.vec_id = 0 AND ed.vec_id != 0
+           |  JOIN nrm nq ON nq.vec_id = 0 JOIN nrm nd ON nd.vec_id = ed.vec_id
+           |  GROUP BY ed.vec_id, nq.nrm, nd.nrm
+           |  ORDER BY rel DESC, ed.vec_id LIMIT 20),
+           |sims AS (
+           |  SELECT x.vec_id AS a, y.vec_id AS b,
+           |    round(sum(ex.v * ey.v) / (nx.nrm * ny.nrm), 4) AS sim
+           |  FROM cand x JOIN cand y ON x.vec_id != y.vec_id
+           |  JOIN e ex ON ex.vec_id = x.vec_id
+           |  JOIN e ey ON ey.vec_id = y.vec_id AND ey.i = ex.i
+           |  JOIN nrm nx ON nx.vec_id = x.vec_id
+           |  JOIN nrm ny ON ny.vec_id = y.vec_id
+           |  GROUP BY x.vec_id, y.vec_id, nx.nrm, ny.nrm),
+           |s1 AS (
+           |  SELECT vec_id, rel, rel AS score, 1 AS rank
+           |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+           |${step(2)},
+           |${step(3)},
+           |${step(4)},
+           |${step(5)}
+           |SELECT rank, vec_id, rel, score
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           |      UNION ALL SELECT * FROM s5)
+           |ORDER BY rank""".stripMargin
+      }),
+
+    // Bloom-filter false-positive audit — the sketch behind q80's join
+    // pruning, built from first principles and CHECKED against its theory:
+    // k = 4 double-hashed probes (the same Kirsch–Mitzenmacher h_i = a + i·b
+    // construction as MinHash) into m = 65536 bits, membership = all-probes-
+    // set via a semi-join against the distinct bit set, and the observed
+    // false-positive rate on a provably-disjoint test set lands next to
+    // (1 − (1−1/m)^{kn})^k. At 100 TB the bit set IS the broadcastable
+    // pruning structure (≤ m rows after distinct), and the audit is the
+    // go/no-go for shipping it to a join — all integer/hash arithmetic,
+    // engine-identical.
+    Q("q169_bloom_fpr",
+      (s, d) => {
+        import s.implicits._
+        val m = 65536
+        def probes(df: DataFrame, key: String): DataFrame =
+          df.select(col(key).as("key"),
+              expr(s"cast(conv(substring(md5(concat('bf:', cast($key as string))), 1, 14), 16, 10) as bigint)").as("a"),
+              expr(s"cast(conv(substring(md5(concat('bf:', cast($key as string))), 15, 14), 16, 10) as bigint)").as("b"))
+            .select(col("key"), explode(expr(
+              s"transform(sequence(0, 3), i -> pmod(a + i * b, $m))")).as("h"))
+        val members = Tables.lineitem(s, d)
+          .filter($"l_shipdate" < lit("1995-01-01"))
+          .select($"l_partkey").distinct()
+        val bits = probes(members, "l_partkey").select($"h").distinct().cache()
+        val tests = Tables.part(s, d).select($"p_partkey")
+          .join(members.withColumnRenamed("l_partkey", "p_partkey"),
+            Seq("p_partkey"), "left_anti")
+        val hits = probes(tests, "p_partkey")
+          .join(bits, "h")
+          .groupBy($"key").agg(count(lit(1)).as("nset"))
+          .filter($"nset" === 4)
+        val nm = members.agg(count(lit(1)).as("n_members"))
+        val nb = bits.agg(count(lit(1)).as("bits_set"))
+        val nt = tests.agg(count(lit(1)).as("n_test"))
+        val fp = hits.agg(count(lit(1)).as("n_fp"))
+        nm.crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+          .crossJoin(broadcast(fp))
+          .select($"n_members", $"bits_set", $"n_test", $"n_fp",
+            round($"n_fp" / $"n_test".cast("double"), 6).as("fpr"),
+            round(pow(lit(1.0) - pow(lit(1.0) - 1.0 / m, $"n_members" * 4.0),
+              4.0), 6).as("theo_fpr"))
+      },
+      Some("""WITH members AS (
+             |  SELECT DISTINCT l_partkey AS key FROM lineitem
+             |  WHERE l_shipdate < DATE '1995-01-01'),
+             |mh AS (
+             |  SELECT key,
+             |    ('0x' || substr(md5('bf:' || CAST(key AS VARCHAR)), 1, 14))::BIGINT AS a,
+             |    ('0x' || substr(md5('bf:' || CAST(key AS VARCHAR)), 15, 14))::BIGINT AS b
+             |  FROM members),
+             |bits AS (
+             |  SELECT DISTINCT (a + t.i * b) % 65536 AS h
+             |  FROM mh, generate_series(0, 3) AS t(i)),
+             |tests AS (
+             |  SELECT p_partkey AS key FROM part
+             |  WHERE p_partkey NOT IN (SELECT key FROM members)),
+             |th AS (
+             |  SELECT key,
+             |    ('0x' || substr(md5('bf:' || CAST(key AS VARCHAR)), 1, 14))::BIGINT AS a,
+             |    ('0x' || substr(md5('bf:' || CAST(key AS VARCHAR)), 15, 14))::BIGINT AS b
+             |  FROM tests),
+             |probes AS (
+             |  SELECT key, (a + t.i * b) % 65536 AS h
+             |  FROM th, generate_series(0, 3) AS t(i)),
+             |fp AS (
+             |  SELECT count(*) AS n_fp FROM (
+             |    SELECT key FROM probes JOIN bits USING (h)
+             |    GROUP BY key HAVING count(*) = 4)),
+             |nm AS (SELECT count(*) AS n_members FROM members),
+             |nb AS (SELECT count(*) AS bits_set FROM bits),
+             |nt AS (SELECT count(*) AS n_test FROM tests)
+             |SELECT n_members, bits_set, n_test, n_fp,
+             |  round(n_fp / CAST(n_test AS DOUBLE), 6) AS fpr,
+             |  round(pow(1.0 - pow(1.0 - 1.0 / 65536, n_members * 4.0), 4.0), 6)
+             |    AS theo_fpr
+             |FROM nm, nb, nt, fp""".stripMargin))
   )
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds
