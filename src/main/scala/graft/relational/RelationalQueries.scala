@@ -2166,7 +2166,107 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN r.n_chars < c.lo_cut OR r.n_chars > c.hi_cut
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
              |FROM ranked r JOIN cuts c USING (source)
-             |GROUP BY r.source ORDER BY r.source""".stripMargin))
+             |GROUP BY r.source ORDER BY r.source""".stripMargin)),
+
+    // Relative-error quantile sketch (DDSketch-style log buckets, γ = 1.02)
+    // audited against exact percentiles — the mergeable quantile structure
+    // that replaces a global sort at 100 TB: every value maps to bucket
+    // ⌊ln x / ln γ⌋, buckets partial-agg and MERGE BY SUM across any
+    // partitioning, and a quantile reads off the cumulative bucket walk
+    // with ≤ 2% relative error by construction. The audit reports the
+    // sketch estimate, the exact percentile, and the realized relative
+    // error at p50/p90/p99 — the certificate that the 2%-bound holds
+    // before the sketch replaces the exact path in dashboards.
+    Q("q170_quantile_sketch",
+      (s, d) => {
+        import s.implicits._
+        val buckets = Tables.orders(s, d)
+          .select(expr("cast(floor(ln(o_totalprice) / ln(1.02)) as bigint)")
+            .as("b"))
+          .groupBy($"b").agg(count(lit(1)).as("n"))
+        val tot = buckets.agg(sum($"n").as("tot"))
+        val cum = buckets.crossJoin(broadcast(tot))
+          .withColumn("cum", sum($"n").over(
+            org.apache.spark.sql.expressions.Window.orderBy($"b")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        def est(p: Double): org.apache.spark.sql.Column =
+          round(min(when($"cum" >= $"tot" * p,
+            pow(lit(1.02), $"b") * 2.0 / 2.02)), 2)
+        val sketch = cum.agg(
+          est(0.5).as("est_p50"), est(0.9).as("est_p90"), est(0.99).as("est_p99"))
+        val exact = Tables.orders(s, d).agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("ex_p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("ex_p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("ex_p99"))
+        sketch.crossJoin(broadcast(exact))
+          .select($"est_p50", $"ex_p50",
+            round(abs($"est_p50" - $"ex_p50") / $"ex_p50", 4).as("err_p50"),
+            $"est_p90", $"ex_p90",
+            round(abs($"est_p90" - $"ex_p90") / $"ex_p90", 4).as("err_p90"),
+            $"est_p99", $"ex_p99",
+            round(abs($"est_p99" - $"ex_p99") / $"ex_p99", 4).as("err_p99"))
+      },
+      Some("""WITH bk AS (
+             |  SELECT CAST(floor(ln(o_totalprice) / ln(1.02)) AS BIGINT) AS b,
+             |    count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM bk),
+             |cum AS (
+             |  SELECT b, n, tot,
+             |    sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS cum
+             |  FROM bk, tot),
+             |sk AS (
+             |  SELECT
+             |    round(min(CASE WHEN cum >= tot * 0.5
+             |      THEN pow(1.02, b) * 2.0 / 2.02 END), 2) AS est_p50,
+             |    round(min(CASE WHEN cum >= tot * 0.9
+             |      THEN pow(1.02, b) * 2.0 / 2.02 END), 2) AS est_p90,
+             |    round(min(CASE WHEN cum >= tot * 0.99
+             |      THEN pow(1.02, b) * 2.0 / 2.02 END), 2) AS est_p99
+             |  FROM cum),
+             |ex AS (
+             |  SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS ex_p50,
+             |    round(quantile_cont(o_totalprice, 0.9), 2) AS ex_p90,
+             |    round(quantile_cont(o_totalprice, 0.99), 2) AS ex_p99
+             |  FROM orders)
+             |SELECT est_p50, ex_p50,
+             |  round(abs(est_p50 - ex_p50) / ex_p50, 4) AS err_p50,
+             |  est_p90, ex_p90,
+             |  round(abs(est_p90 - ex_p90) / ex_p90, 4) AS err_p90,
+             |  est_p99, ex_p99,
+             |  round(abs(est_p99 - ex_p99) / ex_p99, 4) AS err_p99
+             |FROM sk, ex""".stripMargin)),
+
+    // k-anonymity audit — the privacy read a curation pipeline runs before
+    // releasing joined user data: group by the quasi-identifier tuple
+    // (nation, market segment, account-balance band), measure every
+    // equivalence class's size k, and report the class-size distribution
+    // plus the re-identification exposure (records in classes with k < 5,
+    // the records that would need suppression or coarser banding). One
+    // partial-agg shuffle on the QI tuple, then a bounded k-histogram —
+    // nothing row-level leaves the aggregates at any corpus size.
+    Q("q171_k_anonymity",
+      (s, d) => {
+        import s.implicits._
+        val classes = Tables.customer(s, d)
+          .select($"c_nationkey", $"c_mktsegment",
+            expr("cast(floor(c_acctbal / 2000) as bigint)").as("bal_band"))
+          .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+          .agg(count(lit(1)).as("k"))
+        classes.groupBy($"k")
+          .agg(count(lit(1)).as("n_classes"), sum($"k").as("n_records"))
+          .withColumn("at_risk", $"k" < 5)
+          .orderBy($"k")
+      },
+      Some("""WITH classes AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             |    count(*) AS k
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT k, count(*) AS n_classes,
+             |  CAST(sum(k) AS BIGINT) AS n_records, k < 5 AS at_risk
+             |FROM classes GROUP BY k ORDER BY k""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
