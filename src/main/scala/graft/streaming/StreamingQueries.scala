@@ -375,6 +375,62 @@ object StreamingQueries {
       Some("""SELECT source, count(*) AS n_clean
              |FROM documents
              |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 20)
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Stateful quota enforcement — ingest-time rate limiting: each
+    // (user, hour) key admits at most 1 event, the rest are rejected;
+    // flatMapGroupsWithState keeps one admitted-count per key (the state
+    // store shards by key, so a 100 TB/day firehose costs one counter per
+    // active user-hour, and an event-time timeout would retire idle keys).
+    // Within a batch the group sorts by (ts, event_id) so admission is the
+    // FIRST-BY-EVENT-TIME quota — deterministic whatever the arrival
+    // order — which is what makes the gate oracle-able as a batch ranking.
+    // Only user-hours that actually rejected something are emitted.
+    Q("q172_stream_quota",
+      (s, d) => {
+        import s.implicits._
+        val staticDf = s.read.parquet(s"$d/events.parquet")
+        val stream = s.readStream.schema(staticDf.schema)
+          .parquet(Staging.stageTable(d, "events"))
+        val keyed = stream
+          .select($"user_id", expr("ts div 3600000000000").as("hr"),
+            expr("ts div 1000").as("us"), $"event_id")
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(r => (r._1, r._2))
+        val quotas = keyed.flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+              state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            val admittedBefore = state.getOption.getOrElse(0L)
+            val batch = rows.toSeq.sortBy(r => (r._3, r._4))
+            val admitNow = math.min(math.max(1L - admittedBefore, 0L), batch.size.toLong)
+            state.update(admittedBefore + admitNow)
+            val rejected = batch.size - admitNow
+            if (rejected > 0)
+              Iterator((key._1, key._2, batch.size.toLong, admitNow, rejected))
+            else Iterator.empty
+        }.toDF("user_id", "hr", "n_events", "n_admitted", "n_rejected")
+
+        val name = "q172_stream_quota_sink"
+        val query = quotas.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+        s.table(name).orderBy($"user_id", $"hr")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+             |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+             |      ORDER BY ts, event_id) AS rk
+             |  FROM events)
+             |SELECT user_id, hr, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN rk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+             |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+             |FROM r GROUP BY 1, 2 HAVING count(*) > 1
+             |ORDER BY user_id, hr""".stripMargin))
   )
 }
