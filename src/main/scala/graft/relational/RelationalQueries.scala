@@ -2266,7 +2266,158 @@ object RelationalQueries {
              |  FROM customer GROUP BY 1, 2, 3)
              |SELECT k, count(*) AS n_classes,
              |  CAST(sum(k) AS BIGINT) AS n_records, k < 5 AS at_risk
-             |FROM classes GROUP BY k ORDER BY k""".stripMargin))
+             |FROM classes GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Data-layout pruning audit — the quantitative case for Z-ORDER (q68)
+    // over single-column sorts: lay each event_type partition out as 32
+    // files under three orderings (by user, by time, by interleaved
+    // z-value), record each file's min/max envelope on BOTH dimensions, and
+    // score the expected fraction of files a random point query must open
+    // (avg over files of normalized-range(user) × normalized-range(time) —
+    // the min/max-index pruning model). Sort-by-user prunes user probes and
+    // nothing else; z-order is the only layout whose BOTH-dims score stays
+    // small — the number that justifies the layout job before rewriting
+    // 100 TB. The ranking windows partition by event_type (the production
+    // layout job is a per-partition repartitionByRange — no global sort),
+    // deterministic with the event_id tiebreak; envelopes are integer math.
+    Q("q173_layout_pruning",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.events(s, d)
+          .select($"event_type", $"event_id", $"user_id",
+            unix_timestamp($"ts").as("sec"))
+          .withColumn("z",
+            graft.functions.ZValue.z_value($"user_id", expr("sec div 10800")))
+        val dom = base.groupBy($"event_type").agg(
+          (max($"user_id") - min($"user_id") + 1).as("uw"),
+          (max($"sec") - min($"sec") + 1).as("sw"))
+        def audit(layout: String, key: org.apache.spark.sql.Column) = {
+          val w = Window.partitionBy($"event_type").orderBy(key, $"event_id")
+          base
+            .withColumn("f", ntile(32).over(w))
+            .groupBy($"event_type", $"f")
+            .agg(min($"user_id").as("ulo"), max($"user_id").as("uhi"),
+              min($"sec").as("slo"), max($"sec").as("shi"))
+            .join(broadcast(dom), "event_type")
+            .select($"event_type",
+              (($"uhi" - $"ulo" + 1) / $"uw".cast("double")).as("cu"),
+              (($"shi" - $"slo" + 1) / $"sw".cast("double")).as("cs"))
+            .groupBy($"event_type")
+            .agg(round(avg($"cu"), 6).as("cov_user"),
+              round(avg($"cs"), 6).as("cov_time"),
+              round(avg($"cu" * $"cs"), 6).as("cov_both"))
+            .select(lit(layout).as("layout"), $"event_type", $"cov_user",
+              $"cov_time", $"cov_both")
+        }
+        audit("by_user", $"user_id")
+          .unionAll(audit("by_time", $"sec"))
+          .unionAll(audit("zorder", $"z"))
+          .orderBy($"layout", $"event_type")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type, event_id, user_id,
+              |    epoch_us(ts) // 1000000 AS sec,
+              |    (epoch_us(ts) // 1000000) // 10800 AS hr
+              |  FROM events),
+              |z AS (SELECT *, ${ZOracle.zExpr} AS z FROM e),
+              |dom AS (SELECT event_type, max(user_id) - min(user_id) + 1 AS uw,
+              |               max(sec) - min(sec) + 1 AS sw
+              |        FROM e GROUP BY 1),
+              |lay AS (
+              |  SELECT 'by_user' AS layout, event_type,
+              |    ntile(32) OVER (PARTITION BY event_type
+              |      ORDER BY user_id, event_id) AS f,
+              |    user_id, sec FROM z
+              |  UNION ALL
+              |  SELECT 'by_time', event_type,
+              |    ntile(32) OVER (PARTITION BY event_type
+              |      ORDER BY sec, event_id), user_id, sec FROM z
+              |  UNION ALL
+              |  SELECT 'zorder', event_type,
+              |    ntile(32) OVER (PARTITION BY event_type
+              |      ORDER BY z, event_id), user_id, sec FROM z),
+              |files AS (
+              |  SELECT layout, event_type, f,
+              |    min(user_id) AS ulo, max(user_id) AS uhi,
+              |    min(sec) AS slo, max(sec) AS shi
+              |  FROM lay GROUP BY 1, 2, 3)
+              |SELECT layout, event_type,
+              |  round(avg((uhi - ulo + 1) / CAST(uw AS DOUBLE)), 6) AS cov_user,
+              |  round(avg((shi - slo + 1) / CAST(sw AS DOUBLE)), 6) AS cov_time,
+              |  round(avg(((uhi - ulo + 1) / CAST(uw AS DOUBLE))
+              |    * ((shi - slo + 1) / CAST(sw AS DOUBLE))), 6) AS cov_both
+              |FROM files JOIN dom USING (event_type)
+              |GROUP BY layout, event_type ORDER BY layout, event_type""".stripMargin)),
+
+    // Count-min-sketch JOIN-SIZE estimation — the optimizer-side use of the
+    // q149 sketch: |A ⋈ B| on a key equals the inner product of the two
+    // key-frequency vectors, and the CMS estimate min_d Σ_w a_dw·b_dw
+    // overestimates it by a bounded ε·|A|·|B|/width. Each side's sketch is
+    // a (depth × width) integer grid built with one partial-agg pass and
+    // mergeable by cell-wise sum — at 100 TB the sketches (4×512 longs) are
+    // what planners exchange instead of scanning either table, and the
+    // audit row (estimate vs exact vs theoretical slack) is the trust
+    // check. md5 double hashing keeps every cell engine-identical.
+    Q("q174_cms_join_size",
+      (s, d) => {
+        import s.implicits._
+        val w = 512
+        def sketch(df: DataFrame, key: String, tag: String): DataFrame =
+          df.select(col(key).as("k"),
+              expr(s"cast(conv(substring(md5(concat('cms:', cast($key as string))), 1, 14), 16, 10) as bigint)").as("a"),
+              expr(s"cast(conv(substring(md5(concat('cms:', cast($key as string))), 15, 14), 16, 10) as bigint)").as("b"))
+            .select(explode(expr(
+              s"transform(sequence(0, 3), i -> struct(i as dep, pmod(a + i * b, $w) as cell))")).as("p"))
+            .groupBy($"p.dep".as("dep"), $"p.cell".as("cell"))
+            .agg(count(lit(1)).as(tag))
+        val lhs = Tables.lineitem(s, d).select($"l_partkey")
+        val rhs = Tables.part(s, d).filter($"p_size" > 25).select($"p_partkey")
+        val est = sketch(lhs, "l_partkey", "ca")
+          .join(sketch(rhs, "p_partkey", "cb"), Seq("dep", "cell"))
+          .groupBy($"dep").agg(sum($"ca" * $"cb").as("ip"))
+          .agg(min($"ip").as("cms_est"))
+        val exact = lhs.join(rhs, $"l_partkey" === $"p_partkey")
+          .agg(count(lit(1)).as("exact"))
+        val sizes = lhs.agg(count(lit(1)).as("na"))
+          .crossJoin(broadcast(rhs.agg(count(lit(1)).as("nb"))))
+        est.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
+          .select($"exact", $"cms_est",
+            round(($"cms_est" - $"exact") / $"exact".cast("double"), 4)
+              .as("rel_overshoot"),
+            round(($"na" * $"nb") / (lit(w) * $"exact".cast("double")), 4)
+              .as("theo_slack"))
+      },
+      Some("""WITH lhs AS (SELECT l_partkey AS k FROM lineitem),
+             |rhs AS (SELECT p_partkey AS k FROM part WHERE p_size > 25),
+             |ha AS (
+             |  SELECT k,
+             |    ('0x' || substr(md5('cms:' || CAST(k AS VARCHAR)), 1, 14))::BIGINT AS a,
+             |    ('0x' || substr(md5('cms:' || CAST(k AS VARCHAR)), 15, 14))::BIGINT AS b
+             |  FROM lhs),
+             |hb AS (
+             |  SELECT k,
+             |    ('0x' || substr(md5('cms:' || CAST(k AS VARCHAR)), 1, 14))::BIGINT AS a,
+             |    ('0x' || substr(md5('cms:' || CAST(k AS VARCHAR)), 15, 14))::BIGINT AS b
+             |  FROM rhs),
+             |sa AS (
+             |  SELECT t.i AS dep, (a + t.i * b) % 512 AS cell, count(*) AS ca
+             |  FROM ha, generate_series(0, 3) AS t(i) GROUP BY 1, 2),
+             |sb AS (
+             |  SELECT t.i AS dep, (a + t.i * b) % 512 AS cell, count(*) AS cb
+             |  FROM hb, generate_series(0, 3) AS t(i) GROUP BY 1, 2),
+             |est AS (
+             |  SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM (
+             |    SELECT sa.dep, CAST(sum(sa.ca * sb.cb) AS BIGINT) AS ip
+             |    FROM sa JOIN sb USING (dep, cell) GROUP BY sa.dep)),
+             |ex AS (
+             |  SELECT count(*) AS exact FROM lhs JOIN rhs USING (k)),
+             |sz AS (
+             |  SELECT (SELECT count(*) FROM lhs) AS na,
+             |         (SELECT count(*) FROM rhs) AS nb)
+             |SELECT exact, cms_est,
+             |  round((cms_est - exact) / CAST(exact AS DOUBLE), 4) AS rel_overshoot,
+             |  round((na * nb) / (512 * CAST(exact AS DOUBLE)), 4) AS theo_slack
+             |FROM est, ex, sz""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
