@@ -1768,7 +1768,193 @@ object TextAnalysis {
              |    AS demand_tokens,
              |  round(CAST(round(wq * 2000000 / CAST(wtot AS DOUBLE)) AS BIGINT)
              |    / CAST(epoch_tokens AS DOUBLE), 4) AS repeat_factor
-             |FROM wq, wt ORDER BY source""".stripMargin))
+             |FROM wq, wt ORDER BY source""".stripMargin)),
+
+    // Set-level MinHash as a MERGEABLE vocabulary sketch — q41 minhashes
+    // per document; here each SOURCE's whole token set collapses to 16
+    // minima (one partial-agg pass — the minima merge by min across any
+    // partitioning, so a 100 TB source's signature never materializes its
+    // vocabulary), and pairwise signature agreement estimates the exact
+    // source-vocabulary Jaccard that q113 computes with a full inverted-
+    // index join. The audit carries both numbers plus the error: 20
+    // signatures of 16 longs replace the all-pairs token join wherever the
+    // ±1/√16 resolution suffices. Hashing is the Kirsch–Mitzenmacher md5
+    // construction — every signature engine-identical.
+    Q("q175_minhash_source_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val st = Tables.documents(s, d)
+          .select($"source", explode(tokens($"text")).as("t"))
+          .distinct()
+        val hx = st.select($"source",
+          expr("cast(conv(substring(md5(concat('su:', t)), 1, 14), 16, 10) as bigint)").as("a"),
+          expr("cast(conv(substring(md5(concat('su:', t)), 15, 14), 16, 10) as bigint)").as("b"))
+        val mins = (0 until 16).map(i =>
+          min($"a" + lit(i.toLong) * $"b").as(s"mh$i"))
+        val sig = hx.groupBy($"source").agg(mins.head, mins.tail: _*).cache()
+        val xa = sig.select($"source".as("src_a") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
+        val xb = sig.select($"source".as("src_b") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"b$i")): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = xa.crossJoin(xb).filter($"src_a" < $"src_b")
+          .select($"src_a", $"src_b", (matches / lit(16.0)).as("est_j"))
+        val sizes = st.groupBy($"source").agg(count(lit(1)).as("nv"))
+        val exact = st.toDF("src_a", "t").join(st.toDF("src_b", "t"), "t")
+          .filter($"src_a" < $"src_b")
+          .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+          .join(broadcast(sizes.toDF("src_a", "nv_a")), "src_a")
+          .join(broadcast(sizes.toDF("src_b", "nv_b")), "src_b")
+          .select($"src_a", $"src_b",
+            round($"n_inter".cast("double") / ($"nv_a" + $"nv_b" - $"n_inter"), 6)
+              .as("jaccard"))
+        est.join(exact, Seq("src_a", "src_b"), "left")
+          .select($"src_a", $"src_b", round($"est_j", 4).as("est_j"),
+            coalesce($"jaccard", lit(0.0)).as("jaccard"),
+            round(abs($"est_j" - coalesce($"jaccard", lit(0.0))), 4).as("abs_err"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH st AS (
+             |  SELECT DISTINCT source, t FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS t
+             |    FROM documents)),
+             |hx AS (
+             |  SELECT source,
+             |    ('0x' || substr(md5('su:' || t), 1, 14))::BIGINT AS a,
+             |    ('0x' || substr(md5('su:' || t), 15, 14))::BIGINT AS b
+             |  FROM st),
+             |sig AS (
+             |  SELECT source,
+             |    min(a + 0 * b) AS mh0, min(a + 1 * b) AS mh1,
+             |    min(a + 2 * b) AS mh2, min(a + 3 * b) AS mh3,
+             |    min(a + 4 * b) AS mh4, min(a + 5 * b) AS mh5,
+             |    min(a + 6 * b) AS mh6, min(a + 7 * b) AS mh7,
+             |    min(a + 8 * b) AS mh8, min(a + 9 * b) AS mh9,
+             |    min(a + 10 * b) AS mh10, min(a + 11 * b) AS mh11,
+             |    min(a + 12 * b) AS mh12, min(a + 13 * b) AS mh13,
+             |    min(a + 14 * b) AS mh14, min(a + 15 * b) AS mh15
+             |  FROM hx GROUP BY source),
+             |est AS (
+             |  SELECT x.source AS src_a, y.source AS src_b,
+             |    ((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh8 = y.mh8 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh9 = y.mh9 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh10 = y.mh10 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh11 = y.mh11 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh12 = y.mh12 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh13 = y.mh13 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh14 = y.mh14 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN x.mh15 = y.mh15 THEN 1 ELSE 0 END)) / 16.0 AS est_j
+             |  FROM sig x JOIN sig y ON x.source < y.source),
+             |sizes AS (SELECT source, count(*) AS nv FROM st GROUP BY source),
+             |ex AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+             |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT est.src_a, est.src_b, round(est.est_j, 4) AS est_j,
+             |  COALESCE(round(ex.n_inter * 1.0
+             |    / (sa.nv + sb.nv - ex.n_inter), 6), 0.0) AS jaccard,
+             |  round(abs(est.est_j - COALESCE(round(ex.n_inter * 1.0
+             |    / (sa.nv + sb.nv - ex.n_inter), 6), 0.0)), 4) AS abs_err
+             |FROM est
+             |LEFT JOIN ex ON ex.src_a = est.src_a AND ex.src_b = est.src_b
+             |JOIN sizes sa ON sa.source = est.src_a
+             |JOIN sizes sb ON sb.source = est.src_b
+             |ORDER BY est.src_a, est.src_b""".stripMargin)),
+
+    // HyperLogLog SET ALGEBRA — the mergeability that makes HLL (q152) a
+    // fleet-wide primitive: two register grids (vocabulary of sources
+    // src0–src9 vs src10–src19) merge by cell-wise MAX into the union's
+    // sketch without touching either token stream again, and
+    // inclusion–exclusion turns three estimates into an intersection
+    // estimate. Each is audited against its exact distinct count. At
+    // 100 TB the union-by-max is how per-shard sketches roll up to corpus
+    // cardinality in one 256-row reduce; the same integer/md5 register
+    // construction as q152 keeps every value engine-identical.
+    Q("q176_hll_set_algebra",
+      (s, d) => {
+        import s.implicits._
+        def grp = when($"source".isin((0 to 9).map("src" + _): _*), "g1")
+          .otherwise("g2")
+        val toks = Tables.documents(s, d)
+          .select(grp.as("g"), explode(tokens($"text")).as("t"))
+          .distinct()
+        val regs = toks
+          .select($"g", expr(
+            "cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint)").as("fp"))
+          .distinct()
+          .select($"g", ($"fp" % 256).as("bucket"),
+            expr("41 - length(bin(fp div 256))").as("rho"))
+          .groupBy($"g", $"bucket").agg(max($"rho").as("mr"))
+          .cache()
+        def estOf(df: DataFrame, tag: String): DataFrame =
+          df.sparkSession.range(256).select($"id".as("bucket"))
+            .join(df, Seq("bucket"), "left")
+            .select(coalesce($"mr", lit(0)).as("mr"))
+            .agg(round(lit(0.7123) * 65536 /
+              sum(pow(lit(2.0), -$"mr")), 1).as(tag))
+        val e1 = estOf(regs.filter($"g" === "g1").select($"bucket", $"mr"), "est_a")
+        val e2 = estOf(regs.filter($"g" === "g2").select($"bucket", $"mr"), "est_b")
+        val eu = estOf(regs.groupBy($"bucket").agg(max($"mr").as("mr")), "est_union")
+        val exact = toks.select($"t").distinct().agg(count(lit(1)).as("exact_union"))
+          .crossJoin(broadcast(toks.filter($"g" === "g1").agg(
+            countDistinct($"t").as("exact_a"))))
+          .crossJoin(broadcast(toks.filter($"g" === "g2").agg(
+            countDistinct($"t").as("exact_b"))))
+        e1.crossJoin(broadcast(e2)).crossJoin(broadcast(eu))
+          .crossJoin(broadcast(exact))
+          .select($"exact_a", $"est_a", $"exact_b", $"est_b",
+            $"exact_union", $"est_union",
+            ($"exact_a" + $"exact_b" - $"exact_union").as("exact_inter"),
+            round($"est_a" + $"est_b" - $"est_union", 1).as("est_inter"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT CASE WHEN source IN ('src0','src1','src2','src3',
+             |      'src4','src5','src6','src7','src8','src9')
+             |      THEN 'g1' ELSE 'g2' END AS g,
+             |    t
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+             |        FROM documents)),
+             |fp AS (SELECT DISTINCT g,
+             |    ('0x' || substr(md5(t), 1, 12))::BIGINT AS fp FROM toks),
+             |rg AS (
+             |  SELECT g, fp % 256 AS bucket,
+             |    max(41 - length(bin(fp // 256))) AS mr
+             |  FROM fp GROUP BY 1, 2),
+             |grid AS (SELECT range AS bucket FROM range(256)),
+             |ea AS (
+             |  SELECT round(0.7123 * 65536 / sum(pow(2.0, -COALESCE(mr, 0))), 1)
+             |    AS est_a
+             |  FROM grid LEFT JOIN (SELECT bucket, mr FROM rg WHERE g = 'g1')
+             |    USING (bucket)),
+             |eb AS (
+             |  SELECT round(0.7123 * 65536 / sum(pow(2.0, -COALESCE(mr, 0))), 1)
+             |    AS est_b
+             |  FROM grid LEFT JOIN (SELECT bucket, mr FROM rg WHERE g = 'g2')
+             |    USING (bucket)),
+             |eu AS (
+             |  SELECT round(0.7123 * 65536 / sum(pow(2.0, -COALESCE(mr, 0))), 1)
+             |    AS est_union
+             |  FROM grid LEFT JOIN (SELECT bucket, max(mr) AS mr FROM rg
+             |    GROUP BY bucket) USING (bucket)),
+             |ex AS (
+             |  SELECT count(DISTINCT t) AS exact_union,
+             |    count(DISTINCT CASE WHEN g = 'g1' THEN t END) AS exact_a,
+             |    count(DISTINCT CASE WHEN g = 'g2' THEN t END) AS exact_b
+             |  FROM toks)
+             |SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
+             |  exact_a + exact_b - exact_union AS exact_inter,
+             |  round(est_a + est_b - est_union, 1) AS est_inter
+             |FROM ea, eb, eu, ex""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
