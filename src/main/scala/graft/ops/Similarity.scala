@@ -1136,7 +1136,75 @@ object Similarity {
              |  round(n_fp / CAST(n_test AS DOUBLE), 6) AS fpr,
              |  round(pow(1.0 - pow(1.0 - 1.0 / 65536, n_members * 4.0), 4.0), 6)
              |    AS theo_fpr
-             |FROM nm, nb, nt, fp""".stripMargin))
+             |FROM nm, nb, nt, fp""".stripMargin)),
+
+    // kNN-graph construction audit — the index-quality read behind every
+    // graph-based ANN structure (NSW/HNSW start from exactly this graph):
+    // each vector links to its top-3 cell-mates by cosine (the trained
+    // IVF cells bound candidate generation, so edge building is cell-local
+    // — no all-pairs), and the audit reports the numbers that predict
+    // search quality: edge count, RECIPROCITY (mutual-neighbor fraction —
+    // low reciprocity means hub-and-spoke neighborhoods that trap greedy
+    // search), and how many vectors sit isolated in singleton cells (they
+    // need the multi-probe rescue q51 implements). Cosines round to 4 dp
+    // with vec_id tiebreaks, so the whole graph is engine-identical.
+    Q("q177_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val assign = trainedCells(e)._2
+          .withColumn("nrm", norm($"embedding")).cache()
+        val u = assign.select($"cid", $"vec_id".as("a"),
+          $"embedding".as("ea"), $"nrm".as("na"))
+        val v = assign.select($"cid", $"vec_id".as("b"),
+          $"embedding".as("eb"), $"nrm".as("nb"))
+        val edges = u.join(v, "cid").filter($"a" =!= $"b")
+          .select($"a", $"b",
+            round(dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"a").orderBy($"cos".desc, $"b")))
+          .filter($"rk" <= 3)
+          .select($"a", $"b").cache()
+        val recip = edges.as("x").join(edges.as("y"),
+          $"x.a" === $"y.b" && $"x.b" === $"y.a")
+        val nNodes = edges.select($"a").distinct()
+          .agg(count(lit(1)).as("n_linked"))
+        val total = e.agg(count(lit(1)).as("n_vectors"))
+        edges.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(recip.agg((count(lit(1)) / 2).as("n_mutual"))))
+          .crossJoin(broadcast(nNodes))
+          .crossJoin(broadcast(total))
+          .select($"n_vectors", $"n_linked",
+            ($"n_vectors" - $"n_linked").as("n_isolated"),
+            $"n_edges", $"n_mutual".cast("long").as("n_mutual"),
+            round($"n_mutual" * 2 / $"n_edges".cast("double"), 4)
+              .as("reciprocity"))
+      },
+      Some(kmeansTrainSql(2) + s"""
+             |,pr AS (
+             |  SELECT u.cid, u.vec_id AS a, v.vec_id AS b,
+             |    round(sum(eu.v * ev.v) / (nu.nrm * nv.nrm), 4) AS cos
+             |  FROM a2 u JOIN a2 v ON u.cid = v.cid AND u.vec_id != v.vec_id
+             |  JOIN e eu ON eu.vec_id = u.vec_id
+             |  JOIN e ev ON ev.vec_id = v.vec_id AND ev.i = eu.i
+             |  JOIN nrm nu ON nu.vec_id = u.vec_id
+             |  JOIN nrm nv ON nv.vec_id = v.vec_id
+             |  GROUP BY u.cid, u.vec_id, v.vec_id, nu.nrm, nv.nrm),
+             |edges AS (
+             |  SELECT a, b FROM (
+             |    SELECT a, b, row_number() OVER (PARTITION BY a
+             |      ORDER BY cos DESC, b) AS rk
+             |    FROM pr) WHERE rk <= 3),
+             |mu AS (
+             |  SELECT count(*) // 2 AS n_mutual
+             |  FROM edges x JOIN edges y ON x.a = y.b AND x.b = y.a),
+             |nl AS (SELECT count(DISTINCT a) AS n_linked FROM edges),
+             |ne AS (SELECT count(*) AS n_edges FROM edges),
+             |nv AS (SELECT count(*) AS n_vectors FROM embeddings)
+             |SELECT n_vectors, n_linked, n_vectors - n_linked AS n_isolated,
+             |  n_edges, CAST(n_mutual AS BIGINT) AS n_mutual,
+             |  round(n_mutual * 2 / CAST(n_edges AS DOUBLE), 4) AS reciprocity
+             |FROM nv, nl, ne, mu""".stripMargin))
   )
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds
