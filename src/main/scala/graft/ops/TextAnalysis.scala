@@ -1954,7 +1954,100 @@ object TextAnalysis {
              |SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
              |  exact_a + exact_b - exact_union AS exact_inter,
              |  round(est_a + est_b - est_union, 1) AS est_inter
-             |FROM ea, eb, eu, ex""".stripMargin))
+             |FROM ea, eb, eu, ex""".stripMargin)),
+
+    // PII detect-and-redact — the scrub pass every training-data pipeline
+    // runs before anything else. Three detector regexes (email, NANP phone,
+    // IPv4) written in the Java-regex ∩ RE2 common subset so Spark and
+    // DuckDB compile the same automaton; detection is
+    // size(regexp_extract_all(...)), redaction is ordered regexp_replace
+    // (emails first — an address can embed digits, the reverse can't
+    // happen). All of it is codegen'd column work: one linear scan per doc,
+    // zero shuffles before the per-source rollup, so at 100 TB the cost is
+    // exactly one pass over text. The corpus is synthetic ASCII with no PII,
+    // so a deterministic raw_text layer plants addresses/phones/IPs derived
+    // from (doc_id, source) — identically in both engines — and the audit
+    // reports per-source hit counts plus characters removed.
+    Q("q180_pii_redaction",
+      (s, d) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        val raw = Tables.documents(s, d).select($"doc_id", $"source",
+          concat($"text",
+            when($"doc_id" % 5 === 0,
+              concat(lit(" contact user"), $"doc_id", lit("@"), $"source",
+                lit(".example.com")))
+            .when($"doc_id" % 7 === 0,
+              concat(lit(" call 555-"),
+                lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+                lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0")))
+            .when($"doc_id" % 11 === 0,
+              concat(lit(" from 10."), ($"doc_id" % 256).cast("string"),
+                lit("."), (($"doc_id" * 3) % 256).cast("string"),
+                lit("."), (($"doc_id" * 5) % 256).cast("string")))
+            .otherwise(lit(""))).as("raw"))
+        // regexp_* via the typed DSL (not expr/SQL literals) so the
+        // patterns' backslashes never meet the SQL parser's escape rules
+        val hits = raw.select($"doc_id", $"source", $"raw",
+          size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phone"))
+          .withColumn("clean",
+            regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))
+          .withColumn("n_ip",
+            size(regexp_extract_all($"clean", lit(ipRe), lit(0))))
+          .withColumn("clean", regexp_replace($"clean", ipRe, "<IP>"))
+        hits.groupBy($"source")
+          .agg(count(lit(1)).as("docs"),
+            sum(when($"n_email" + $"n_phone" + $"n_ip" > 0, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum($"n_email".cast("long")).as("n_emails"),
+            sum($"n_phone".cast("long")).as("n_phones"),
+            sum($"n_ip".cast("long")).as("n_ips"),
+            sum((length($"raw") - length($"clean")).cast("long"))
+              .as("removed_chars"))
+          .orderBy($"source")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, source,
+             |    text || (CASE
+             |      WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@'
+             |        || source || '.example.com'
+             |      WHEN doc_id % 7 = 0 THEN ' call 555-'
+             |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+             |        || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+             |      WHEN doc_id % 11 = 0 THEN ' from 10.'
+             |        || CAST(doc_id % 256 AS VARCHAR) || '.'
+             |        || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+             |        || CAST((doc_id * 5) % 256 AS VARCHAR)
+             |      ELSE '' END) AS raw
+             |  FROM documents),
+             |hits AS (
+             |  SELECT doc_id, source, raw,
+             |    len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |      AS n_email,
+             |    len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}')) AS n_phone,
+             |    regexp_replace(regexp_replace(raw,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS clean1
+             |  FROM raw),
+             |hits2 AS (
+             |  SELECT doc_id, source, raw, n_email, n_phone,
+             |    len(regexp_extract_all(clean1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+             |      AS n_ip,
+             |    regexp_replace(clean1,
+             |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean
+             |  FROM hits)
+             |SELECT source, count(*) AS docs,
+             |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS docs_with_pii,
+             |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+             |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+             |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+             |  CAST(sum(len(raw) - len(clean)) AS BIGINT) AS removed_chars
+             |FROM hits2 GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and

@@ -263,6 +263,119 @@ object GenomicsQueries {
              |  SELECT m.doc_id, exp(f.mean + f.slope * m.mu + f.icept - m.mu) AS cal
              |  FROM mu m, fit f)
              |SELECT doc_id, round(cal / (SELECT sum(cal) FROM cal), 6) AS mu_cal
-             |FROM cal ORDER BY doc_id""".stripMargin))
+             |FROM cal ORDER BY doc_id""".stripMargin)),
+
+    // Genomic interval-OVERLAP join — the region join at the heart of the
+    // reference's ADAM substrate (BroadcastRegionJoin/ShuffleRegionJoin;
+    // reads-vs-features overlap is THE genomics join). Neither side is a
+    // point (q18/q84 are point-in-window band joins), so the rewrite is the
+    // 2D interval one: both sides explode into the fixed-width genome bins
+    // their interval covers, the join runs as a (contig, bin) equi-join —
+    // shuffle keys grow with the genome, so the join parallelizes across a
+    // cluster — and a pair that shares several bins is kept exactly once,
+    // WITHOUT a distinct, by the first-bin-of-intersection rule
+    // (bin = greatest(start_a, start_b) div W). Overlap then verifies
+    // exactly. Intervals are derived deterministically from the corpus:
+    // documents play exons, events play reads, 64 contigs of 20 kb.
+    Q("q178_region_join",
+      (s, d) => {
+        import s.implicits._
+        val W = 256
+        val exons = Tables.documents(s, d)
+          .select($"doc_id".as("exon_id"), ($"doc_id" % 64).as("contig"),
+            (($"doc_id" * 37) % 20000).as("x_start"),
+            (($"doc_id" * 37) % 20000 + 50 + $"n_chars" % 150).as("x_end"))
+        val reads = Tables.events(s, d)
+          .select($"event_id".as("read_id"), ($"event_id" % 64).as("contig"),
+            (($"event_id" * 13) % 20000).as("r_start"))
+          .withColumn("r_end", $"r_start" + 80)
+        val rb = reads.withColumn("bin",
+          explode(sequence(expr("r_start div 256"), expr("r_end div 256"))))
+        val xb = exons.withColumn("bin",
+          explode(sequence(expr("x_start div 256"), expr("x_end div 256"))))
+        rb.join(xb, Seq("contig", "bin"))
+          .filter($"r_start" <= $"x_end" && $"x_start" <= $"r_end" &&
+            $"bin" === expr("greatest(r_start, x_start) div 256"))
+          .groupBy($"exon_id")
+          .agg(count(lit(1)).as("n_reads"),
+            sum(least($"r_end", $"x_end") - greatest($"r_start", $"x_start") + 1)
+              .as("overlap_bp"))
+          .orderBy($"exon_id")
+      },
+      Some("""WITH exons AS (
+             |  SELECT doc_id AS exon_id, doc_id % 64 AS contig,
+             |    (doc_id * 37) % 20000 AS x_start,
+             |    (doc_id * 37) % 20000 + 50 + n_chars % 150 AS x_end
+             |  FROM documents),
+             |reads AS (
+             |  SELECT event_id AS read_id, event_id % 64 AS contig,
+             |    (event_id * 13) % 20000 AS r_start,
+             |    (event_id * 13) % 20000 + 80 AS r_end
+             |  FROM events),
+             |rb AS (
+             |  SELECT read_id, contig, r_start, r_end,
+             |    unnest(generate_series(r_start // 256, r_end // 256)) AS bin
+             |  FROM reads),
+             |xb AS (
+             |  SELECT exon_id, contig, x_start, x_end,
+             |    unnest(generate_series(x_start // 256, x_end // 256)) AS bin
+             |  FROM exons)
+             |SELECT exon_id, count(*) AS n_reads,
+             |  CAST(sum(least(r_end, x_end) - greatest(r_start, x_start) + 1)
+             |    AS BIGINT) AS overlap_bp
+             |FROM rb JOIN xb USING (contig, bin)
+             |WHERE r_start <= x_end AND x_start <= r_end
+             |  AND bin = greatest(r_start, x_start) // 256
+             |GROUP BY exon_id ORDER BY exon_id""".stripMargin)),
+
+    // Coverage pileup (samtools-depth equivalent) as a difference array:
+    // each read contributes (+1 at start, −1 at end+1); the per-contig
+    // running sum of deltas IS the depth, and each breakpoint's depth holds
+    // for lead(pos) − pos bases. One shuffle on (contig, pos) plus windows
+    // PARTITIONED BY contig — depth at every one of 1.28 M positions
+    // without ever materializing per-base rows, and no single-partition
+    // exchange (contigs shard the sort). Output: the corpus-wide depth
+    // histogram (depth → covered bases), the summary a 100 TB pileup
+    // actually ships.
+    Q("q179_pileup",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val reads = Tables.events(s, d)
+          .select(($"event_id" % 64).as("contig"),
+            (($"event_id" * 13) % 20000).as("r_start"))
+          .withColumn("r_end", $"r_start" + 80)
+        val deltas = reads.select($"contig", $"r_start".as("pos"), lit(1L).as("d"))
+          .unionAll(reads.select($"contig", ($"r_end" + 1).as("pos"), lit(-1L).as("d")))
+          .groupBy($"contig", $"pos").agg(sum($"d").as("d"))
+        val w = Window.partitionBy($"contig").orderBy($"pos")
+        deltas
+          .withColumn("depth", sum($"d").over(w))
+          .withColumn("span", lead($"pos", 1).over(w) - $"pos")
+          .filter($"span".isNotNull && $"depth" > 0)
+          .groupBy($"depth")
+          .agg(sum($"span").as("covered_bp"), count(lit(1)).as("n_segments"))
+          .orderBy($"depth")
+      },
+      Some("""WITH reads AS (
+             |  SELECT event_id % 64 AS contig,
+             |    (event_id * 13) % 20000 AS r_start,
+             |    (event_id * 13) % 20000 + 80 AS r_end
+             |  FROM events),
+             |deltas AS (
+             |  SELECT contig, pos, CAST(sum(d) AS BIGINT) AS d FROM (
+             |    SELECT contig, r_start AS pos, 1 AS d FROM reads
+             |    UNION ALL
+             |    SELECT contig, r_end + 1 AS pos, -1 AS d FROM reads)
+             |  GROUP BY contig, pos),
+             |cum AS (
+             |  SELECT contig, pos,
+             |    CAST(sum(d) OVER (PARTITION BY contig ORDER BY pos) AS BIGINT) AS depth,
+             |    lead(pos) OVER (PARTITION BY contig ORDER BY pos) - pos AS span
+             |  FROM deltas)
+             |SELECT depth, CAST(sum(span) AS BIGINT) AS covered_bp,
+             |  count(*) AS n_segments
+             |FROM cum WHERE span IS NOT NULL AND depth > 0
+             |GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }

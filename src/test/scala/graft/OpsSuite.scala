@@ -720,4 +720,32 @@ class OpsSuite extends SparkSuite {
     assert(fpEquals(got.getAs[Double]("mean_v"), math.rint(want * 1e6) / 1e6, 1e-6))
     assert(got.getAs[Long]("n") === vecs.length.toLong)
   }
+
+  test("region join: binned overlap equals the naive theta-join exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q178's first-bin-of-intersection rule must count each overlapping
+    // (read, exon) pair EXACTLY once — no false negatives from binning, no
+    // double counts from pairs that share several bins. The naive O(n·m)
+    // theta-join is the ground truth at this SF.
+    val exons = Tables.documents(spark, sf)
+      .select($"doc_id".as("exon_id"), ($"doc_id" % 64).as("contig"),
+        (($"doc_id" * 37) % 20000).as("x_start"),
+        (($"doc_id" * 37) % 20000 + 50 + $"n_chars" % 150).as("x_end"))
+    val reads = Tables.events(spark, sf)
+      .select($"event_id".as("read_id"), ($"event_id" % 64).as("contig"),
+        (($"event_id" * 13) % 20000).as("r_start"))
+      .withColumn("r_end", $"r_start" + 80)
+    val naive = reads.join(exons, Seq("contig"))
+      .filter($"r_start" <= $"x_end" && $"x_start" <= $"r_end")
+      .groupBy($"exon_id")
+      .agg(count(lit(1)).as("n_reads"),
+        sum(least($"r_end", $"x_end") - greatest($"r_start", $"x_start") + 1)
+          .as("overlap_bp"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val binned = SparkEntry.queries("q178_region_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(binned === naive, "binned region join diverged from the theta-join")
+    assert(naive.nonEmpty)
+  }
 }
