@@ -345,8 +345,13 @@ object GenomicsQueries {
           .select(($"event_id" % 64).as("contig"),
             (($"event_id" * 13) % 20000).as("r_start"))
           .withColumn("r_end", $"r_start" + 80)
-        val deltas = reads.select($"contig", $"r_start".as("pos"), lit(1L).as("d"))
-          .unionAll(reads.select($"contig", ($"r_end" + 1).as("pos"), lit(-1L).as("d")))
+        // one scan, not a 2-branch union: each read explodes into its two
+        // boundary deltas — at 100 TB that halves the events read
+        val deltas = reads.select($"contig",
+            explode(array(
+              struct($"r_start".as("pos"), lit(1L).as("d")),
+              struct(($"r_end" + 1).as("pos"), lit(-1L).as("d")))).as("x"))
+          .select($"contig", $"x.pos".as("pos"), $"x.d".as("d"))
           .groupBy($"contig", $"pos").agg(sum($"d").as("d"))
         val w = Window.partitionBy($"contig").orderBy($"pos")
         deltas
