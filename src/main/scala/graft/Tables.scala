@@ -20,19 +20,32 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); under
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as a Long of epoch
-    * nanoseconds (see Sessions). Convert once, with integer division —
-    * a double roundtrip would corrupt microseconds above 2^53.
+  /** Normalize an `events`-shaped frame so `ts` is always TimestampType
+    * (LTZ), whatever vintage of the driver corpus it came from:
+    *  - parquet TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong
+    *    (see Sessions) arrives as a Long of epoch nanoseconds — convert
+    *    with integer division (a double roundtrip would corrupt
+    *    microseconds above 2^53);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ — reinterpret the wall clock in the session zone
+    *    (pinned to UTC in Sessions, so epoch semantics match the oracle);
+    *  - already-LTZ data passes through.
+    * Works on batch and streaming frames alike — it is pure column algebra.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = load(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(s, dir, "events"))
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 }

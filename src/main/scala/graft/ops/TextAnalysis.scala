@@ -1671,7 +1671,7 @@ object TextAnalysis {
              |    sum(length(text)) OVER (PARTITION BY lang, source
              |      ORDER BY doc_id) AS cum
              |  FROM documents)
-             |SELECT lang, source, (cum - bytes) // 16384 AS file_no,
+             |SELECT lang, source, CAST((cum - bytes) // 16384 AS BIGINT) AS file_no,
              |  count(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS file_bytes
              |FROM d GROUP BY 1, 2, 3 ORDER BY lang, source, file_no""".stripMargin)),
 

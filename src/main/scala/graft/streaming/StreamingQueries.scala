@@ -16,12 +16,13 @@ object StreamingQueries {
     Q("q70_stream_hourly",
       (s, d) => {
         import s.implicits._
-        // file-source schema comes from the static footer (ts arrives as
-        // nanosecond Long under the session's nanosAsLong, same as Tables)
+        // file-source schema comes from the static footer; ts lands as
+        // whatever the fixture vintage stores (nanos-Long or NTZ) and the
+        // shared loader normalization makes it LTZ, same as Tables.events
         val staticDf = s.read.parquet(s"$d/events.parquet")
         val stream = s.readStream.schema(staticDf.schema)
           .parquet(Staging.stageTable(d, "events"))
-        val withTs = stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val withTs = graft.Tables.normalizeTs(stream)
         val agg = withTs
           .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
           .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
@@ -97,8 +98,8 @@ object StreamingQueries {
         val winUs = 300L * 1000000L
         val staticDf = s.read.parquet(s"$d/events.parquet")
         val dir = Staging.stageTable(d, "events")
-        def src() = s.readStream.schema(staticDf.schema).parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def src() = graft.Tables.normalizeTs(
+          s.readStream.schema(staticDf.schema).parquet(dir))
         val errs = src().filter($"event_type" === "error")
           .select($"event_id".as("err_id"), $"ts".as("err_ts"))
           .withColumn("bin", explode(sequence(
@@ -146,9 +147,9 @@ object StreamingQueries {
       (s, d) => {
         import s.implicits._
         val staticDf = s.read.parquet(s"$d/events.parquet")
-        val stream = s.readStream.schema(staticDf.schema)
-          .parquet(Staging.stageTable(d, "events"))
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = graft.Tables.normalizeTs(
+          s.readStream.schema(staticDf.schema)
+            .parquet(Staging.stageTable(d, "events")))
         val agg = stream
           .withWatermark("ts", "10 minutes")
           .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
@@ -194,9 +195,9 @@ object StreamingQueries {
       (s, d) => {
         import s.implicits._
         val staticDf = s.read.parquet(s"$d/events.parquet")
-        val stream = s.readStream.schema(staticDf.schema)
-          .parquet(Staging.stageTable(d, "events"))
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = graft.Tables.normalizeTs(
+          s.readStream.schema(staticDf.schema)
+            .parquet(Staging.stageTable(d, "events")))
         val agg = stream
           .withWatermark("ts", "10 minutes")
           .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
@@ -318,8 +319,7 @@ object StreamingQueries {
         val staticDf = s.read.parquet(s"$d/events.parquet")
         val stream = s.readStream.schema(staticDf.schema)
           .parquet(Staging.stageTable(d, "events"))
-        val deduped = stream
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val deduped = graft.Tables.normalizeTs(stream)
           .withWatermark("ts", "90 days")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select($"user_id", $"event_type")
@@ -392,9 +392,9 @@ object StreamingQueries {
         val staticDf = s.read.parquet(s"$d/events.parquet")
         val stream = s.readStream.schema(staticDf.schema)
           .parquet(Staging.stageTable(d, "events"))
-        val keyed = stream
-          .select($"user_id", expr("ts div 3600000000000").as("hr"),
-            expr("ts div 1000").as("us"), $"event_id")
+        val keyed = graft.Tables.normalizeTs(stream)
+          .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"),
+            expr("unix_micros(ts)").as("us"), $"event_id")
           .as[(Long, Long, Long, Long)]
           .groupByKey(r => (r._1, r._2))
         val quotas = keyed.flatMapGroupsWithState(
