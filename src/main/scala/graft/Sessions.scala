@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   * - shuffle.partitions sized to the local core count (not the 200 default);
   *   on a real cluster this would be tuned to ~2-3× total cores or left to AQE
   *   coalescing, which is enabled here and does the right thing at any SF.
-  * - nanosAsLong: the driver corpus stores `events.ts` as parquet
-  *   TIMESTAMP(NANOS), which Spark 4 refuses by default; we read it as a
-  *   nanosecond Long and convert once at the loader (Tables.events).
+  * - nanosAsLong: older vintages of the driver corpus stored `events.ts`
+  *   as parquet TIMESTAMP(NANOS), which Spark 4 refuses by default; with
+  *   the flag it reads as a nanosecond Long and the loader normalizes it
+  *   (Tables.normalizeTs — which also handles the current MICROS-NTZ
+  *   vintage, where the flag is simply inert).
   */
 object Sessions {
   def local(cpus: String): SparkSession = {

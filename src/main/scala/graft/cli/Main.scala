@@ -43,11 +43,25 @@ object Main {
       sys.exit(1)
   }
 
+  /** Reporting parity with the reference's `.instrument()` + metrics dump
+    * (rice-cli/.../Index.scala:68, rice-core/.../Timers.scala:25-63): after
+    * each command, print the accumulated driver-side stage wall times. */
+  private[cli] def printTimers(): Unit = {
+    val snap = graft.util.Timers.snapshot()
+    if (snap.nonEmpty) {
+      println("== stage timings ==")
+      snap.toSeq.sortBy(-_._2).foreach { case (name, sec) =>
+        println(f"  $name%-28s $sec%9.3f s")
+      }
+    }
+  }
+
   private def runIndex(genomePath: String, gtfPath: String, k: Int, out: String): Unit = {
+    import graft.util.Timers
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // driver-side genome load + broadcast, as the reference does
     // (cli/Index.scala:59-62 then Index.scala:76-78); .2bit or FASTA
-    val genome = graft.io.Genome.read(genomePath)
+    val genome = Timers.time("loadGenome") { graft.io.Genome.read(genomePath) }
     val bc = spark.sparkContext.broadcast(genome)
     val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)
     val extract = udf { (exons: Seq[org.apache.spark.sql.Row]) =>
@@ -59,10 +73,13 @@ object Main {
       bc.value(name).substring(start.toInt, end.toInt)
     }
     val seqs = transcripts.select(col("id"), extract(col("exons")).as("sequence"))
-    val idx = Indexer(seqs, k)
-    idx.kmerToEc.write.mode("overwrite").parquet(out + "_kmers")
-    idx.ecToKmers.write.mode("overwrite").parquet(out + "_classes")
-    idx.ecToTx.write.mode("overwrite").parquet(out + "_tx")
+    val idx = Timers.time("buildIndex") { Indexer(seqs, k) }
+    Timers.time("writeIndex") {
+      idx.kmerToEc.write.mode("overwrite").parquet(out + "_kmers")
+      idx.ecToKmers.write.mode("overwrite").parquet(out + "_classes")
+      idx.ecToTx.write.mode("overwrite").parquet(out + "_tx")
+    }
+    printTimers()
   }
 
   private def runQuantify(readsPath: String, indexPath: String, gtfPath: String,
@@ -80,9 +97,12 @@ object Main {
     val abundances = Quantify(reads, kmerToEc, ecToTx, transcripts, k,
       maxIterations, calibrateKmers, calibrateLength)
     // "<id>, <abundance>" text lines, as cli/Quantify.scala:107-108
-    abundances
-      .select(concat_ws(", ", col("tid"), col("abundance")).as("value"))
-      .write.mode("overwrite").text(out)
+    graft.util.Timers.time("writeAbundances") {
+      abundances
+        .select(concat_ws(", ", col("tid"), col("abundance")).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    printTimers()
     // no spark.stop(): the session is getOrCreate-shared (tests reuse it);
     // standalone CLI JVMs tear it down at exit
   }

@@ -182,6 +182,25 @@ object Dedup {
       val ck = df.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
+    // Materialize AND compute the label sum in ONE job: the summing action
+    // is what forces the local checkpoint's persistence, so each round pays
+    // a single action here instead of a checkpoint job plus a separate
+    // scalar agg (the agg itself was cheap, but its per-round fixed cost —
+    // job scheduling + Catalyst planning — dominates small/late rounds of
+    // a driver loop). The sum comes from task RESULTS, not an accumulator:
+    // a retried task contributes exactly once, so a lost executor cannot
+    // inflate the sum and trip the monotone convergence certificate into
+    // stopping early.
+    def materializeWithSum(df: DataFrame): (DataFrame, Long) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      val total = rdd.mapPartitions { it =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(1)
+        Iterator.single(s)
+      }.fold(0L)(_ + _)
+      (df.sparkSession.createDataFrame(rdd, df.schema), total)
+    }
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum(col("component"))).head().getLong(0)
     while (curSum < prevSum) {
@@ -195,9 +214,10 @@ object Dedup {
       val stepped = materialize(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbrc"), col("component"))).as("component")))
-      labels = materialize(jump(jump(stepped)))
+      val (next, nextSum) = materializeWithSum(jump(jump(stepped)))
+      labels = next
       prevSum = curSum
-      curSum = labels.agg(sum(col("component"))).head().getLong(0)
+      curSum = nextSum
     }
     labels
   }

@@ -569,26 +569,51 @@ object TextAnalysis {
     // vs an exact countDistinct whose dedup shuffle carries every
     // distinct value) and a quantile summary (percentile_approx /
     // Greenwald-Khanna) whose state is bounded by 1/accuracy, not row
-    // count. Both are deterministic for a fixed input but NOT
-    // SQL-reproducible in DuckDB (different sketch internals), so the
-    // gate records a rows-only check; the OpsSuite spec pins each
-    // estimate against its exact counterpart within the sketch's error
-    // bound, which is the actual contract a sketch offers.
+    // count. The raw estimates are NOT SQL-reproducible in DuckDB
+    // (different sketch internals), so what goes under the oracle gate is
+    // the contract a sketch actually offers: the exact values plus
+    // booleans asserting each estimate sits within its error bound —
+    // HLL within 3·rsd of the exact distinct count, each approx
+    // percentile's RANK within eps·n of the target rank. DuckDB mirrors
+    // the exact columns and expects every bound check to hold, so a
+    // drifting sketch flips a boolean and fails the hash. The rank
+    // check joins the tiny per-group scalars back to the corpus
+    // (broadcast — one extra pass, no extra shuffle of the fact side).
     Q("q57_sketch_stats",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        val base = Tables.documents(s, d)
           .select($"source", md5($"text").as("fp"),
             size(split($"text", " ")).cast("long").as("n_tok"))
-          .groupBy($"source")
+        val sk = base.groupBy($"source")
           .agg(
             approx_count_distinct($"fp", rsd = 0.05).as("approx_uniq"),
-            percentile_approx($"n_tok", lit(0.5), lit(1000)).as("approx_p50"),
-            percentile_approx($"n_tok", lit(0.9), lit(1000)).as("approx_p90"),
+            countDistinct($"fp").as("exact_uniq"),
+            percentile_approx($"n_tok", lit(0.5), lit(1000)).as("p50"),
+            percentile_approx($"n_tok", lit(0.9), lit(1000)).as("p90"),
             count(lit(1)).as("n_docs"))
+        val ranked = base
+          .join(broadcast(sk.select($"source", $"p50", $"p90")), "source")
+          .groupBy($"source")
+          .agg(
+            sum(when($"n_tok" <= $"p50", 1L).otherwise(0L)).as("le50"),
+            sum(when($"n_tok" < $"p50", 1L).otherwise(0L)).as("lt50"),
+            sum(when($"n_tok" <= $"p90", 1L).otherwise(0L)).as("le90"),
+            sum(when($"n_tok" < $"p90", 1L).otherwise(0L)).as("lt90"))
+        sk.join(ranked, "source")
+          .select($"source", $"n_docs", $"exact_uniq",
+            (abs($"approx_uniq" - $"exact_uniq") <=
+              greatest(lit(2L), ceil($"exact_uniq" * 0.15))).as("uniq_ok"),
+            ($"le50" >= floor($"n_docs" * 0.499) - 1 &&
+              $"lt50" <= ceil($"n_docs" * 0.501) + 1).as("p50_ok"),
+            ($"le90" >= floor($"n_docs" * 0.899) - 1 &&
+              $"lt90" <= ceil($"n_docs" * 0.901) + 1).as("p90_ok"))
           .orderBy($"source")
       },
-      None),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  count(DISTINCT md5(text)) AS exact_uniq,
+             |  true AS uniq_ok, true AS p50_ok, true AS p90_ok
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // Compression-ratio quality signal — the low-complexity filter
     // (boilerplate, machine-generated spam and template text deflate far
@@ -598,10 +623,14 @@ object TextAnalysis {
     // one reused Deflater + scratch buffer per PARTITION (per-row
     // allocation would dominate at 100 TB), rows stream through without
     // materializing the partition. Deflate at a fixed level is
-    // deterministic for a given input, but no SQL engine reproduces the
-    // byte count, so the gate records a rows-only check; the OpsSuite
-    // spec pins the signal's ordering contract (repetitive text must
-    // score below high-entropy text).
+    // deterministic for a given input, but the byte count is a property
+    // of the JVM's zlib encoder (level, window, flush strategy) — DuckDB
+    // has no deflate scalar and any other engine's encoder would emit
+    // different bytes, so like q26's 16-feature OLS this query is
+    // provably not ANSI-SQL-expressible and deliberately carries no
+    // oracleSql (the driver records the weaker rows-only check); the
+    // OpsSuite spec pins the signal's ordering contract instead
+    // (repetitive text must score below high-entropy text).
     Q("q59_compression_ratio",
       (s, d) => compressionScores(s, Tables.documents(s, d)),
       None),

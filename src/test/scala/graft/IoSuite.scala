@@ -359,6 +359,32 @@ class IoSuite extends SparkSuite {
     }
   }
 
+  test("events loader normalizes ts across fixture vintages (nanos-Long, NTZ, LTZ)") {
+    // the driver has regenerated the corpus with a different parquet
+    // timestamp encoding before; pin all three vintages through one loader
+    // so the next regeneration cannot silently break the events surface
+    import org.apache.spark.sql.functions.{col, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val us = Seq(0L, 1700000000000000L, 1700000000123456L)
+    val base = us.toDF("us")
+    val root = Files.createTempDirectory("graft_events_vintage")
+    def check(label: String, dfW: org.apache.spark.sql.DataFrame): Unit = {
+      val d = root.resolve(label).toString
+      dfW.write.mode("overwrite").parquet(s"$d/events.parquet")
+      val got = Tables.events(spark, d)
+      assert(got.schema("ts").dataType === TimestampType, label)
+      val vals = got.select(unix_micros(col("ts"))).as[Long].collect().sorted
+      assert(vals.toSeq === us.sorted, label)
+    }
+    // old corpus: TIMESTAMP(NANOS) under nanosAsLong arrives as epoch-nanos Long
+    check("nanos_long", base.select(($"us" * 1000).as("ts")))
+    // current corpus: TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as NTZ
+    check("ntz", base.select(
+      timestamp_micros($"us").cast(TimestampNTZType).as("ts")))
+    // an adjusted-to-UTC corpus arrives as LTZ and passes through
+    check("ltz", base.select(timestamp_micros($"us").as("ts")))
+  }
+
   test("cli index + quantify end to end on the stub fixture") {
     // the QuantifySuite stub genome laid out as chr1 (QuantifySuite.scala:31-37)
     val fa = write("genome", ">chr1\nCAATCCTTCGCCGCAGTGCA\n")
@@ -381,5 +407,11 @@ class IoSuite extends SparkSuite {
     val lines = spark.read.text(s"$out/abundances").collect().map(_.getString(0))
     assert(lines.length === 2)
     assert(lines.forall(_.contains(", ")))
+
+    // reporting parity: both commands accumulate (and print) stage timers
+    val snap = graft.util.Timers.snapshot()
+    for (stage <- Seq("loadGenome", "buildIndex", "writeIndex",
+        "countKmers", "writeAbundances"))
+      assert(snap.contains(stage), s"missing timer for $stage")
   }
 }
