@@ -780,17 +780,21 @@ object TextAnalysis {
       Some(TextAnalysisOracles.bpeTrainSql)),
 
     // Tokenizer APPLICATION + compression audit — the training loop's
-    // final frame IS the corpus tokenized under the learned merges, so
-    // applying the tokenizer falls out of q90's machinery: per document,
-    // character-token count before, BPE-token count after, and the
-    // compression ratio (the metric a tokenizer is chosen by).
+    // final frame IS every distinct word tokenized under the learned
+    // merges, so applying the tokenizer is one broadcast join of the
+    // (small, Heaps-bounded) word → token-count table back onto the
+    // word-instance stream: per document, character-token count before,
+    // BPE-token count after, and the compression ratio (the metric a
+    // tokenizer is chosen by).
     Q("q91_bpe_apply",
       (s, d) => {
         import s.implicits._
-        val (_, init, fin) = bpeLoop(s, d)
-        val before = init.groupBy($"doc_id").agg(count(lit(1)).as("n_char_tok"))
-        val after = fin.groupBy($"doc_id").agg(count(lit(1)).as("n_bpe_tok"))
-        before.join(after, "doc_id")
+        val (_, words, fin) = bpeLoop(s, d)
+        val perWord = fin.groupBy($"w").agg(count(lit(1)).as("n_tok_w"))
+        words.join(broadcast(perWord), "w")
+          .groupBy($"doc_id")
+          .agg(sum(length($"w")).cast("long").as("n_char_tok"),
+            sum($"n_tok_w").as("n_bpe_tok"))
           .withColumn("compression",
             round($"n_bpe_tok".cast("double") / $"n_char_tok", 6))
           .orderBy($"doc_id")
@@ -2126,17 +2130,34 @@ object TextAnalysis {
       |  GROUP BY b.doc_id)""".stripMargin
 
   /** The q90/q91 training loop: 6 rounds of argmax-pair + greedy merge
-    * (see q90 doc). @return (merge table, initial char-token frame, final
-    * BPE-token frame). */
+    * (see q90 doc).
+    *
+    * Trains on the DISTINCT word forms weighted by corpus multiplicity —
+    * the same reduction every production BPE trainer uses: merges are a
+    * pure function of the word string, so identical words evolve
+    * identically and the token frame need only carry one row-set per
+    * distinct word plus its occurrence count. Pair counts become
+    * Σ n_w · (pairs in w), identical to counting over the occurrence
+    * stream (the unrolled-CTE oracle keeps the full-stream formulation
+    * and hash-matches). At 100 TB the distinct-word table is
+    * Heaps-law-bounded — orders of magnitude smaller than the corpus —
+    * so each round's two window passes and pair aggregate touch a frame
+    * that no longer grows with corpus size.
+    *
+    * @return (merge table, word-instance frame (doc_id, word_id, w),
+    *         final per-distinct-word BPE token frame (w, n_w, pos, tok)) */
   private def bpeLoop(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val byWord = Window.partitionBy($"doc_id", $"word_id").orderBy($"pos")
-    val init = Tables.documents(s, d)
+    val words = Tables.documents(s, d)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("word_id", "w")))
       .filter($"word_id" < 20 && length($"w") > 0)
-      .select($"doc_id", $"word_id", posexplode(expr(
+      .select($"doc_id", $"word_id", $"w")
+      .cache() // read twice: the frequency table here, the q91 join-back
+    val byWord = Window.partitionBy($"w").orderBy($"pos")
+    val init = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
+      .select($"w", $"n_w", posexplode(expr(
         "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "tok")))
       .localCheckpoint()
@@ -2146,7 +2167,7 @@ object TextAnalysis {
       val paired = toks.withColumn("nxt", lead($"tok", 1).over(byWord))
       val best = paired.filter($"nxt".isNotNull)
         .groupBy($"tok".as("x"), $"nxt".as("y"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum($"n_w").as("c"))
         .orderBy($"c".desc, $"x", $"y").limit(1).collect()
       if (best.nonEmpty) {
         val (x, y, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -2155,24 +2176,23 @@ object TextAnalysis {
           .withColumn("rn", row_number().over(byWord))
           .withColumn("gid", $"pos" - $"rn")
         val keep = elig.withColumn("k", row_number().over(
-            Window.partitionBy($"doc_id", $"word_id", $"gid").orderBy($"pos")))
+            Window.partitionBy($"w", $"gid").orderBy($"pos")))
           .filter($"k" % 2 === 1)
-          .select($"doc_id".as("kd"), $"word_id".as("kw"), $"pos".as("mpos"))
+          .select($"w".as("kw"), $"pos".as("mpos"))
         toks = paired
-          .join(keep, $"doc_id" === $"kd" &&
-            $"word_id" === $"kw" && $"pos" === $"mpos", "left")
-          .drop("kd", "kw")
+          .join(keep, $"w" === $"kw" && $"pos" === $"mpos", "left")
+          .drop("kw")
           // drop the absorbed right half: rows whose predecessor merged
           .withColumn("dropped", lag($"mpos", 1).over(byWord).isNotNull)
           .filter(!$"dropped")
-          .select($"doc_id", $"word_id", $"pos",
+          .select($"w", $"n_w", $"pos",
             when($"mpos".isNotNull, concat($"tok", $"nxt"))
               .otherwise($"tok").as("tok"))
           .withColumn("pos", row_number().over(byWord))
           .localCheckpoint()
       }
     }
-    (merges.toSeq, init, toks)
+    (merges.toSeq, words, toks)
   }
 }
 
