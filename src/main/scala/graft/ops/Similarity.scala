@@ -997,21 +997,27 @@ object Similarity {
             round(dot($"x.embedding", $"y.embedding") /
               ($"x.nm" * $"y.nm"), 4).as("sim"))
           .cache()
-        var picked = cand.orderBy($"rel".desc, $"vec_id").limit(1)
-          .select($"vec_id", $"rel", $"rel".as("score"), lit(1).as("rank"))
+        // The greedy state is ≤ 4 picked ids — keep it on the DRIVER as
+        // literals instead of chaining each round's limit(1) subtree into
+        // the next round's plan: the chained form replans (and re-codegens)
+        // an exponentially-referenced tree in one giant job, while this
+        // form runs 5 tiny actions against the two cached 20-row frames
+        // (the corpus-sized work — candidate retrieval — ran once above).
+        val first = cand.orderBy($"rel".desc, $"vec_id").limit(1)
+          .select($"vec_id", $"rel").head()
+        var picked = Vector((1, first.getLong(0), first.getDouble(1),
+          first.getDouble(1)))
         for (t <- 2 to 5) {
-          val sel = picked.select($"vec_id".as("b"))
-          val next = cand.join(sel.select($"b".as("vec_id")), Seq("vec_id"),
-              "left_anti")
-            .join(sims.join(broadcast(sel), "b")
+          val ids = picked.map(_._2)
+          val r = cand.filter(!$"vec_id".isin(ids: _*))
+            .join(sims.filter($"b".isin(ids: _*))
               .groupBy($"a".as("vec_id")).agg(max($"sim").as("ms")), "vec_id")
             .select($"vec_id", $"rel",
               round(lit(0.7) * $"rel" - lit(0.3) * $"ms", 6).as("score"))
-            .orderBy($"score".desc, $"vec_id").limit(1)
-            .withColumn("rank", lit(t))
-          picked = picked.unionAll(next)
+            .orderBy($"score".desc, $"vec_id").limit(1).head()
+          picked = picked :+ ((t, r.getLong(0), r.getDouble(1), r.getDouble(2)))
         }
-        picked.select($"rank", $"vec_id", $"rel", $"score").orderBy($"rank")
+        picked.toDF("rank", "vec_id", "rel", "score").orderBy($"rank")
       },
       Some {
         def step(t: Int): String = {
