@@ -61,6 +61,32 @@ class StreamingSuite extends SparkSuite {
     assert(rows("2026-01-01 10:00:00.0") === 2) // the late event did not count
   }
 
+  test("durable checkpoint: restart resumes state exactly-once, new files only") {
+    val d = "/root/testdata/sf0.001"
+    val land = java.nio.file.Files.createTempDirectory("graft_restart_land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    val events = Tables.events(spark, d)
+    val b1 = events.filter($"event_id" % 2 === 0)
+    val b2 = events.filter($"event_id" % 2 === 1)
+    b1.write.mode("append").parquet(land)
+    def agg() = Tables.normalizeTs(
+        spark.readStream.schema(spark.read.parquet(land).schema).parquet(land))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("s"))
+    val (_, read1) = graft.streaming.Restart.drain(agg(), "restart_sink", ckpt)
+    assert(read1 === b1.count())
+    // more data lands; the SAME checkpoint must resume, not reprocess
+    b2.write.mode("append").parquet(land)
+    val (tbl, read2) = graft.streaming.Restart.drain(agg(), "restart_sink", ckpt)
+    assert(read2 === b2.count(), "restart must read only the newly-landed files")
+    val streamed = tbl.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = events.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch, "recovered state + new data must equal the batch answer")
+  }
+
   test("stream-stream interval join emits exactly the batch theta-join pairs") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
