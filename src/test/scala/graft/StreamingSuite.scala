@@ -61,10 +61,14 @@ class StreamingSuite extends SparkSuite {
     assert(rows("2026-01-01 10:00:00.0") === 2) // the late event did not count
   }
 
-  test("durable checkpoint: restart resumes state exactly-once, new files only") {
+  /** Two-phase arrival through [[graft.streaming.Restart]]: land half the
+    * events, drain, land the rest, drain AGAIN off the same checkpoint —
+    * asserting each drain reads exactly its phase's files and the recovered
+    * state still produces the batch answer. */
+  private def restartScenario(sinkName: String): Unit = {
     val d = "/root/testdata/sf0.001"
-    val land = java.nio.file.Files.createTempDirectory("graft_restart_land").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    val land = java.nio.file.Files.createTempDirectory(s"graft_${sinkName}_land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${sinkName}_ckpt").toString
     val events = Tables.events(spark, d)
     val b1 = events.filter($"event_id" % 2 === 0)
     val b2 = events.filter($"event_id" % 2 === 1)
@@ -73,11 +77,11 @@ class StreamingSuite extends SparkSuite {
         spark.readStream.schema(spark.read.parquet(land).schema).parquet(land))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"event_id").as("s"))
-    val (_, read1) = graft.streaming.Restart.drain(agg(), "restart_sink", ckpt)
+    val (_, read1) = graft.streaming.Restart.drain(agg(), sinkName, ckpt)
     assert(read1 === b1.count())
     // more data lands; the SAME checkpoint must resume, not reprocess
     b2.write.mode("append").parquet(land)
-    val (tbl, read2) = graft.streaming.Restart.drain(agg(), "restart_sink", ckpt)
+    val (tbl, read2) = graft.streaming.Restart.drain(agg(), sinkName, ckpt)
     assert(read2 === b2.count(), "restart must read only the newly-landed files")
     val streamed = tbl.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -85,6 +89,26 @@ class StreamingSuite extends SparkSuite {
       .agg(count(lit(1)).as("n"), sum($"event_id").as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed === batch, "recovered state + new data must equal the batch answer")
+  }
+
+  test("durable checkpoint: restart resumes state exactly-once, new files only") {
+    restartScenario("restart_sink")
+  }
+
+  test("RocksDB state store: stateful agg and checkpoint restart off-heap") {
+    // the bounded-memory state path a 100 TB stream runs on: keyed state
+    // lives in per-partition RocksDB instances (spillable, incremental
+    // snapshots) instead of the executor heap; the same exactly-once
+    // restart contract must hold on it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try restartScenario("restart_rocksdb_sink")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("stream-stream interval join emits exactly the batch theta-join pairs") {
