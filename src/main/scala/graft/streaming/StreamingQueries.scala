@@ -377,6 +377,38 @@ object StreamingQueries {
              |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 20)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Durable-checkpoint RESTART under the oracle gate — StreamingSuite
+    // pins the exactly-once mechanics (each drain reads only its phase's
+    // files, on the default and RocksDB state stores); this pins the
+    // RESULT: events land in two phases with a full query stop between
+    // them, both drains commit offsets + state to the same checkpoint,
+    // and the final complete-mode table — recovered state plus the second
+    // phase — must equal the one-shot batch aggregation. This is the
+    // deploy-restart path a perpetual 100 TB/day ingest actually runs.
+    Q("q181_stream_restart",
+      (s, d) => {
+        import s.implicits._
+        val events = graft.Tables.events(s, d)
+        val land = java.nio.file.Files
+          .createTempDirectory("graft_q181_land").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q181_ckpt").toString
+        val b1 = events.filter($"event_id" % 2 === 0)
+        val b2 = events.filter($"event_id" % 2 === 1)
+        def agg() = graft.Tables.normalizeTs(
+            s.readStream.schema(s.read.parquet(land).schema).parquet(land))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+        b1.write.mode("append").parquet(land)
+        Restart.drain(agg(), "q181_stream_restart_sink", ckpt)
+        b2.write.mode("append").parquet(land)
+        val (tbl, _) = Restart.drain(agg(), "q181_stream_restart_sink", ckpt)
+        tbl.select($"event_type", $"n", $"id_sum").orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Stateful quota enforcement — ingest-time rate limiting: each
     // (user, hour) key admits at most 1 event, the rest are rejected;
     // flatMapGroupsWithState keeps one admitted-count per key (the state
