@@ -2349,6 +2349,74 @@ object RelationalQueries {
               |FROM files JOIN dom USING (event_type)
               |GROUP BY layout, event_type ORDER BY layout, event_type""".stripMargin)),
 
+    // JSONL round trip — the interchange format LLM corpora actually ship
+    // in: write the documents table as line-delimited JSON, read it back
+    // with an EXPLICIT schema (inference at 100 TB is a full extra scan),
+    // and prove the trip lossless. The proof is an order-free content
+    // fingerprint — per-row md5 prefix of (id, lang, text), summed per
+    // source — so any field corrupted anywhere in the round trip moves a
+    // 56-bit sum the oracle computes from the original parquet. JSON
+    // string escaping may differ between writers; hashing AFTER the parse
+    // makes the check encoding-independent, which is the contract that
+    // matters.
+    Q("q182_jsonl_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q182_jsonl").toString
+        docs.write.mode("overwrite").json(dir)
+        s.read.schema(docs.schema).json(dir)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("n_chars"),
+            sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+              "':', lang, ':', text)), 1, 14), 16, 10) as bigint)")).as("fp_sum"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Schema drift across parquet vintages — the lakehouse reality of a
+    // corpus written over months by evolving jobs: an old vintage missing
+    // a column and a new vintage carrying it must still read as ONE table.
+    // The query writes the two vintages itself (even doc_ids without
+    // `lang`, odd with it, under v=1/v=2 partition dirs), reads the root
+    // with mergeSchema (footer union; the missing column nulls — at scale
+    // this is a footer-only planning cost, not a data rewrite), and rolls
+    // up per source: total rows, bytes, rows that carry the new column,
+    // and vintages seen. The oracle reproduces every number from the
+    // original table via the parity rule.
+    Q("q183_schema_drift",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q183_drift").toString
+        docs.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"source", $"n_chars")
+          .write.mode("overwrite").parquet(s"$dir/v=1")
+        docs.filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"source", $"n_chars", $"lang")
+          .write.mode("overwrite").parquet(s"$dir/v=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("n_chars"),
+            count($"lang").as("n_with_lang"),
+            countDistinct($"v").as("n_vintages"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_with_lang,
+             |  CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_vintages
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Count-min-sketch JOIN-SIZE estimation — the optimizer-side use of the
     // q149 sketch: |A ⋈ B| on a key equals the inner product of the two
     // key-frequency vectors, and the CMS estimate min_d Σ_w a_dw·b_dw
