@@ -18,6 +18,7 @@ object SparkEntry {
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.Multimodal.queries ++
+      ops.Audits.queries ++
       streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

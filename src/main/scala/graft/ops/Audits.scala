@@ -1,0 +1,310 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Production-pipeline audit operators: data-contract validation,
+  * bootstrap uncertainty for corpus metrics, leakage-proof split
+  * construction, and time-series drift detection.
+  *
+  * Shared scale discipline: every audit is either a single conditional-
+  * aggregation pass per table (map-side combine reduces each partition to
+  * one row before the shuffle), a pre-aggregated fan-out (the row
+  * multiplication happens AFTER a groupBy has collapsed the fact table to
+  * key cardinality), or an anti-join whose build side Catalyst/AQE is free
+  * to broadcast. Nothing here scans a fact table more than once per
+  * reported metric family.
+  */
+object Audits {
+
+  /** Deterministic uniform in [0,1) from md5 — 13 hex digits = 52 bits,
+    * exactly representable in a double, mirrored verbatim by DuckDB's
+    * `('0x' || substr(md5(x),1,13))::BIGINT / 2^52`. */
+  private def mdUniform(seedCol: String): Column =
+    expr(s"conv(substring(md5($seedCol), 1, 13), 16, 10)")
+      .cast("double") / lit(4503599627370496.0)
+
+  /** Inverse-CDF thresholds for Poisson(1): cumulative e^-1 / k!.
+    * Written as full-precision literals so Spark and DuckDB compare the
+    * SAME constants — both engines parse these decimal strings to
+    * identical doubles. */
+  private val poissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  private def poissonCase(u: String): String =
+    poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** EWMA weight for lag i, scaled to an EXACT integer: 0.3·0.7^i =
+    * 3·7^i/10^(i+1), so ·10^13 gives 3·7^i·10^(12−i) — an integer for
+    * every lag ≤ 12. Integer sums are order-independent, so the
+    * normalized ratio Σw·x / Σw is the division of two identical exact
+    * values in Spark and DuckDB — no summation-order ulp drift (a float
+    * formulation of this query flipped a round-to-4dp boundary). The
+    * 10^13 scale cancels in the ratio. */
+  private def ewmaW(i: Int): String =
+    (BigInt(3) * BigInt(7).pow(i) * BigInt(10).pow(12 - i)).toString
+  private val EwmaLags = 1 to 12
+
+  val queries: Seq[Q] = Seq(
+
+    // Data-contract audit: one report row per (table, check) with the
+    // violation count and the population it was measured over. The range
+    // and null checks for a table share a single scan (one conditional
+    // aggregation collapses to one row per partition before the shuffle);
+    // the two referential checks are anti-joins on the foreign key, which
+    // at 100 TB is a shuffle join on exactly the key columns (AQE
+    // broadcasts the build side when the dim fits). An audit that reports
+    // zeros is still an audit — the totals prove what was checked.
+    Q("q184_dq_audit",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val lin = Tables.lineitem(s, d)
+        val docs = Tables.documents(s, d)
+
+        def pass(df: DataFrame, table: String, checks: (String, Column)*): DataFrame = {
+          val aggs = checks.map { case (n, c) =>
+            sum(when(c, 1L).otherwise(0L)).as(n)
+          } :+ count(lit(1)).as("total")
+          val row = df.agg(aggs.head, aggs.tail: _*)
+          val stackArgs = checks
+            .map { case (n, _) => s"'$n', $n" }
+            .mkString(s"stack(${checks.size}, ", ", ", ")")
+          row.select(lit(table).as("tbl"), expr(s"$stackArgs as (chk, violations)"), $"total")
+        }
+
+        val custChecks = pass(cust, "customer",
+          "null_name" -> $"c_name".isNull,
+          "neg_acctbal_extreme" -> ($"c_acctbal" < -1000.0))
+        val ordChecks = pass(ord, "orders",
+          "nonpos_totalprice" -> ($"o_totalprice" <= 0.0),
+          "null_orderdate" -> $"o_orderdate".isNull)
+        val linChecks = pass(lin, "lineitem",
+          "range_discount" -> ($"l_discount" < 0.0 || $"l_discount" > 0.1),
+          "range_quantity" -> ($"l_quantity" < 1.0 || $"l_quantity" > 50.0),
+          "range_tax" -> ($"l_tax" < 0.0 || $"l_tax" > 0.08),
+          "null_shipdate" -> $"l_shipdate".isNull)
+        val docChecks = pass(docs, "documents",
+          "nchars_mismatch" -> ($"n_chars" =!= length($"text")),
+          "empty_text" -> (length($"text") === 0))
+
+        // PK uniqueness via distinct-count against total — no self-join.
+        // l_linenumber is 1..7, so key packing *1000 cannot collide.
+        val linPk = lin
+          .agg((count(lit(1)) - countDistinct($"l_orderkey" * 1000 + $"l_linenumber"))
+            .as("violations"), count(lit(1)).as("total"))
+          .select(lit("lineitem").as("tbl"), lit("pk_dup").as("chk"), $"violations", $"total")
+        val custPk = cust
+          .agg((count(lit(1)) - countDistinct($"c_custkey")).as("violations"),
+            count(lit(1)).as("total"))
+          .select(lit("customer").as("tbl"), lit("pk_dup").as("chk"), $"violations", $"total")
+
+        // Referential integrity: orphan FK rows via LEFT ANTI.
+        def orphans(fact: DataFrame, fk: Column, dim: DataFrame, pk: Column,
+                    table: String, chk: String) = {
+          val n = fact.join(dim, fk === pk, "left_anti")
+            .agg(count(lit(1)).as("violations"))
+          n.crossJoin(broadcast(fact.agg(count(lit(1)).as("total"))))
+            .select(lit(table).as("tbl"), lit(chk).as("chk"), $"violations", $"total")
+        }
+        val ordFk = orphans(ord, $"o_custkey", cust, $"c_custkey", "orders", "fk_custkey_orphan")
+        val linFk = orphans(lin, $"l_orderkey", ord.select($"o_orderkey"), $"o_orderkey",
+          "lineitem", "fk_orderkey_orphan")
+
+        custChecks.union(ordChecks).union(linChecks).union(docChecks)
+          .union(linPk).union(custPk).union(ordFk).union(linFk)
+          .orderBy($"tbl", $"chk")
+      },
+      Some("""WITH checks AS (
+             |  SELECT 'customer' AS tbl, 'null_name' AS chk,
+             |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS violations,
+             |    count(*) AS total FROM customer
+             |  UNION ALL SELECT 'customer', 'neg_acctbal_extreme',
+             |    sum(CASE WHEN c_acctbal < -1000.0 THEN 1 ELSE 0 END), count(*) FROM customer
+             |  UNION ALL SELECT 'orders', 'nonpos_totalprice',
+             |    sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END), count(*) FROM orders
+             |  UNION ALL SELECT 'orders', 'null_orderdate',
+             |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), count(*) FROM orders
+             |  UNION ALL SELECT 'lineitem', 'range_discount',
+             |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END), count(*) FROM lineitem
+             |  UNION ALL SELECT 'lineitem', 'range_quantity',
+             |    sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END), count(*) FROM lineitem
+             |  UNION ALL SELECT 'lineitem', 'range_tax',
+             |    sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END), count(*) FROM lineitem
+             |  UNION ALL SELECT 'lineitem', 'null_shipdate',
+             |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), count(*) FROM lineitem
+             |  UNION ALL SELECT 'documents', 'nchars_mismatch',
+             |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END), count(*) FROM documents
+             |  UNION ALL SELECT 'documents', 'empty_text',
+             |    sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), count(*) FROM documents
+             |  UNION ALL SELECT 'lineitem', 'pk_dup',
+             |    count(*) - count(DISTINCT l_orderkey * 1000 + l_linenumber), count(*) FROM lineitem
+             |  UNION ALL SELECT 'customer', 'pk_dup',
+             |    count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+             |  UNION ALL SELECT 'orders', 'fk_custkey_orphan',
+             |    (SELECT count(*) FROM orders o
+             |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             |    count(*) FROM orders
+             |  UNION ALL SELECT 'lineitem', 'fk_orderkey_orphan',
+             |    (SELECT count(*) FROM lineitem l
+             |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             |    count(*) FROM lineitem)
+             |SELECT tbl, chk, CAST(violations AS BIGINT) AS violations, total
+             |FROM checks ORDER BY tbl, chk""".stripMargin)),
+
+    // Poisson(1) bootstrap: distribution-free uncertainty for per-source
+    // corpus metrics WITHOUT resampling rows through the driver. Each doc
+    // contributes to each of 24 replicates with an i.i.d.-Poisson weight
+    // derived from a hash — the classic "Poisson bootstrap" that makes
+    // resampling embarrassingly parallel at 100 TB: the fan-out is a
+    // sequence explode whose output feeds straight into a map-side-combined
+    // aggregation, so the shuffle carries |sources| * 24 rows, not
+    // |docs| * 24. Replicate means are exact-integer ratios (weights and
+    // n_chars are integers), so both engines compute identical doubles.
+    Q("q185_bootstrap_ci",
+      (s, d) => {
+        import s.implicits._
+        val R = 24
+        val rep = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"n_chars",
+            explode(expr(s"sequence(0, ${R - 1})")).as("r"))
+          .withColumn("u_seed", concat(lit("boot:"), $"doc_id", lit(":"), $"r"))
+          .withColumn("u", mdUniform("u_seed"))
+          .withColumn("w", expr(poissonCase("u")))
+        val repMeans = rep.groupBy($"source", $"r")
+          .agg((sum($"w" * $"n_chars") / sum($"w")).as("m"))
+        val base = Tables.documents(s, d).groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 4).as("mean_chars"))
+        repMeans.groupBy($"source")
+          .agg(round(min($"m"), 4).as("boot_lo"), round(max($"m"), 4).as("boot_hi"),
+            round(stddev_samp($"m"), 4).as("boot_se"))
+          .join(base, "source")
+          .select($"source", $"n_docs", $"mean_chars", $"boot_lo", $"boot_hi", $"boot_se")
+          .orderBy($"source")
+      },
+      Some(s"""WITH rep AS (
+             |  SELECT doc_id, source, n_chars, t.r,
+             |    ('0x' || substr(md5('boot:' || doc_id || ':' || t.r), 1, 13))::BIGINT
+             |      / 4503599627370496.0 AS u
+             |  FROM documents, generate_series(0, 23) AS t(r)),
+             |w AS (SELECT source, r, n_chars, ${poissonCase("u")} AS w FROM rep),
+             |means AS (
+             |  SELECT source, r, sum(w * n_chars) / CAST(sum(w) AS DOUBLE) AS m
+             |  FROM w GROUP BY 1, 2),
+             |base AS (
+             |  SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS mean_chars
+             |  FROM documents GROUP BY 1)
+             |SELECT source, n_docs, mean_chars,
+             |  round(min(m), 4) AS boot_lo, round(max(m), 4) AS boot_hi,
+             |  round(stddev_samp(m), 4) AS boot_se
+             |FROM means JOIN base USING (source)
+             |GROUP BY source, n_docs, mean_chars
+             |ORDER BY source""".stripMargin)),
+
+    // Leakage-proof k-fold construction: near-duplicate documents MUST land
+    // in the same fold or held-out evaluation leaks training data. Fold
+    // assignment hashes the near-dup CLUSTER label (connected components
+    // over the banded-LSH pair graph), not the doc id — every member of a
+    // cluster moves as a unit; singletons hash their own id. The report is
+    // the per-fold balance audit: docs, distinct clusters, and total chars.
+    // At scale this is the same bucketed LSH + pointer-jumping CC machinery
+    // as q46 (never all-pairs), plus one md5 per cluster label.
+    Q("q186_cluster_kfold",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val comp = Dedup.connectedComponents(
+          Dedup.minhashPairs(docs).select($"a", $"b"))
+        val labeled = docs
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce($"component", $"doc_id"))
+        labeled
+          .withColumn("fold",
+            expr("conv(substring(md5(concat('fold:', cluster)), 1, 13), 16, 10)")
+              .cast("long") % 5)
+          .groupBy($"fold")
+          .agg(count(lit(1)).as("n_docs"), countDistinct($"cluster").as("n_clusters"),
+            sum($"n_chars").as("tot_chars"))
+          .orderBy($"fold")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.minhashPairsSql},
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM sym
+             |  UNION
+             |  SELECT x.id, e.dst FROM reach x JOIN sym e ON e.src = x.r),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |labeled AS (
+             |  SELECT d.doc_id, d.n_chars,
+             |    coalesce(c.component, d.doc_id) AS cluster
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+             |folded AS (
+             |  SELECT n_chars, cluster,
+             |    ('0x' || substr(md5('fold:' || cluster), 1, 13))::BIGINT % 5 AS fold
+             |  FROM labeled)
+             |SELECT fold, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters,
+             |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+             |FROM folded GROUP BY fold ORDER BY fold""".stripMargin)),
+
+    // EWMA drift detector over the hourly event-volume series. The fact
+    // table collapses to (event_type, hour) counts FIRST; only then does
+    // each observation fan out to the 12 future hours whose EWMA it feeds
+    // (weight 0.3 * 0.7^lag as an exact scaled INTEGER — see ewmaW — so
+    // the weighted sums are order-independent in both engines). The
+    // smoothed baseline excludes the
+    // current hour, so drift_ratio = observed / EWMA(prior 12h) flags
+    // bursts. Fan-out ×12 on the AGGREGATED series is O(|types|·|hours|),
+    // independent of event volume — the 100 TB cost is one groupBy scan.
+    Q("q187_ewma_drift",
+      (s, d) => {
+        import s.implicits._
+        val hourly = Tables.events(s, d)
+          .select($"event_type", (expr("unix_micros(ts)") / lit(3600000000L))
+            .cast("long").as("hr"))
+          .groupBy($"event_type", $"hr").agg(count(lit(1)).as("cnt"))
+        val wCase = EwmaLags.map(i => s"WHEN $i THEN ${ewmaW(i)}")
+          .mkString("CASE lg ", " ", " ELSE 0 END")
+        val contrib = hourly
+          .select($"event_type", $"hr", $"cnt",
+            explode(expr(s"sequence(1, ${EwmaLags.last})")).as("lg"))
+          .select($"event_type", ($"hr" + $"lg").as("hr"),
+            (expr(wCase) * $"cnt").as("wc"), expr(wCase).as("w"))
+          .groupBy($"event_type", $"hr")
+          .agg((sum($"wc") / sum($"w")).as("ewma"))
+        hourly.join(contrib, Seq("event_type", "hr"))
+          .select($"event_type", $"hr", $"cnt",
+            round($"ewma", 4).as("ewma"),
+            round($"cnt" / $"ewma", 4).as("drift_ratio"))
+          .orderBy($"drift_ratio".desc, $"event_type", $"hr")
+          .limit(20)
+      },
+      Some {
+        val wCase = EwmaLags.map(i => s"WHEN $i THEN ${ewmaW(i)}")
+          .mkString("CASE t.lag ", " ", " ELSE 0 END")
+        s"""WITH hourly AS (
+           |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+           |    count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |contrib AS (
+           |  SELECT event_type, hr + t.lag AS hr,
+           |    ($wCase) * cnt AS wc, ($wCase) AS w
+           |  FROM hourly, generate_series(1, ${EwmaLags.last}) AS t(lag)),
+           |ewma AS (
+           |  SELECT event_type, hr,
+           |    CAST(sum(wc) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS ewma
+           |  FROM contrib GROUP BY 1, 2)
+           |SELECT h.event_type, h.hr, h.cnt,
+           |  round(e.ewma, 4) AS ewma, round(h.cnt / e.ewma, 4) AS drift_ratio
+           |FROM hourly h JOIN ewma e USING (event_type, hr)
+           |ORDER BY drift_ratio DESC, event_type, hr
+           |LIMIT 20""".stripMargin
+      })
+  )
+}

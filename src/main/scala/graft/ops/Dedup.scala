@@ -96,7 +96,7 @@ object Dedup {
 
   /** The q41/q46 pair retrieval as shared oracle WITH-blocks ending in
     * `pairs(a, b, est_j)` — the SQL mirror of [[minhashPairs]]. */
-  private def minhashPairsSql: String = {
+  private[ops] def minhashPairsSql: String = {
     val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
     val bandCases = (0 until 8)
       .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
