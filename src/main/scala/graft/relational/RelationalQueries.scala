@@ -2485,7 +2485,102 @@ object RelationalQueries {
              |SELECT exact, cms_est,
              |  round((cms_est - exact) / CAST(exact AS DOUBLE), 4) AS rel_overshoot,
              |  round((na * nb) / (512 * CAST(exact AS DOUBLE)), 4) AS theo_slack
-             |FROM est, ex, sz""".stripMargin))
+             |FROM est, ex, sz""".stripMargin)),
+
+    // Ordered-sequence pattern matching (the MATCH_RECOGNIZE shape Spark
+    // lacks natively): find view→click→purchase runs per user where EACH
+    // consecutive step lands within one hour of the previous. Two lead()
+    // columns over one (user_id, ts)-sorted window turn the pattern into a
+    // per-row predicate — one shuffle on user_id, no self-joins, and the
+    // window frame is O(1) per row regardless of per-user event counts.
+    // Ties in ts order deterministically by event_id on both engines.
+    Q("q188_event_pattern",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val seq3 = Tables.events(s, d)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", $"event_id", $"event_type",
+            expr("unix_micros(ts)").as("us"))
+          .select($"user_id", $"event_type", $"us",
+            lead($"event_type", 1).over(w).as("t2"),
+            lead($"us", 1).over(w).as("us2"),
+            lead($"event_type", 2).over(w).as("t3"),
+            lead($"us", 2).over(w).as("us3"))
+        val matches = seq3.filter(
+          $"event_type" === "view" && $"t2" === "click" && $"t3" === "purchase" &&
+            $"us2" - $"us" <= 3600000000L && $"us3" - $"us2" <= 3600000000L)
+        matches.agg(
+          count(lit(1)).as("n_matches"),
+          countDistinct($"user_id").as("n_users"),
+          coalesce(round(avg(($"us3" - $"us") / lit(1000000.0)), 4), lit(-1.0))
+            .as("avg_span_s"))
+      },
+      Some("""WITH seq3 AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us,
+             |    lead(event_type, 1) OVER w AS t2, lead(epoch_us(ts), 1) OVER w AS us2,
+             |    lead(event_type, 2) OVER w AS t3, lead(epoch_us(ts), 2) OVER w AS us3
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |m AS (
+             |  SELECT * FROM seq3
+             |  WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+             |    AND us2 - us <= 3600000000 AND us3 - us2 <= 3600000000)
+             |SELECT count(*) AS n_matches,
+             |  count(DISTINCT user_id) AS n_users,
+             |  coalesce(round(avg((us3 - us) / 1000000.0), 4), -1.0) AS avg_span_s
+             |FROM m""".stripMargin)),
+
+    // CSV round trip — the ingest-format gate for delimited corpora: write
+    // the documents table as headered CSV, read it back under the declared
+    // schema, and prove losslessness by matching a per-source content
+    // fingerprint (md5 over id:lang:text) computed by the oracle on the
+    // ORIGINAL parquet. Quoting/escaping defaults must survive arbitrary
+    // text bytes for the sums to agree.
+    Q("q189_csv_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q189_csv").toString
+        docs.write.mode("overwrite").option("header", "true").csv(dir)
+        s.read.schema(docs.schema).option("header", "true").csv(dir)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("n_chars"),
+            sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+              "':', lang, ':', text)), 1, 14), 16, 10) as bigint)")).as("fp_sum"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ORC round trip — same losslessness gate through the columnar ORC
+    // codec (schema + stats preserved, splittable at scale like parquet).
+    Q("q190_orc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_q190_orc").toString
+        docs.write.mode("overwrite").orc(dir)
+        s.read.schema(docs.schema).orc(dir)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("n_chars"),
+            sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+              "':', lang, ':', text)), 1, 14), 16, 10) as bigint)")).as("fp_sum"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
