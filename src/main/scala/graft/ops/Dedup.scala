@@ -1597,6 +1597,54 @@ object Dedup {
              |ta AS (SELECT 'authority' AS role, CAST(c AS BIGINT) AS node_id, a AS score
              |       FROM a2 ORDER BY a DESC, c LIMIT 15)
              |SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
-             |ORDER BY role, score DESC, node_id""".stripMargin))
+             |ORDER BY role, score DESC, node_id""".stripMargin)),
+
+    // Sorted-neighborhood record linkage — the second classic blocking
+    // family for edit-distance matching. q104's (lang, first-token) hash
+    // blocks are blind to edits in the FIRST token; sorting the records
+    // brings lexically adjacent variants together no matter which token
+    // diverges later, and each record is compared only with its next two
+    // neighbors in sort order (lead() over a per-language window). One
+    // window shuffle on lang, O(w) comparisons per record, never
+    // all-pairs; string sort order is plain codepoint order in both
+    // engines for this ASCII corpus. A production SNM would sub-salt
+    // oversized languages and overlap the partition boundaries.
+    Q("q191_snm_linkage",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"p", $"doc_id")
+        val led = Tables.documents(s, d)
+          .select($"doc_id", $"lang", substring($"text", 1, 40).as("p"))
+          .select($"doc_id", $"lang", $"p",
+            lead($"doc_id", 1).over(w).as("id1"), lead($"p", 1).over(w).as("p1"),
+            lead($"doc_id", 2).over(w).as("id2"), lead($"p", 2).over(w).as("p2"))
+        val cand = led.filter($"id1".isNotNull)
+          .select($"doc_id".as("id_a"), $"id1".as("id_b"), $"p".as("pa"), $"p1".as("pb"))
+          .union(led.filter($"id2".isNotNull)
+            .select($"doc_id".as("id_a"), $"id2".as("id_b"), $"p".as("pa"), $"p2".as("pb")))
+        cand
+          .select(least($"id_a", $"id_b").as("id_lo"),
+            greatest($"id_a", $"id_b").as("id_hi"),
+            levenshtein($"pa", $"pb").cast("long").as("lev"))
+          .filter($"lev" <= 12)
+          .orderBy($"id_lo", $"id_hi")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, substr(text, 1, 40) AS p FROM documents),
+             |led AS (
+             |  SELECT doc_id, lang, p,
+             |    lead(doc_id, 1) OVER w AS id1, lead(p, 1) OVER w AS p1,
+             |    lead(doc_id, 2) OVER w AS id2, lead(p, 2) OVER w AS p2
+             |  FROM base WINDOW w AS (PARTITION BY lang ORDER BY p, doc_id)),
+             |cand AS (
+             |  SELECT doc_id AS id_a, id1 AS id_b, p AS pa, p1 AS pb
+             |  FROM led WHERE id1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id, id2, p, p2 FROM led WHERE id2 IS NOT NULL)
+             |SELECT least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi,
+             |  CAST(levenshtein(pa, pb) AS BIGINT) AS lev
+             |FROM cand WHERE levenshtein(pa, pb) <= 12
+             |ORDER BY id_lo, id_hi""".stripMargin))
   )
 }

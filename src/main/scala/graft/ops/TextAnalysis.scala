@@ -2080,7 +2080,97 @@ object TextAnalysis {
              |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
              |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
              |  CAST(sum(len(raw) - len(clean)) AS BIGINT) AS removed_chars
-             |FROM hits2 GROUP BY source ORDER BY source""".stripMargin))
+             |FROM hits2 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Multinomial Naive Bayes, trained AND scored inside the engine — the
+    // distributed-ML shape without MLlib: every model parameter is a
+    // relational aggregate, so training is two groupBys over the even-id
+    // half of the corpus (per-class word counts + totals) and inference is
+    // one broadcast join of the |vocab|×|classes| log-likelihood matrix
+    // (tiny — it's model state, not data) against per-doc word counts of
+    // the odd-id half, summed per (doc, class). Laplace-smoothed,
+    // OOV-ignoring (test words outside the train vocab drop on the inner
+    // join — mirrored in the oracle). argmax = row_number over the
+    // 4dp-rounded score with class-name tiebreak, deterministic in both
+    // engines. The report is the per-class confusion summary.
+    Q("q193_naive_bayes",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+          .filter(length($"w") > 0)
+        val train = toks.filter($"doc_id" % 2 === 0)
+        val test = toks.filter($"doc_id" % 2 === 1)
+        val cw = train.groupBy($"source".as("cls"), $"w").agg(count(lit(1)).as("cnt"))
+        val ct = train.groupBy($"source".as("cls")).agg(count(lit(1)).as("tot"))
+        val vocab = train.select($"w").distinct()
+        val v = vocab.agg(count(lit(1)).as("v"))
+        val trainDocs = Tables.documents(s, d).filter($"doc_id" % 2 === 0)
+        val prior = trainDocs.groupBy($"source".as("cls")).agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("nd_all"))))
+          .select($"cls", log($"nd" / $"nd_all").as("lp"))
+        val matrix = vocab.crossJoin(ct)
+          .join(cw, Seq("cls", "w"), "left")
+          .crossJoin(broadcast(v))
+          .select($"cls", $"w",
+            log((coalesce($"cnt", lit(0L)) + lit(1L)) / ($"tot" + $"v")).as("lw"))
+        val dw = test.groupBy($"doc_id", $"source", $"w").agg(count(lit(1)).as("n"))
+        val scored = dw.join(broadcast(matrix), Seq("w"))
+          .groupBy($"doc_id", $"source", $"cls").agg(sum($"n" * $"lw").as("ll"))
+          .join(broadcast(prior), "cls")
+          .select($"doc_id", $"source", $"cls", round($"ll" + $"lp", 4).as("score"))
+        val rnW = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"cls")
+        val pred = scored
+          .withColumn("rn", row_number().over(rnW)).filter($"rn" === 1)
+          .select($"doc_id", $"source", $"cls".as("predicted"))
+        pred.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"predicted" === $"source", 1L).otherwise(0L)).as("n_correct"))
+          .select($"source", $"n_docs", $"n_correct",
+            round($"n_correct" / $"n_docs", 4).as("accuracy"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, w FROM (
+             |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0),
+             |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+             |test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+             |cw AS (SELECT source AS cls, w, count(*) AS cnt FROM train GROUP BY 1, 2),
+             |ct AS (SELECT source AS cls, count(*) AS tot FROM train GROUP BY 1),
+             |vocab AS (SELECT DISTINCT w FROM train),
+             |v AS (SELECT count(*) AS v FROM vocab),
+             |prior AS (
+             |  SELECT source AS cls,
+             |    ln(count(*) / CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+             |      AS DOUBLE)) AS lp
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |matrix AS (
+             |  SELECT ct.cls, vocab.w,
+             |    ln((coalesce(cw.cnt, 0) + 1) / CAST(ct.tot + v.v AS DOUBLE)) AS lw
+             |  FROM vocab CROSS JOIN ct CROSS JOIN v
+             |  LEFT JOIN cw ON cw.cls = ct.cls AND cw.w = vocab.w),
+             |dw AS (SELECT doc_id, source, w, count(*) AS n FROM test GROUP BY 1, 2, 3),
+             |ll AS (
+             |  SELECT dw.doc_id, dw.source, m.cls, sum(dw.n * m.lw) AS ll
+             |  FROM dw JOIN matrix m USING (w) GROUP BY 1, 2, 3),
+             |scored AS (
+             |  SELECT l.doc_id, l.source, l.cls, round(l.ll + p.lp, 4) AS score
+             |  FROM ll l JOIN prior p USING (cls)),
+             |pred AS (
+             |  SELECT doc_id, source, cls AS predicted FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+             |    FROM scored)
+             |  WHERE rn = 1)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN predicted = source THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  round(sum(CASE WHEN predicted = source THEN 1 ELSE 0 END)
+             |    / CAST(count(*) AS DOUBLE), 4) AS accuracy
+             |FROM pred GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and

@@ -2580,7 +2580,49 @@ object RelationalQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
              |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
              |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // l-diversity — k-anonymity's complement: a quasi-identifier class can
+    // be large (k-safe, q171) and still leak when every member shares one
+    // sensitive value. Sensitive attribute = the order priorities reached
+    // through the customer⋈orders join; classes are q171's
+    // (nation, segment, balance-band). Two nested aggregations: distinct
+    // sensitive values per class, then the histogram of class diversity l
+    // with the l=1 classes flagged. The join shuffles on the customer key
+    // once; everything after runs on class cardinality.
+    Q("q192_l_diversity",
+      (s, d) => {
+        import s.implicits._
+        val qi = Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+            expr("cast(floor(c_acctbal / 2000) as bigint)").as("bal_band"))
+        val joined = Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderpriority")
+          .join(qi, $"o_custkey" === $"c_custkey")
+        val classes = joined
+          .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+          .agg(countDistinct($"o_orderpriority").as("l"),
+            countDistinct($"c_custkey").as("k"),
+            count(lit(1)).as("n_orders"))
+        classes.groupBy($"l")
+          .agg(count(lit(1)).as("n_classes"), sum($"k").as("n_customers"),
+            sum($"n_orders").as("n_orders"))
+          .withColumn("at_risk", $"l" < 2)
+          .orderBy($"l")
+      },
+      Some("""WITH classes AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             |    count(DISTINCT o_orderpriority) AS l,
+             |    count(DISTINCT c_custkey) AS k,
+             |    count(*) AS n_orders
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2, 3)
+             |SELECT l, count(*) AS n_classes,
+             |  CAST(sum(k) AS BIGINT) AS n_customers,
+             |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+             |  l < 2 AS at_risk
+             |FROM classes GROUP BY l ORDER BY l""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
