@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.Multimodal.queries ++
       ops.Audits.queries ++
+      ops.Metrics.queries ++
       streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

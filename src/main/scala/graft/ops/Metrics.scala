@@ -1,0 +1,365 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Model-evaluation and governance metrics for a training-data pipeline:
+  * ranking quality (AUC, NDCG), probability calibration, distributional
+  * privacy (t-closeness), consistent sampling, and phrase retrieval.
+  *
+  * Shared scale discipline: every metric aggregates the fact table to a
+  * bounded summary FIRST (a score histogram, a per-bin contingency table,
+  * a per-group k-entry state) and only then runs the windowed/quadratic
+  * part on that summary — the 100 TB cost is always one scan plus a
+  * histogram-sized epilogue, never a global per-row sort.
+  */
+object Metrics {
+
+  /** 52-bit md5 uniform hash as a BIGINT — deterministic, engine-portable
+    * (DuckDB mirror: `('0x' || substr(md5(x),1,13))::BIGINT`). */
+  private def mdLong(seedSql: String): String =
+    s"cast(conv(substring(md5($seedSql), 1, 13), 16, 10) as bigint)"
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact ROC AUC of a quality predictor (doc length) for a binary
+    // label (lang = 'en'), via the tie-corrected Mann–Whitney rank-sum —
+    // WITHOUT ranking individual rows. The corpus collapses to a score
+    // histogram (one groupBy scan; at 100 TB the histogram is |distinct
+    // scores|, and an unbounded score domain would be bucketed first),
+    // then a running sum over the ORDERED HISTOGRAM supplies the
+    // below-score negative mass: 2·U = Σ_s pos_s·(2·cumneg_<s + neg_s).
+    // All terms are exact integers, so both engines divide the same
+    // numerator — no summation-order drift inside the rounded value.
+    Q("q194_auc",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.documents(s, d)
+          .select($"n_chars".as("score"),
+            when($"lang" === "en", 1L).otherwise(0L).as("y"))
+          .groupBy($"score")
+          .agg(sum($"y").as("pos"), (count(lit(1)) - sum($"y")).as("neg"))
+        val w = Window.orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("cumneg", coalesce(sum($"neg").over(w), lit(0L)))
+          .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+            sum($"pos" * ($"cumneg" * 2 + $"neg")).as("u2"))
+          .select($"n_pos", $"n_neg",
+            round($"u2" / ($"n_pos" * $"n_neg" * 2.0), 6).as("auc"))
+      },
+      Some("""WITH lab AS (
+             |  SELECT n_chars AS score,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |hist AS (
+             |  SELECT score, sum(y) AS pos, count(*) - sum(y) AS neg
+             |  FROM lab GROUP BY 1),
+             |cum AS (
+             |  SELECT pos, neg,
+             |    coalesce(sum(neg) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+             |  FROM hist)
+             |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             |  CAST(sum(neg) AS BIGINT) AS n_neg,
+             |  round(sum(pos * (2 * cumneg + neg))
+             |    / (sum(pos) * sum(neg) * 2.0), 6) AS auc
+             |FROM cum""".stripMargin)),
+
+    // t-closeness — the distributional upgrade of k-anonymity (q171) /
+    // l-diversity (q192): for each quasi-identifier group, the total
+    // variation distance between its sensitive-attribute distribution
+    // (account-balance band) and the global one. TVD is computed on
+    // EXACT integer cross products — |n_gb·N − n_b·n_g| — summed before
+    // the single division, so the 6-dp rounding sees bit-identical
+    // doubles in both engines. Cost at 100 TB: one (group, band) count
+    // scan; the TVD epilogue is |groups|·|bands|.
+    Q("q195_t_closeness",
+      (s, d) => {
+        import s.implicits._
+        val bands = Tables.customer(s, d)
+          .select($"c_mktsegment".as("seg"),
+            floor($"c_acctbal" / 2000.0).cast("long").as("band"))
+        val gb = bands.groupBy($"seg", $"band").agg(count(lit(1)).as("n_gb"))
+        val g = bands.groupBy($"seg").agg(count(lit(1)).as("n_g"))
+        val b = bands.groupBy($"band").agg(count(lit(1)).as("n_b"))
+        val n = bands.agg(count(lit(1)).as("n_all"))
+        g.crossJoin(broadcast(b))
+          .join(gb, Seq("seg", "band"), "left")
+          .crossJoin(broadcast(n))
+          .select($"seg", $"n_g", $"n_all",
+            abs(coalesce($"n_gb", lit(0L)) * $"n_all" - $"n_b" * $"n_g").as("num"))
+          .groupBy($"seg", $"n_g", $"n_all")
+          .agg(sum($"num").as("num_sum"))
+          .select($"seg", $"n_g".as("group_size"),
+            round($"num_sum" / ($"n_g" * $"n_all" * 2.0), 6).as("t"))
+          .orderBy($"seg")
+      },
+      Some("""WITH bands AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+             |  FROM customer),
+             |gb AS (SELECT seg, band, count(*) AS n_gb FROM bands GROUP BY 1, 2),
+             |g AS (SELECT seg, count(*) AS n_g FROM bands GROUP BY 1),
+             |b AS (SELECT band, count(*) AS n_b FROM bands GROUP BY 1),
+             |n AS (SELECT count(*) AS n_all FROM bands),
+             |tv AS (
+             |  SELECT g.seg, g.n_g, n.n_all,
+             |    abs(coalesce(gb.n_gb, 0) * n.n_all - b.n_b * g.n_g) AS num
+             |  FROM g CROSS JOIN b CROSS JOIN n
+             |  LEFT JOIN gb ON gb.seg = g.seg AND gb.band = b.band)
+             |SELECT seg, n_g AS group_size,
+             |  round(sum(num) / (n_g * n_all * 2.0), 6) AS t
+             |FROM tv GROUP BY seg, n_g, n_all ORDER BY seg""".stripMargin)),
+
+    // Consistent per-group sampling with BOUNDED state: the k docs per
+    // language with the smallest md5 hash — the reproducible "same docs
+    // every run, every engine" sample a curation pipeline pins its eval
+    // sets with. Uses the TopKAggregator UDAF (score = negated hash), so
+    // the shuffle carries at most k entries per (partition, language)
+    // instead of sorting the corpus inside 5 giant hash partitions — the
+    // window formulation the oracle uses IS the expensive shape this
+    // replaces.
+    Q("q196_group_sample",
+      (s, d) => {
+        import s.implicits._
+        val top8 = udaf(new graft.functions.TopKAggregator(8))
+        Tables.documents(s, d)
+          .select($"lang",
+            (-expr(mdLong("concat('smp:', doc_id)"))).as("score"), $"doc_id")
+          .groupBy($"lang")
+          .agg(top8($"score", $"doc_id").as("top"))
+          .select($"lang", posexplode(arrays_zip($"top.scores", $"top.ids")))
+          .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+            $"col.ids".as("doc_id"), (-$"col.scores").as("h"))
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, doc_id,
+             |    ('0x' || substr(md5('smp:' || doc_id), 1, 13))::BIGINT AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id, h,
+             |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+             |  FROM h)
+             |SELECT lang, rank, doc_id, h
+             |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin)),
+
+    // Positional phrase search — exact "fast table" retrieval through an
+    // inverted POSITIONAL index, the retrieval shape RAG/eval tooling
+    // runs over a corpus: tokenize once to (doc, pos, term), keep only
+    // the two query terms' posting lists (predicate pushdown prunes the
+    // token stream before any shuffle), and equi-join them on
+    // (doc, pos+1). At 100 TB the join touches two posting lists, not
+    // the corpus — never a scan-squared.
+    Q("q197_phrase_search",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+        val first = toks.filter($"w" === "fast").select($"doc_id", $"pos")
+        val second = toks.filter($"w" === "table")
+          .select($"doc_id", ($"pos" - 1).as("pos"))
+        first.join(second, Seq("doc_id", "pos"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+          .join(Tables.documents(s, d).select($"doc_id", $"lang", $"source"), "doc_id")
+          .select($"doc_id", $"lang", $"source", $"n_hits")
+          .orderBy($"n_hits".desc, $"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |hits AS (
+             |  SELECT a.doc_id, count(*) AS n_hits
+             |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |  WHERE a.w = 'fast' AND b.w = 'table'
+             |  GROUP BY 1)
+             |SELECT h.doc_id, d.lang, d.source, h.n_hits
+             |FROM hits h JOIN documents d USING (doc_id)
+             |ORDER BY n_hits DESC, doc_id""".stripMargin)),
+
+    // Label-centroid similarity matrix — the corpus-level "which classes
+    // overlap in embedding space" map that guides cluster merging and
+    // hard-negative mining. The 100 TB reduction is one partial-agg mean
+    // per (label, dim); the pairwise part runs on |labels|² centroid
+    // rows. Centroid components are rounded to 6 dp BEFORE the pairwise
+    // dot so partial-sum order cannot leak into the compared value.
+    Q("q198_centroid_sim",
+      (s, d) => {
+        import s.implicits._
+        val cent = Tables.embeddings(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("i", "v")))
+          .groupBy($"label", $"i")
+          .agg(round(avg($"v".cast("double")), 6).as("c"))
+        val nrm = cent.groupBy($"label")
+          .agg(sqrt(sum($"c" * $"c")).as("nrm"))
+        val a = cent.select($"label".as("la"), $"i", $"c".as("ca"))
+        val b = cent.select($"label".as("lb"), $"i", $"c".as("cb"))
+        a.join(b, "i").filter($"la" < $"lb")
+          .groupBy($"la", $"lb").agg(sum($"ca" * $"cb").as("dot"))
+          .join(nrm.select($"label".as("la"), $"nrm".as("na")), "la")
+          .join(nrm.select($"label".as("lb"), $"nrm".as("nb")), "lb")
+          .select($"la", $"lb", round($"dot" / ($"na" * $"nb"), 4).as("cosine"))
+          .orderBy($"la", $"lb")
+      },
+      Some("""WITH e AS (
+             |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, i, round(avg(v), 6) AS c FROM e GROUP BY 1, 2),
+             |nrm AS (SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY 1),
+             |dots AS (
+             |  SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot
+             |  FROM cent a JOIN cent b USING (i) WHERE a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT la, lb, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+             |FROM dots JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
+             |ORDER BY la, lb""".stripMargin)),
+
+    // Calibration audit (reliability diagram) of a histogram classifier:
+    // train on even doc_ids the per-length-band empirical P(lang='en'),
+    // evaluate on odd doc_ids — per band: predicted vs observed rate and
+    // the gap. Every reported value is a ratio of exact integer counts
+    // (then a subtraction of two already-rounded doubles), so no
+    // summation-order sensitivity anywhere. One conditional-aggregation
+    // scan per split at any scale.
+    Q("q199_calibration",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", least(lit(7L), ($"n_chars" / 64).cast("long")).as("band"),
+            when($"lang" === "en", 1L).otherwise(0L).as("y"))
+        val train = docs.filter($"doc_id" % 2 === 0)
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_train"), sum($"y").as("pos_train"))
+        val test = docs.filter($"doc_id" % 2 === 1)
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_test"), sum($"y").as("pos_test"))
+        train.join(test, Seq("band"))
+          .select($"band", $"n_train", $"n_test",
+            round($"pos_train" / $"n_train".cast("double"), 6).as("pred_p"),
+            round($"pos_test" / $"n_test".cast("double"), 6).as("obs_p"))
+          .withColumn("gap", round($"pred_p" - $"obs_p", 6))
+          .orderBy($"band")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, least(7, n_chars // 64) AS band,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |train AS (
+             |  SELECT band, count(*) AS n_train, sum(y) AS pos_train
+             |  FROM docs WHERE doc_id % 2 = 0 GROUP BY 1),
+             |test AS (
+             |  SELECT band, count(*) AS n_test, sum(y) AS pos_test
+             |  FROM docs WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (
+             |  SELECT band, n_train, n_test,
+             |    round(pos_train / CAST(n_train AS DOUBLE), 6) AS pred_p,
+             |    round(pos_test / CAST(n_test AS DOUBLE), 6) AS obs_p
+             |  FROM train JOIN test USING (band))
+             |SELECT band, n_train, n_test, pred_p, obs_p,
+             |  round(pred_p - obs_p, 6) AS gap
+             |FROM j ORDER BY band""".stripMargin)),
+
+    // NDCG@5 ranking fidelity of int8 quantization (q52's absmax codes):
+    // does the compressed form a 100 TB serving tier actually stores
+    // preserve the float ranking? Per query-panel vector: rank neighbors
+    // by QUANTIZED cosine, score each position by the EXACT cosine's
+    // graded gain ((c+1)/2 ∈ [0,1]), discount by 1/log2(rank+1), and
+    // normalize by the ideal (exact-ranking) DCG. Both rankings come
+    // from the same one-pass dot products against the broadcast 8-query
+    // panel — the quadratic part is |panel|·|corpus|, never corpus².
+    Q("q200_quantized_ndcg",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val coded = e.select($"vec_id", $"embedding",
+          expr("""transform(embedding, x ->
+                 |  cast(floor(cast(x as double) * 127 /
+                 |    greatest(aggregate(embedding, cast(0.0 as double),
+                 |      (a, v) -> greatest(a, abs(cast(v as double)))), 1e-30d)
+                 |    + 0.5) as bigint))""".stripMargin).as("codes"))
+          .withColumn("fn", Similarity.norm($"embedding"))
+          .withColumn("qn", sqrt(expr(
+            "aggregate(codes, 0L, (a, x) -> a + x * x)").cast("double")))
+          .cache()
+        val q = coded.filter($"vec_id" < 8)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"), $"codes".as("qc"),
+            $"fn".as("qfn"), $"qn".as("qqn"))
+        val pairs = coded
+          .select($"vec_id".as("did"), $"embedding".as("de"), $"codes".as("dc"),
+            $"fn".as("dfn"), $"qn".as("dqn"))
+          .crossJoin(broadcast(q))
+          .filter($"did" =!= $"qid")
+          .select($"qid", $"did",
+            round(Similarity.dot($"qe", $"de") / ($"qfn" * $"dfn"), 4).as("c"),
+            round(expr("aggregate(zip_with(qc, dc, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+              .cast("double") / ($"qqn" * $"dqn"), 4).as("cq"))
+        val exactW = Window.partitionBy($"qid").orderBy($"c".desc, $"did")
+        val quantW = Window.partitionBy($"qid").orderBy($"cq".desc, $"did")
+        val ranked = pairs
+          .withColumn("er", row_number().over(exactW))
+          .withColumn("qr", row_number().over(quantW))
+          .withColumn("gain", ($"c" + 1.0) / 2.0)
+        val dcg = ranked.filter($"qr" <= 5)
+          .groupBy($"qid")
+          .agg(sum($"gain" / log2($"qr" + 1.0)).as("dcg"))
+        val idcg = ranked.filter($"er" <= 5)
+          .groupBy($"qid")
+          .agg(sum($"gain" / log2($"er" + 1.0)).as("idcg"))
+        dcg.join(idcg, "qid")
+          .select($"qid", round($"dcg", 4).as("dcg"), round($"idcg", 4).as("idcg"),
+            round($"dcg" / $"idcg", 4).as("ndcg"))
+          .orderBy($"qid")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |scl AS (SELECT vec_id, greatest(max(abs(v)), 1e-30) AS scale
+             |        FROM e GROUP BY 1),
+             |codes AS (
+             |  SELECT e.vec_id, e.i,
+             |    CAST(floor(e.v * 127 / s.scale + 0.5) AS BIGINT) AS cd
+             |  FROM e JOIN scl s USING (vec_id)),
+             |fn AS (SELECT vec_id, sqrt(sum(v * v)) AS fn FROM e GROUP BY 1),
+             |qn AS (SELECT vec_id, sqrt(CAST(sum(cd * cd) AS DOUBLE)) AS qn
+             |       FROM codes GROUP BY 1),
+             |fdots AS (
+             |  SELECT q.vec_id AS qid, x.vec_id AS did, sum(q.v * x.v) AS dot
+             |  FROM e q JOIN e x USING (i)
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id GROUP BY 1, 2),
+             |qdots AS (
+             |  SELECT q.vec_id AS qid, x.vec_id AS did,
+             |    CAST(sum(q.cd * x.cd) AS DOUBLE) AS qdot
+             |  FROM codes q JOIN codes x USING (i)
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT f.qid, f.did,
+             |    round(f.dot / (fq.fn * fd.fn), 4) AS c,
+             |    round(qd.qdot / (nq.qn * nd.qn), 4) AS cq
+             |  FROM fdots f
+             |  JOIN qdots qd ON qd.qid = f.qid AND qd.did = f.did
+             |  JOIN fn fq ON fq.vec_id = f.qid JOIN fn fd ON fd.vec_id = f.did
+             |  JOIN qn nq ON nq.vec_id = f.qid JOIN qn nd ON nd.vec_id = f.did),
+             |ranked AS (
+             |  SELECT qid, did, c, cq,
+             |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, did) AS er,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cq DESC, did) AS qr,
+             |    (c + 1.0) / 2.0 AS gain
+             |  FROM pairs),
+             |dcg AS (
+             |  SELECT qid, sum(gain / log2(qr + 1.0)) AS dcg
+             |  FROM ranked WHERE qr <= 5 GROUP BY 1),
+             |idcg AS (
+             |  SELECT qid, sum(gain / log2(er + 1.0)) AS idcg
+             |  FROM ranked WHERE er <= 5 GROUP BY 1)
+             |SELECT qid, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
+             |  round(dcg / idcg, 4) AS ndcg
+             |FROM dcg JOIN idcg USING (qid) ORDER BY qid""".stripMargin))
+  )
+}
