@@ -13,7 +13,11 @@ object Plans {
     val out = args.lift(1).getOrElse("/tmp/plans.txt")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val sb = new StringBuilder
-    for (q <- SparkEntry.allQueries if q.name != "q70_stream_hourly") {
+    // same local-iteration filter as Verify: SPARK_GRAFT_ONLY=q194,q200
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    for (q <- SparkEntry.allQueries
+         if q.name != "q70_stream_hourly" && keep(q.name)) {
       sb.append(s"\n========== ${q.name} ==========\n")
       try {
         val df = q.fn(spark, sfDir)

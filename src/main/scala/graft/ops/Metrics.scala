@@ -305,13 +305,12 @@ object Metrics {
           .withColumn("er", row_number().over(exactW))
           .withColumn("qr", row_number().over(quantW))
           .withColumn("gain", ($"c" + 1.0) / 2.0)
-        val dcg = ranked.filter($"qr" <= 5)
+        // both discounted sums in ONE grouped pass (conditional agg) —
+        // a dcg⋈idcg self-join would recompute the whole ranked subtree
+        ranked
           .groupBy($"qid")
-          .agg(sum($"gain" / log2($"qr" + 1.0)).as("dcg"))
-        val idcg = ranked.filter($"er" <= 5)
-          .groupBy($"qid")
-          .agg(sum($"gain" / log2($"er" + 1.0)).as("idcg"))
-        dcg.join(idcg, "qid")
+          .agg(sum(when($"qr" <= 5, $"gain" / log2($"qr" + 1.0))).as("dcg"),
+            sum(when($"er" <= 5, $"gain" / log2($"er" + 1.0))).as("idcg"))
           .select($"qid", round($"dcg", 4).as("dcg"), round($"idcg", 4).as("idcg"),
             round($"dcg" / $"idcg", 4).as("ndcg"))
           .orderBy($"qid")
