@@ -2622,7 +2622,48 @@ object RelationalQueries {
              |  CAST(sum(k) AS BIGINT) AS n_customers,
              |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
              |  l < 2 AS at_risk
-             |FROM classes GROUP BY l ORDER BY l""".stripMargin))
+             |FROM classes GROUP BY l ORDER BY l""".stripMargin)),
+
+    // Hilbert-curve layout (functions.HilbertValue, the native codegen'd
+    // expression) — q68's z-order audit re-run on the locality-preserving
+    // curve: sort events by hilbert_value(user_id, 3h-bucket), cut 16
+    // equal files per type, report each file's per-dimension min/max zone
+    // map. The Hilbert walk has no Morton seams (consecutive positions
+    // are always adjacent cells), so worst-case spans are tighter — this
+    // query IS the measurement a table-layout job runs before choosing
+    // its clustering key. The oracle replays the 16-step rotate/flip
+    // recurrence as an unrolled CTE chain (HilbertValue.hilbertCte).
+    Q("q201_hilbert_layout",
+      (s, d) => {
+        import s.implicits._
+        val byType = Window.partitionBy($"event_type").orderBy($"h", $"event_id")
+        Tables.events(s, d)
+          .select($"event_type", $"event_id", $"user_id",
+            unix_timestamp($"ts").as("sec"))
+          .withColumn("h", graft.functions.HilbertValue.hilbert_value(
+            $"user_id", expr("sec div 10800")))
+          .withColumn("bin", ntile(16).over(byType))
+          .groupBy($"event_type", $"bin")
+          .agg(count(lit(1)).as("n"),
+            min($"user_id").as("u_min"), max($"user_id").as("u_max"),
+            min($"sec").as("s_min"), max($"sec").as("s_max"))
+          .orderBy($"event_type", $"bin")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type, event_id, user_id,
+              |    epoch_us(ts) // 1000000 AS sec,
+              |    (epoch_us(ts) // 1000000) // 10800 AS hr
+              |  FROM events),
+              |${graft.functions.HilbertValue.hilbertCte("e", "user_id", "hr")},
+              |b AS (
+              |  SELECT *, ntile(16) OVER (PARTITION BY event_type
+              |    ORDER BY hd, event_id) AS bin
+              |  FROM h16)
+              |SELECT event_type, bin, count(*) AS n,
+              |  min(user_id) AS u_min, max(user_id) AS u_max,
+              |  min(sec) AS s_min, max(sec) AS s_max
+              |FROM b GROUP BY event_type, bin
+              |ORDER BY event_type, bin""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */

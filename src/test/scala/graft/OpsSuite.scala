@@ -746,4 +746,44 @@ class OpsSuite extends SparkSuite {
     assert(binned === naive, "binned region join diverged from the theta-join")
     assert(naive.nonEmpty)
   }
+
+  test("hilbert_value: bijective, unit-step adjacent, codegen = driver walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.HilbertValue
+    // order-4 grid: the walk must visit all 256 cells exactly once
+    // (bijectivity) and consecutive positions must be Manhattan-distance-1
+    // neighbors — THE property z-order lacks and the reason this layout
+    // exists. d2xy is the independent inverse: round-tripping pins both.
+    val cells = (0L until 256L).map(HilbertValue.d2xy(4, _))
+    assert(cells.distinct.size === 256)
+    cells.sliding(2).foreach { case Seq((x0, y0), (x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"curve jumped: ($x0,$y0) -> ($x1,$y1)")
+    }
+    cells.zipWithIndex.foreach { case ((x, y), dd) =>
+      assert(HilbertValue.xy2d(4, x, y) === dd.toLong)
+    }
+    // full 16-bit order: masking contract + codegen path agrees with the
+    // driver-side walk (hard-fail mode, as the z_value spec does)
+    assert(HilbertValue.xy2d(16, 1L << 16, 1L << 16) ===
+      HilbertValue.xy2d(16, 0L, 0L))
+    val prevMode = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = Tables.events(spark, sf)
+        .select($"user_id", unix_timestamp($"ts").as("sec"))
+        .withColumn("h", HilbertValue.hilbert_value($"user_id", $"sec"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("h") ===
+          HilbertValue.xy2d(16, r.getAs[Long]("user_id"), r.getAs[Long]("sec")))
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prevMode)
+    // SQL registration
+    HilbertValue.register(spark)
+    assert(spark.sql("SELECT hilbert_value(0, 0) AS h").collect()
+      .head.getLong(0) === 0L)
+  }
 }
