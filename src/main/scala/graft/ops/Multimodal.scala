@@ -284,6 +284,69 @@ object Multimodal {
              |  CAST((doc_id % 5000 + 1) * 100 AS BIGINT) AS duration,
              |  CAST((doc_id % 5000 + 1) * 100 * 1000
              |    // (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the archive-container modality: datasets ship as tar bundles, and
+    // the manifest walk (member names/sizes/offsets WITHOUT extracting)
+    // is the first step of any ingest. A real POSIX ustar archive is
+    // synthesized per document (1-3 members, octal size fields, REAL
+    // header checksums, two-zero-block terminator) and decodeTar walks
+    // the 512-byte block chain by parsed size — a wrong size, offset or
+    // checksum breaks the hash. One output row per member.
+    Q("q202_tar_manifest",
+      (s, d) => {
+        import s.implicits._
+        val records = Tables.documents(s, d)
+          .select($"doc_id").as[Long]
+          .map(id => MediaRecord(id, "application/x-tar", tarArchive(id)))
+        extractTar(records).toDF().orderBy($"doc_id", $"member_idx")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, t.k AS member_idx,
+             |    (doc_id * 7 + t.k * 13) % 900 + 1 AS size
+             |  FROM documents, generate_series(0, 2) AS t(k)
+             |  WHERE t.k <= doc_id % 3),
+             |o AS (
+             |  SELECT doc_id, member_idx, size,
+             |    512 + coalesce(sum(512 + 512 * ((size + 511) // 512))
+             |      OVER (PARTITION BY doc_id ORDER BY member_idx
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS data_offset
+             |  FROM m)
+             |SELECT doc_id, CAST(member_idx AS INT) AS member_idx,
+             |  'f' || member_idx || '.bin' AS name,
+             |  CAST(size AS BIGINT) AS size,
+             |  CAST(data_offset AS BIGINT) AS data_offset,
+             |  TRUE AS cksum_ok
+             |FROM o ORDER BY doc_id, member_idx""".stripMargin)),
+
+    // the animated-image modality: GIF's logical screen descriptor is
+    // little-endian (unlike PNG/JPEG's big-endian), so this exercises the
+    // opposite byte order FOR REAL — version string, LE16 dimensions, and
+    // the packed flags byte whose global-color-table bit decides whether
+    // 3·2^(exp+1) palette bytes follow. decodeGif must honor the flag to
+    // land on the trailer; n_bytes pins that it did.
+    Q("q203_gif_features",
+      (s, d) => {
+        import s.implicits._
+        val records = Tables.documents(s, d)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            MediaRecord(id, "image/gif", gifImage(GifSpec(
+              id, id % 2 == 1, (id % 320).toInt + 1, (id % 240).toInt + 1,
+              id % 4 != 0, (id % 8).toInt)))
+          }
+        extractGif(records).toDF().orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(13 + CASE WHEN doc_id % 4 = 0 THEN 0
+             |    ELSE 3 * (1 << (CAST(doc_id AS INT) % 8 + 1)) END + 1 AS INT)
+             |    AS n_bytes,
+             |  CASE WHEN doc_id % 2 = 1 THEN '89a' ELSE '87a' END AS version,
+             |  CAST(doc_id % 320 + 1 AS INT) AS width,
+             |  CAST(doc_id % 240 + 1 AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+             |    ELSE 1 << (CAST(doc_id AS INT) % 8 + 1) END AS INT) AS n_colors
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
@@ -489,5 +552,150 @@ object Multimodal {
   def extractMp4(records: Dataset[MediaRecord]): Dataset[Mp4Features] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map(r => decodeMp4(r.doc_id, r.payload)))
+  }
+
+  /** One tar archive member as the manifest walk reports it. */
+  final case class TarMember(
+      doc_id: Long,
+      member_idx: Int,
+      name: String,
+      size: Long,
+      data_offset: Long,
+      cksum_ok: Boolean)
+
+  /** Synthesize a POSIX ustar archive: `(doc_id % 3) + 1` members named
+    * `f<k>.bin` of size `(doc_id·7 + k·13) % 900 + 1`, each a 512-byte
+    * header (octal size at offset 124, REAL checksum at 148 — sum of
+    * header bytes with the checksum field as spaces, per the ustar spec)
+    * plus zero-filled data rounded to whole blocks, terminated by two
+    * zero blocks. */
+  def tarArchive(docId: Long): Array[Byte] = {
+    val n = (docId % 3).toInt + 1
+    val sizes = (0 until n).map(k => ((docId * 7 + k * 13) % 900 + 1).toInt)
+    val total = sizes.map(sz => 512 + 512 * ((sz + 511) / 512)).sum + 1024
+    val buf = new Array[Byte](total) // zero-initialized
+    var pos = 0
+    def putAscii(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, buf, off, b.length)
+    }
+    for (k <- 0 until n) {
+      val h = pos
+      putAscii(h, s"f$k.bin")
+      putAscii(h + 100, "0000644") // mode (NUL-terminated via zero fill)
+      putAscii(h + 108, "0000000") // uid
+      putAscii(h + 116, "0000000") // gid
+      putAscii(h + 124, f"${sizes(k).toLong}%011o") // size, 11 octal digits
+      putAscii(h + 136, "00000000000") // mtime
+      java.util.Arrays.fill(buf, h + 148, h + 156, ' '.toByte) // chksum blanks
+      buf(h + 156) = '0' // typeflag: regular file
+      putAscii(h + 257, "ustar") // magic (+ NUL from zero fill)
+      putAscii(h + 263, "00") // version
+      var sum = 0L
+      for (i <- h until h + 512) sum += buf(i) & 0xff
+      putAscii(h + 148, f"$sum%06o")
+      buf(h + 154) = 0
+      buf(h + 155) = ' '
+      pos += 512 + 512 * ((sizes(k) + 511) / 512)
+    }
+    buf
+  }
+
+  /** Walk a tar archive's 512-byte block chain FOR REAL: parse each
+    * header's octal size field, verify the header checksum (field blanked
+    * to spaces), record the member's data offset, and skip
+    * ceil(size/512) data blocks; an all-zero header block terminates the
+    * walk (the two-zero-block EOF). */
+  def decodeTar(docId: Long, p: Array[Byte]): Seq[TarMember] = {
+    val out = Seq.newBuilder[TarMember]
+    var pos = 0
+    var idx = 0
+    def octal(off: Int, len: Int): Long = {
+      var v = 0L
+      var i = off
+      while (i < off + len && p(i) != 0 && p(i) != ' ') {
+        v = v * 8 + (p(i) - '0'); i += 1
+      }
+      v
+    }
+    while (pos + 512 <= p.length && p(pos) != 0) {
+      val nameEnd = {
+        var e = pos
+        while (e < pos + 100 && p(e) != 0) e += 1
+        e
+      }
+      val name = new String(p, pos, nameEnd - pos, "US-ASCII")
+      val size = octal(pos + 124, 12)
+      val declared = octal(pos + 148, 8)
+      var sum = 0L
+      for (i <- pos until pos + 512) {
+        sum += (if (i >= pos + 148 && i < pos + 156) ' '.toLong else (p(i) & 0xff).toLong)
+      }
+      out += TarMember(docId, idx, name, size, pos + 512L, sum == declared)
+      pos += 512 + 512 * (((size + 511) / 512)).toInt
+      idx += 1
+    }
+    out.result()
+  }
+
+  /** Partition-batched tar manifest walk (1 archive → N member rows). */
+  def extractTar(records: Dataset[MediaRecord]): Dataset[TarMember] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap(r => decodeTar(r.doc_id, r.payload)))
+  }
+
+  /** Synthesis parameters for one GIF payload. */
+  final case class GifSpec(
+      doc_id: Long, v89: Boolean, width: Int, height: Int,
+      hasGct: Boolean, gctExp: Int)
+
+  /** Decoded GIF logical-screen features. */
+  final case class GifFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      version: String,
+      width: Int,
+      height: Int,
+      n_colors: Int)
+
+  /** Synthesize a GIF87a/89a payload: 6-byte signature, LITTLE-endian
+    * u16 dimensions, the packed logical-screen byte (GCT flag bit 7,
+    * color-resolution bits 6-4, size exponent bits 2-0), the global
+    * color table when flagged (3·2^(exp+1) deterministic bytes), and the
+    * 0x3B trailer. */
+  def gifImage(sp: GifSpec): Array[Byte] = {
+    val colors = if (sp.hasGct) 3 * (1 << (sp.gctExp + 1)) else 0
+    val buf = java.nio.ByteBuffer.allocate(13 + colors + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (sp.v89) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
+    buf.putShort(sp.width.toShort).putShort(sp.height.toShort)
+    buf.put((((if (sp.hasGct) 1 else 0) << 7) | (7 << 4) | sp.gctExp).toByte)
+    buf.put(0.toByte).put(0.toByte) // background index, aspect ratio
+    for (i <- 0 until colors) buf.put(((sp.doc_id + i) % 256).toByte)
+    buf.put(0x3b.toByte) // trailer
+    buf.array()
+  }
+
+  /** Parse the GIF header FOR REAL: check the signature, read the
+    * little-endian dimensions, unpack the GCT flag and size exponent,
+    * and skip the color table to confirm the trailer is where the
+    * packed byte said it would be (junk payloads get the zero record). */
+  def decodeGif(docId: Long, p: Array[Byte]): GifFeatures = {
+    val zero = GifFeatures(docId, p.length, "", 0, 0, 0)
+    if (p.length < 14) return zero
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return zero
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val packed = p(10) & 0xff
+    val nColors = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    val trailerAt = 13 + 3 * nColors
+    if (p.length <= trailerAt || (p(trailerAt) & 0xff) != 0x3b) return zero
+    GifFeatures(docId, p.length, sig.substring(3), le16(6), le16(8), nColors)
+  }
+
+  /** Partition-batched GIF metadata extraction. */
+  def extractGif(records: Dataset[MediaRecord]): Dataset[GifFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => decodeGif(r.doc_id, r.payload)))
   }
 }

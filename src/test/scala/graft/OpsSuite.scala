@@ -687,6 +687,39 @@ class OpsSuite extends SparkSuite {
     assert(junk.timescale === 0L && junk.n_boxes === 0, "junk must decode to zeros")
   }
 
+  test("tar manifest walk: sizes, offsets, checksums; corruption flags") {
+    import graft.ops.Multimodal
+    val arc = Multimodal.tarArchive(5L) // 3 members: sizes 36, 49, 62
+    val members = Multimodal.decodeTar(5L, arc)
+    assert(members.map(_.name) === Seq("f0.bin", "f1.bin", "f2.bin"))
+    assert(members.map(_.size) === Seq(36L, 49L, 62L))
+    // each 1-block member: header + 1 data block = 1024 bytes apart
+    assert(members.map(_.data_offset) === Seq(512L, 1536L, 2560L))
+    assert(members.forall(_.cksum_ok), "pristine archive must checksum clean")
+    // flip one mode byte: that member's checksum must fail, sizes still parse
+    val bad = arc.clone(); bad(101) = '9'
+    val flagged = Multimodal.decodeTar(5L, bad)
+    assert(!flagged.head.cksum_ok && flagged.tail.forall(_.cksum_ok))
+    assert(flagged.map(_.size) === members.map(_.size))
+  }
+
+  test("GIF decode: little-endian dims, GCT skip lands on trailer; junk degrades") {
+    import graft.ops.Multimodal
+    val withGct = Multimodal.gifImage(
+      Multimodal.GifSpec(1L, v89 = true, 640, 480, hasGct = true, gctExp = 3))
+    val f = Multimodal.decodeGif(1L, withGct)
+    assert(f.version === "89a" && f.width === 640 && f.height === 480)
+    assert(f.n_colors === 16 && f.n_bytes === 13 + 48 + 1)
+    val noGct = Multimodal.decodeGif(2L, Multimodal.gifImage(
+      Multimodal.GifSpec(2L, v89 = false, 1, 1, hasGct = false, gctExp = 0)))
+    assert(noGct.version === "87a" && noGct.n_colors === 0 && noGct.n_bytes === 14)
+    // a truncated color table means the trailer is missing → zero record
+    val truncated = Multimodal.decodeGif(3L, withGct.dropRight(2))
+    assert(truncated.width === 0 && truncated.n_colors === 0)
+    val junk = Multimodal.decodeGif(4L, "NOTAGIF_______".getBytes("US-ASCII"))
+    assert(junk.width === 0 && junk.version === "")
+  }
+
   test("BPE training: greedy overlap, lexicographic ties, merge exhaustion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_fixture")
