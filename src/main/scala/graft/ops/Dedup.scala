@@ -1645,6 +1645,66 @@ object Dedup {
              |SELECT least(id_a, id_b) AS id_lo, greatest(id_a, id_b) AS id_hi,
              |  CAST(levenshtein(pa, pb) AS BIGINT) AS lev
              |FROM cand WHERE levenshtein(pa, pb) <= 12
-             |ORDER BY id_lo, id_hi""".stripMargin))
+             |ORDER BY id_lo, id_hi""".stripMargin)),
+
+    // IDF-weighted Jaccard — q43's similarity with boilerplate discounted:
+    // each trigram shingle contributes idf = ln(N/df) instead of 1, so two
+    // documents sharing only ubiquitous phrasing score near zero while a
+    // shared rare passage dominates — the weighting production dedup uses
+    // to stop template text from fusing unrelated pages. idf is scaled to
+    // an exact integer (round(1e6·ln)) so every sum compared across
+    // engines is order-independent; df stays capped at MaxShingleDf, which
+    // both bounds the inverted-index fan-out at df² AND is exactly the
+    // stopword-removal semantics (hot shingles leave the universe).
+    Q("q205_weighted_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+        val all = toks
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).as("s"))
+          .distinct()
+        val df = all.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" <= MaxShingleDf)
+        val nDocs = toks.agg(countDistinct($"doc_id").as("nd"))
+        val wsh = all.join(df, "s").crossJoin(broadcast(nDocs))
+          .select($"doc_id", $"s",
+            expr("cast(round(1000000 * ln(nd / cast(df as double))) as bigint)").as("wt"))
+          .cache()
+        val tot = wsh.groupBy($"doc_id").agg(sum($"wt").as("tw"))
+        val common = wsh.as("x").join(wsh.as("y"),
+            $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
+          .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+          .agg(sum($"x.wt").as("cw"))
+        common
+          .join(tot.select($"doc_id".as("a"), $"tw".as("wa")), "a")
+          .join(tot.select($"doc_id".as("b"), $"tw".as("wb")), "b")
+          .withColumn("wjac", $"cw" / ($"wa" + $"wb" - $"cw"))
+          .filter($"wjac" >= 0.10)
+          .select($"a", $"b", round($"wjac", 4).as("wjaccard"))
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |allsh AS (
+             |  SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             |        FROM toks)),
+             |df AS (SELECT s, count(*) AS df FROM allsh GROUP BY s
+             |       HAVING count(*) <= $MaxShingleDf),
+             |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+             |wsh AS (
+             |  SELECT a.doc_id, a.s,
+             |    CAST(round(1000000 * ln(nd.nd / CAST(df.df AS DOUBLE))) AS BIGINT) AS wt
+             |  FROM allsh a JOIN df USING (s) CROSS JOIN nd),
+             |tot AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS tw FROM wsh GROUP BY doc_id),
+             |common AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(sum(x.wt) AS BIGINT) AS cw
+             |  FROM wsh x JOIN wsh y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a, b, round(cw * 1.0 / (ta.tw + tb.tw - cw), 4) AS wjaccard
+             |FROM common JOIN tot ta ON ta.doc_id = a JOIN tot tb ON tb.doc_id = b
+             |WHERE cw * 1.0 / (ta.tw + tb.tw - cw) >= 0.10
+             |ORDER BY a, b""".stripMargin))
   )
 }

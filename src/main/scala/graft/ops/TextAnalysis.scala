@@ -2170,7 +2170,47 @@ object TextAnalysis {
              |    AS n_correct,
              |  round(sum(CASE WHEN predicted = source THEN 1 ELSE 0 END)
              |    / CAST(count(*) AS DOUBLE), 4) AS accuracy
-             |FROM pred GROUP BY source ORDER BY source""".stripMargin))
+             |FROM pred GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Skip-gram co-occurrence — the word2vec/GloVe preprocessing matrix:
+    // context pairs within a ±3 token window, distance-discounted with
+    // GloVe's 1/d weighting held EXACT by scaling to 6/d ∈ {6,3,2}
+    // (integer sums are order-independent across engines). One array
+    // transform emits all three offsets in a single pass over the token
+    // arrays — no positional self-join, no per-offset jobs — and the
+    // map-side combine collapses the ×3 fan-out to (x, y) partials
+    // before the only shuffle. The oracle reaches the same pairs through
+    // the positional-join formulation.
+    Q("q204_skipgram_cooc",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Tables.documents(s, d)
+          .select(split($"text", " ").as("w"))
+          .select(explode(expr(
+            """flatten(transform(sequence(1, 3), d ->
+              |  case when size(w) <= d
+              |    then cast(array() as array<struct<x:string,y:string,dist:int>>)
+              |    else transform(sequence(1, size(w) - d),
+              |      i -> struct(w[i-1] as x, w[i+d-1] as y, cast(d as int) as dist))
+              |  end))""".stripMargin)).as("g"))
+          .select($"g.x", $"g.y", $"g.dist")
+        pairs.groupBy($"x", $"y")
+          .agg(count(lit(1)).as("n"), sum(expr("6 div dist")).as("w6"))
+          .filter($"n" >= 30)
+          .orderBy($"w6".desc, $"x", $"y")
+          .limit(25)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.w AS x, b.w AS y, b.pos - a.pos AS dist
+             |  FROM t a JOIN t b ON b.doc_id = a.doc_id
+             |    AND b.pos - a.pos BETWEEN 1 AND 3)
+             |SELECT x, y, count(*) AS n, CAST(sum(6 // dist) AS BIGINT) AS w6
+             |FROM p GROUP BY x, y HAVING count(*) >= 30
+             |ORDER BY w6 DESC, x, y LIMIT 25""".stripMargin))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
