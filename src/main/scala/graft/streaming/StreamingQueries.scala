@@ -464,5 +464,19 @@ object StreamingQueries {
              |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
              |FROM r GROUP BY 1, 2 HAVING count(*) > 1
              |ORDER BY user_id, hr""".stripMargin))
+,
+
+    // foreachBatch materialized view with an idempotent batch-id-
+    // partitioned sink (see Materialize) — exactly-once on a store with
+    // no transactional sink: at-least-once delivery + idempotent
+    // partition overwrite. Four staged files → four micro-batches of
+    // partials; the view folds them and must equal the batch aggregate.
+    Q("q206_stream_mview",
+      (s, d) => Materialize.run(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -131,4 +131,39 @@ class StreamingSuite extends SparkSuite {
     assert(got.toSet === expected)
     assert(got.nonEmpty)
   }
+
+  test("foreachBatch mview: retried batch overwrites its partition, not appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viewDir = java.nio.file.Files.createTempDirectory("graft_mview_spec")
+    viewDir.toFile.deleteOnExit()
+    val prevMode =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      def batch(rows: (String, String, Double)*) = rows.toSeq
+        .toDF("tss", "event_type", "value")
+        .select(to_timestamp($"tss").as("ts"), $"event_type", $"value")
+      val b0 = batch(("2026-01-01 10:05:00", "click", 1.0),
+        ("2026-01-01 10:55:00", "click", 2.0))
+      val b1 = batch(("2026-01-01 10:30:00", "view", 5.0))
+      graft.streaming.Materialize.writePartial(b0, 0L, viewDir.toString)
+      graft.streaming.Materialize.writePartial(b1, 1L, viewDir.toString)
+      val first = graft.streaming.Materialize.readView(spark, viewDir.toString)
+        .orderBy($"event_type").collect()
+      // the at-least-once retry: batch 0 delivered AGAIN must change nothing
+      graft.streaming.Materialize.writePartial(b0, 0L, viewDir.toString)
+      val retried = graft.streaming.Materialize.readView(spark, viewDir.toString)
+        .orderBy($"event_type").collect()
+      assert(retried.toSeq === first.toSeq,
+        "idempotent sink: a retried batch must not inflate the view")
+      assert(first.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n")))
+        .toSeq === Seq(("click", 2L), ("view", 1L)))
+      // a NEW batch id with the same payload is new data, and must append
+      graft.streaming.Materialize.writePartial(b1, 2L, viewDir.toString)
+      val appended = graft.streaming.Materialize.readView(spark, viewDir.toString)
+        .filter($"event_type" === "view").collect()
+      assert(appended.head.getAs[Long]("n") === 2L)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
 }
