@@ -33,15 +33,35 @@ object Main {
       runQuantify(reads, index, gtf, k.toInt, out, maxIter,
         calibrateKmers = !rest.contains("-disable_kmer_calibration"),
         calibrateLength = !rest.contains("-disable_length_calibration"))
+    case "query" :: name :: sfDir :: rest =>
+      runQuery(name, sfDir, rest.headOption.map(_.toInt).getOrElse(20))
     case _ =>
       System.err.println(
         """usage:
           |  index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT
           |  quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
           |           [-max_iterations N] [-disable_kmer_calibration]
-          |           [-disable_length_calibration]""".stripMargin)
+          |           [-disable_length_calibration]
+          |  query QUERY_NAME SF_DIR [N_ROWS]""".stripMargin)
       sys.exit(1)
   }
+
+  /** Run one registered query against a corpus dir and print the first
+    * `n` rows — the ad-hoc entry point for everything in
+    * `SparkEntry.queries` (an unknown name lists what exists). */
+  private[graft] def runQuery(name: String, sfDir: String, n: Int): Unit =
+    graft.SparkEntry.queries.get(name) match {
+      case Some(fn) =>
+        val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.show(n, truncate = false)
+        println(f"[$name] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      case None =>
+        System.err.println(s"unknown query '$name'; available:")
+        graft.SparkEntry.queries.keys.toSeq.sorted.foreach(q => System.err.println(s"  $q"))
+        sys.exit(1)
+    }
 
   /** Reporting parity with the reference's `.instrument()` + metrics dump
     * (rice-cli/.../Index.scala:68, rice-core/.../Timers.scala:25-63): after

@@ -2663,7 +2663,35 @@ object RelationalQueries {
               |  min(user_id) AS u_min, max(user_id) AS u_max,
               |  min(sec) AS s_min, max(sec) AS s_max
               |FROM b GROUP BY event_type, bin
-              |ORDER BY event_type, bin""".stripMargin))
+              |ORDER BY event_type, bin""".stripMargin)),
+
+    // Native unpivot (melt) — the wide→long reshape feeding any metrics
+    // store: one row per (source, metric). Catalyst lowers `unpivot` to a
+    // single Expand over the already-aggregated wide frame (|sources|
+    // rows), so the reshape is free at any scale — the one groupBy scan
+    // dominates. The oracle is the textbook UNION ALL stack.
+    Q("q207_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy($"source")
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            sum($"n_chars").cast("double").as("tot_chars"),
+            countDistinct($"lang").cast("double").as("n_langs"))
+          .unpivot(Array($"source"),
+            Array($"n_docs", $"tot_chars", $"n_langs"), "metric", "value")
+          .orderBy($"source", $"metric")
+      },
+      Some("""WITH w AS (
+             |  SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+             |    CAST(sum(n_chars) AS DOUBLE) AS tot_chars,
+             |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+             |  FROM documents GROUP BY 1)
+             |SELECT source, metric, value FROM (
+             |  SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+             |  UNION ALL SELECT source, 'tot_chars', tot_chars FROM w
+             |  UNION ALL SELECT source, 'n_langs', n_langs FROM w)
+             |ORDER BY source, metric""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
