@@ -20,6 +20,7 @@ object SparkEntry {
       ops.Multimodal.queries ++
       ops.Audits.queries ++
       ops.Metrics.queries ++
+      ops.Learn.queries ++
       streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Distributed model fitting expressed as whole-data aggregates — the
+  * "iterative ML over a 100 TB corpus" shapes a training-data pipeline
+  * runs to score, weigh, and audit its own data: batch-gradient-descent
+  * logistic regression, closed-form ridge regression via the normal
+  * equations, and a unigram-LM (SentencePiece-style) Viterbi tokenizer.
+  *
+  * Shared scale discipline (same as the EM loop in
+  * `quantify/Quantify.scala`, cf. reference `Quantify.scala:231-280`):
+  * every training iteration is ONE map-side-combinable aggregation over
+  * the fact table producing O(d) scalars; the driver holds only the d-dim
+  * model between iterations. Nothing quadratic, nothing collected but the
+  * model itself. Determinism discipline: the model is re-rounded on the
+  * driver after every iteration, so float summation-order noise (~1e-13)
+  * cannot compound across iterations and both engines re-enter each step
+  * from bit-identical coefficients.
+  */
+object Learn {
+
+  /** Feature frame shared by q208/q210: intercept, scaled char count,
+    * scaled whitespace-token count, with y = 1[lang = 'en']. */
+  private def feats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+      lit(1.0d).as("x0"),
+      ($"n_chars" / 256.0d).as("x1"),
+      (size(split($"text", " ")) / 64.0d).as("x2"))
+  }
+
+  private val featsSql =
+    """SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |  1.0 AS x0, n_chars / 256.0 AS x1,
+      |  len(string_split(text, ' ')) / 64.0 AS x2 FROM documents""".stripMargin
+
+  private def r8(v: Double): Double =
+    BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val queries: Seq[Q] = Seq(
+
+    // Logistic regression by full-batch gradient descent, 3 unrolled
+    // steps from w⁰ = (0.1, 0.01, 0.01) with η = 1 (a w⁰ = 0 start makes
+    // σ = 0.5 EXACTLY, turning step-1 gradients into lattice rationals
+    // that can land exactly on the 8-dp rounding half-boundary where
+    // DuckDB's float round and BigDecimal HALF_UP disagree — observed at
+    // sf0.001; a non-zero start keeps every σ transcendental and the
+    // boundary probability at the codebase-standard ~1e-9): each step is
+    // a single conditional-
+    // aggregation scan producing the 3-component mean gradient
+    //   g = avg((σ(w·x) − y)·x)
+    // which the driver rounds to 8 dp (so both engines re-enter step k+1
+    // from identical doubles) and applies. The emitted trace — per step:
+    // weights and mean log-loss AT those weights — is the convergence
+    // certificate (loss must fall monotonically at this η). At 100 TB
+    // each step is one scan with partial aggregation; the "model state"
+    // crossing the driver is 3 doubles, never data.
+    Q("q208_logreg_gd",
+      (s, d) => {
+        import s.implicits._
+        val f = feats(s, d).cache()
+        try {
+          var w = Array(0.1d, 0.01d, 0.01d)
+          val rows = (1 to 3).map { step =>
+            val p = lit(1.0d) / (lit(1.0d) +
+              exp(-(lit(w(0)) * $"x0" + lit(w(1)) * $"x1" + lit(w(2)) * $"x2")))
+            val g = f.agg(
+              avg((p - $"y") * $"x0"), avg((p - $"y") * $"x1"),
+              avg((p - $"y") * $"x2"),
+              avg(-($"y" * log(p) + (lit(1.0d) - $"y") * log(lit(1.0d) - p))))
+              .head()
+            val loss = g.getDouble(3)
+            // round the gradient FIRST (matching the oracle's round(g, 8)),
+            // then round the difference — round(w − round(g)) ≠ round(w − g)
+            w = Array(r8(w(0) - r8(g.getDouble(0))), r8(w(1) - r8(g.getDouble(1))),
+              r8(w(2) - r8(g.getDouble(2))))
+            (step.toLong, w(0), w(1), w(2),
+              BigDecimal(loss).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          s.createDataFrame(rows).toDF("step", "w0", "w1", "w2", "loss_before")
+            .orderBy($"step")
+        } finally f.unpersist()
+      },
+      Some(s"""WITH feat AS ($featsSql),
+             |w0 AS (SELECT 0.1 AS w0, 0.01 AS w1, 0.01 AS w2),
+             |g1 AS (
+             |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
+             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
+             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
+             |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
+             |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
+             |  FROM feat, w0 w),
+             |w1 AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
+             |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM w0 w, g1 g),
+             |g2 AS (
+             |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
+             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
+             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
+             |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
+             |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
+             |  FROM feat, w1 w),
+             |w2 AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
+             |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM w1 w, g2 g),
+             |g3 AS (
+             |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
+             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
+             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
+             |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
+             |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
+             |  FROM feat, w2 w),
+             |w3 AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
+             |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM w2 w, g3 g)
+             |SELECT 1 AS step, w0, w1, w2, loss AS loss_before FROM w1
+             |UNION ALL SELECT 2, w0, w1, w2, loss FROM w2
+             |UNION ALL SELECT 3, w0, w1, w2, loss FROM w3
+             |ORDER BY step""".stripMargin)),
+
+    // Unigram-LM (SentencePiece-style) tokenizer: build a piece vocab
+    // (every single character + the 24 most frequent 2/3-grams over the
+    // distinct-word table) with integer costs −10⁶·ln(c/total) — integer
+    // so the DP below is EXACT and engine-portable, no float-min ties —
+    // then Viterbi-segment the 200 most frequent words: minimize
+    // (total cost, piece count) lexicographically. The DP runs as a
+    // scalar kernel over a broadcast vocab (the same broadcast-dictionary
+    // shape as the reference's genome UDF, `Index.scala:76-84`): per row
+    // O(len·3) work, no shuffle beyond the word histogram. The oracle
+    // replays it by exhaustively enumerating segmentations with a
+    // recursive CTE (bounded: ≤927 compositions of a 12-char word into
+    // 1–3-char pieces) and taking the same lexicographic min. At 100 TB
+    // the corpus collapses to its word histogram first — piece stats and
+    // segmentation both run on the vocab-bounded table, never the corpus.
+    Q("q209_unigram_segment",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select(explode(split($"text", " ")).as("t"))
+          .select(lower($"t").as("w"))
+          .filter($"w".rlike("^[a-z]+$"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .cache()
+        try {
+          def grams(n: Int): DataFrame = words
+            .filter(length($"w") >= n)
+            .select(explode(expr(
+              s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))"))
+              .as("piece"))
+            .groupBy($"piece").agg(count(lit(1)).as("c"))
+          val topNg = grams(2).unionAll(grams(3))
+            .withColumn("r", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"piece")))
+            .filter($"r" <= 24).drop("r")
+          val vocab0 = grams(1).unionAll(topNg)
+          val tot = vocab0.agg(sum($"c")).head().getLong(0).toDouble
+          val vocab = vocab0.select($"piece",
+            expr(s"cast(round(-1000000.0 * ln(cast(c as double) / ${tot}d)) as bigint)")
+              .as("negl"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val vb = s.sparkContext.broadcast(vocab)
+          val viterbi = udf { (word: String) =>
+            val n = word.length
+            val inf = Long.MaxValue / 4
+            val cost = Array.fill(n + 1)(inf)
+            val np = Array.fill(n + 1)(Int.MaxValue)
+            cost(0) = 0L; np(0) = 0
+            for (j <- 1 to n; k <- math.max(0, j - 3) until j if cost(k) < inf)
+              vb.value.get(word.substring(k, j)).foreach { c =>
+                val nc = cost(k) + c
+                val nn = np(k) + 1
+                if (nc < cost(j) || (nc == cost(j) && nn < np(j))) {
+                  cost(j) = nc; np(j) = nn
+                }
+              }
+            (cost(n), np(n))
+          }
+          val targets = words.filter(length($"w") <= 12)
+            .withColumn("r", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"w")))
+            .filter($"r" <= 200).drop("r")
+          targets
+            .withColumn("seg", viterbi($"w"))
+            .select($"w".as("word"), $"cnt",
+              $"seg._1".as("cost"), $"seg._2".cast("long").as("n_pieces"))
+            .orderBy($"word")
+        } finally words.unpersist()
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT lower(t.tk) AS w FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tk FROM documents) t
+             |  WHERE regexp_matches(lower(t.tk), '^[a-z]+$')),
+             |words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+             |pos1 AS (SELECT w, unnest(generate_series(1, length(w))) AS i FROM words),
+             |uni AS (SELECT substr(w, i, 1) AS piece, count(*) AS c
+             |        FROM pos1 GROUP BY 1),
+             |pos2 AS (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+             |         FROM words WHERE length(w) >= 2),
+             |bi AS (SELECT substr(w, i, 2) AS piece, count(*) AS c
+             |       FROM pos2 GROUP BY 1),
+             |pos3 AS (SELECT w, unnest(generate_series(1, length(w) - 2)) AS i
+             |         FROM words WHERE length(w) >= 3),
+             |tri AS (SELECT substr(w, i, 3) AS piece, count(*) AS c
+             |        FROM pos3 GROUP BY 1),
+             |ng AS (SELECT piece, c FROM (
+             |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS r
+             |    FROM (SELECT * FROM bi UNION ALL SELECT * FROM tri))
+             |  WHERE r <= 24),
+             |vocab0 AS (SELECT piece, c FROM uni UNION ALL SELECT piece, c FROM ng),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM vocab0),
+             |vocab AS (SELECT piece, length(piece) AS plen,
+             |    CAST(round(-1000000.0 * ln(CAST(c AS DOUBLE) / tot.tot)) AS BIGINT) AS negl
+             |  FROM vocab0, tot),
+             |targets AS (SELECT w AS word, cnt FROM (
+             |    SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r
+             |    FROM words WHERE length(w) <= 12)
+             |  WHERE r <= 200),
+             |seg AS (
+             |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np
+             |  FROM targets
+             |  UNION ALL
+             |  SELECT s.word, s.pos + v.plen, s.cost + v.negl, s.np + 1
+             |  FROM seg s JOIN vocab v
+             |    ON substr(s.word, s.pos + 1, v.plen) = v.piece
+             |  WHERE s.pos < length(s.word)),
+             |done AS (SELECT word, cost, np FROM seg WHERE pos = length(word)),
+             |best AS (SELECT word, min(cost) AS cost FROM done GROUP BY 1)
+             |SELECT t.word, t.cnt, b.cost, CAST(min(d.np) AS BIGINT) AS n_pieces
+             |FROM targets t
+             |JOIN best b USING (word)
+             |JOIN done d ON d.word = t.word AND d.cost = b.cost
+             |GROUP BY t.word, t.cnt, b.cost
+             |ORDER BY t.word""".stripMargin)),
+
+    // Ridge regression in closed form: ŷ = n_chars/256 from the token
+    // count and the sentence-punctuation count, solved from the normal
+    // equations (XᵀX + λI)w = Xᵀy with λ = 1. ONE aggregation scan
+    // yields the 6 distinct XᵀX entries + 3 Xᵀy entries (d=3; the Gram
+    // matrix is d², never n²); each is rounded to 6 dp so both engines
+    // run Cramer's rule on bit-identical inputs, making the division
+    // chain itself deterministic. This is the degree-bounded sibling of
+    // the reference's driver-side OLS (`Tare.scala:119-160`), with the
+    // sample-and-solve replaced by an exact full-data Gram aggregate.
+    Q("q210_ridge_normal_eq",
+      (s, d) => {
+        import s.implicits._
+        val f = Tables.documents(s, d).select(
+          ($"n_chars" / 256.0d).as("y"),
+          lit(1.0d).as("x0"),
+          (size(split($"text", " ")) / 64.0d).as("x1"),
+          (length(regexp_replace($"text", "[^.!?,;]", "")) / 8.0d).as("x2"))
+        val m = f.agg(
+          round(sum($"x0" * $"x0"), 6), round(sum($"x0" * $"x1"), 6),
+          round(sum($"x0" * $"x2"), 6), round(sum($"x1" * $"x1"), 6),
+          round(sum($"x1" * $"x2"), 6), round(sum($"x2" * $"x2"), 6),
+          round(sum($"x0" * $"y"), 6), round(sum($"x1" * $"y"), 6),
+          round(sum($"x2" * $"y"), 6)).head()
+        val lam = 1.0d
+        val (a00, a01, a02) = (m.getDouble(0) + lam, m.getDouble(1), m.getDouble(2))
+        val (a11, a12, a22) = (m.getDouble(3) + lam, m.getDouble(4), m.getDouble(5) + lam)
+        val (b0, b1, b2) = (m.getDouble(6), m.getDouble(7), m.getDouble(8))
+        // Cramer's rule on the symmetric 3×3 system — identical formula
+        // text in the oracle, so identical IEEE operation tree.
+        val det = a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) +
+          a02 * (a01 * a12 - a11 * a02)
+        val w0 = (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) +
+          a02 * (b1 * a12 - a11 * b2)) / det
+        val w1 = (a00 * (b1 * a22 - b2 * a12) - b0 * (a01 * a22 - a12 * a02) +
+          a02 * (a01 * b2 - b1 * a02)) / det
+        val w2 = (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) +
+          b0 * (a01 * a12 - a11 * a02)) / det
+        val rnd = (v: Double) =>
+          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((rnd(w0), rnd(w1), rnd(w2))).toDF("w0", "w1", "w2")
+      },
+      Some("""WITH f AS (
+             |  SELECT n_chars / 256.0 AS y, 1.0 AS x0,
+             |    len(string_split(text, ' ')) / 64.0 AS x1,
+             |    length(regexp_replace(text, '[^.!?,;]', '', 'g')) / 8.0 AS x2
+             |  FROM documents),
+             |m AS (
+             |  SELECT round(sum(x0*x0), 6) + 1.0 AS a00, round(sum(x0*x1), 6) AS a01,
+             |    round(sum(x0*x2), 6) AS a02, round(sum(x1*x1), 6) + 1.0 AS a11,
+             |    round(sum(x1*x2), 6) AS a12, round(sum(x2*x2), 6) + 1.0 AS a22,
+             |    round(sum(x0*y), 6) AS b0, round(sum(x1*y), 6) AS b1,
+             |    round(sum(x2*y), 6) AS b2
+             |  FROM f),
+             |sol AS (
+             |  SELECT
+             |    a00 * (a11*a22 - a12*a12) - a01 * (a01*a22 - a12*a02)
+             |      + a02 * (a01*a12 - a11*a02) AS det,
+             |    b0 * (a11*a22 - a12*a12) - a01 * (b1*a22 - a12*b2)
+             |      + a02 * (b1*a12 - a11*b2) AS n0,
+             |    a00 * (b1*a22 - b2*a12) - b0 * (a01*a22 - a12*a02)
+             |      + a02 * (a01*b2 - b1*a02) AS n1,
+             |    a00 * (a11*b2 - a12*b1) - a01 * (a01*b2 - b1*a02)
+             |      + b0 * (a01*a12 - a11*a02) AS n2
+             |  FROM m)
+             |SELECT round(n0 / det, 6) AS w0, round(n1 / det, 6) AS w1,
+             |  round(n2 / det, 6) AS w2 FROM sol""".stripMargin))
+  )
+}
