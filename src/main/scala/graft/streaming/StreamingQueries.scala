@@ -477,6 +477,47 @@ object StreamingQueries {
              |  count(*) AS n, round(sum(value), 4) AS total_value
              |FROM events
              |GROUP BY 1, 2
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Spark 4 transformWithState (see TwsAccount): ValueState running
+    // count+sum, ListState bounded top-2, MapState per-type counts, on
+    // the RocksDB provider the API requires. One staged file → one
+    // micro-batch → the update-mode sink equals the batch aggregation.
+    Q("q211_stream_tws",
+      (s, d) => TwsAccount.accountStats(s, d, "q211_stream_tws_sink"),
+      Some("""WITH base AS (
+             |  SELECT user_id, event_id, value, event_type FROM events),
+             |agg AS (
+             |  SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+             |  FROM base GROUP BY 1),
+             |ranked AS (
+             |  SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY value DESC, event_id) AS rk
+             |  FROM base),
+             |tops AS (
+             |  SELECT user_id,
+             |    round(max(CASE WHEN rk = 1 THEN value END), 6) AS top1,
+             |    round(max(CASE WHEN rk = 2 THEN value END), 6) AS top2
+             |  FROM ranked WHERE rk <= 2 GROUP BY 1),
+             |types AS (
+             |  SELECT user_id, event_type, count(*) AS c
+             |  FROM base GROUP BY 1, 2),
+             |tstat AS (
+             |  SELECT user_id, count(*) AS n_types, max(c) AS top_type_n
+             |  FROM types GROUP BY 1),
+             |argm AS (
+             |  SELECT t.user_id, min(t.event_type) AS top_type
+             |  FROM types t JOIN tstat s ON s.user_id = t.user_id
+             |    AND t.c = s.top_type_n
+             |  GROUP BY 1)
+             |SELECT a.user_id, a.n, a.sum_value, p.top1, p.top2,
+             |  s.n_types, m.top_type, CAST(s.top_type_n AS BIGINT) AS top_type_n
+             |FROM agg a
+             |JOIN tops p ON p.user_id = a.user_id
+             |JOIN tstat s ON s.user_id = a.user_id
+             |JOIN argm m ON m.user_id = a.user_id
+             |WHERE a.n >= 2
+             |ORDER BY a.user_id""".stripMargin))
   )
 }

@@ -166,4 +166,41 @@ class StreamingSuite extends SparkSuite {
       assert(appended.head.getAs[Long]("n") === 2L)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
+
+  test("transformWithState carries Value/List/Map state across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // stage as 3 files and feed one per trigger: the processor must
+    // rebuild (count, sum, top-2, type counts) from the state store on
+    // batches 2 and 3, not from the batch alone
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_multi")
+    dir.toFile.deleteOnExit()
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val sink = graft.streaming.TwsAccount.accountStats(
+      spark, sf, "tws_multibatch_sink", Some(dir.toString), Some(1))
+    // update-mode sink accumulates one emission per (user, batch) — the
+    // final state per user is the row with the largest n
+    val lastPerUser = sink.collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n")) }
+    val batch = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("sv"),
+        countDistinct($"event_type").as("n_types"))
+      .filter($"n" >= 2)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv"), r.getAs[Long]("n_types")))
+      .toMap
+    assert(lastPerUser.keySet === batch.keySet)
+    lastPerUser.foreach { case (u, row) =>
+      val (n, sv, nt) = batch(u)
+      assert(row.getAs[Long]("n") === n, s"user $u count")
+      assert(fpEquals(row.getAs[Double]("sum_value"), sv, 1e-5), s"user $u sum")
+      assert(row.getAs[Long]("n_types") === nt, s"user $u types")
+      assert(row.getAs[Double]("top1") >= row.getAs[Double]("top2"), s"user $u top order")
+    }
+  }
 }
