@@ -31,6 +31,10 @@ object Sessions {
     if (!spark.experimental.extraOptimizations.contains(plans.RangeBinJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.RangeBinJoin
+    // planner strategy for the native as-of join (plans.AsOfJoinPlan)
+    if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.AsOfJoinStrategy
     spark
   }
 }

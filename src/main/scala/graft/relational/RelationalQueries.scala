@@ -2691,7 +2691,57 @@ object RelationalQueries {
              |  SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
              |  UNION ALL SELECT source, 'tot_chars', tot_chars FROM w
              |  UNION ALL SELECT source, 'n_langs', n_langs FROM w)
-             |ORDER BY source, metric""".stripMargin))
+             |ORDER BY source, metric""".stripMargin)),
+
+    // The NATIVE as-of join (plans.AsOfJoinPlan → SortMergeAsOfJoinExec):
+    // q16's point-in-time semantics, but as a whole custom Catalyst
+    // operator — one hash exchange per side, (key, time) sort, and a
+    // single O(n+m) forward-merge per co-partition; no window
+    // materialization, no join-back (the window formulation shuffles the
+    // whole events table TWICE). Left-outer: errors with no preceding
+    // purchase keep nulls. Tie-break inside a microsecond: the composite
+    // (ts, event_id) sort time picks the highest event_id, mirrored by
+    // the oracle's max_by. The left's sentinel pairs ts with Long.MAX so
+    // every same-instant purchase sorts ≤ it.
+    Q("q212_asof_native",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val errs = ev.filter($"event_type" === "error")
+          .select($"event_id".as("err_id"), $"user_id", $"ts".as("err_ts"),
+            struct($"ts".as("t"), lit(Long.MaxValue).as("i")).as("lt"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_uid"), $"ts".as("p_ts"),
+            $"event_id".as("p_id"), $"value".as("p_value"),
+            struct($"ts".as("t"), $"event_id".as("i")).as("rt"))
+        graft.plans.AsOf.join(s, errs, purch,
+            Seq("user_id"), Seq("p_uid"), "lt", "rt")
+          .select($"err_id", $"user_id", $"err_ts", $"p_ts", $"p_id",
+            round($"p_value", 2).as("p_value"),
+            round((unix_micros($"err_ts") - unix_micros($"p_ts")) / lit(1e6), 3)
+              .as("gap_s"))
+          .orderBy($"err_id")
+      },
+      Some("""WITH wl AS (
+             |  SELECT event_id, ts, user_id, event_type, value,
+             |    max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pts
+             |  FROM events),
+             |err AS (
+             |  SELECT event_id AS err_id, user_id, ts AS err_ts, last_pts
+             |  FROM wl WHERE event_type = 'error'),
+             |p AS (
+             |  SELECT user_id, ts AS last_pts, event_id AS p_id, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT e.err_id, e.user_id, e.err_ts, e.last_pts AS p_ts,
+             |  CAST(max(p.p_id) AS BIGINT) AS p_id,
+             |  round(max_by(p.p_value, p.p_id), 2) AS p_value,
+             |  round((epoch_us(e.err_ts) - epoch_us(e.last_pts)) / 1e6, 3) AS gap_s
+             |FROM err e LEFT JOIN p
+             |  ON p.user_id = e.user_id AND p.last_pts = e.last_pts
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY err_id""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */

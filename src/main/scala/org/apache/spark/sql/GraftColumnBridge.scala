@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — how graft surfaces whole custom operators (e.g.
+    * the native as-of join, plans.AsOfJoinPlan) through the public API. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
