@@ -2741,7 +2741,69 @@ object RelationalQueries {
              |FROM err e LEFT JOIN p
              |  ON p.user_id = e.user_id AND p.last_pts = e.last_pts
              |GROUP BY 1, 2, 3, 4
-             |ORDER BY err_id""".stripMargin))
+             |ORDER BY err_id""".stripMargin)),
+
+    // Spark's NATIVE session_window (batch form): per-user sessions with a
+    // 30-minute inactivity gap, computed by the built-in merging session
+    // aggregation — one shuffle on the user key, sessions merged inside
+    // the aggregation operator; no window-function sort-the-world pass.
+    // Semantics pinned against the gaps-and-islands SQL: a session ends
+    // at last_event + gap (end-exclusive), so a gap of EXACTLY 30 min
+    // starts a new session — hence `>=` in the oracle's break predicate.
+    Q("q213_session_window",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sv"))
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_end"), $"n", $"sv")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n, round(sum(value), 4) AS sv
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Spark 4 VARIANT ingestion: props parses once into the binary
+    // variant encoding (`parse_json`), typed access via `variant_get`
+    // path extraction — the semi-structured fast path that replaces
+    // per-query string re-parsing; at 100 TB the parse cost is paid once
+    // per row and every downstream access is a binary field read. Output
+    // mirrors q15's JSON-string extraction so the two ingestion paths are
+    // mutually pinned.
+    Q("q214_variant",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type",
+            expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+            round(avg($"k"), 6).as("avg_k"),
+            count_distinct($"k").as("n_distinct_k"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k,
+             |  count(DISTINCT k) AS n_distinct_k
+             |FROM (SELECT event_type,
+             |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */
