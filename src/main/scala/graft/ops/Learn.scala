@@ -41,6 +41,42 @@ object Learn {
   private def r8(v: Double): Double =
     BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The 3-step GD weight chain as oracle CTE text (expects a `feat`
+    * CTE in scope) — shared verbatim by q208 and q215 so the two oracles
+    * cannot drift apart. */
+  private val gdChainSql: String = {
+    def g(i: Int, prev: String) =
+      s"""g$i AS (
+         |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
+         |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
+         |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
+         |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
+         |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
+         |  FROM feat, $prev w)""".stripMargin
+    def w(i: Int, prev: String) =
+      s"""w$i AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
+         |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM $prev w, g$i g)""".stripMargin
+    Seq("w0 AS (SELECT 0.1 AS w0, 0.01 AS w1, 0.01 AS w2)",
+      g(1, "w0"), w(1, "w0"), g(2, "w1"), w(2, "w1"), g(3, "w2"), w(3, "w2"))
+      .mkString(",\n")
+  }
+
+  /** Run the same 3 GD steps on a feature frame; returns w3 (each step
+    * re-rounded to 8 dp exactly like the oracle chain). */
+  private def trainW3(s: SparkSession, f: DataFrame): Array[Double] = {
+    import s.implicits._
+    var w = Array(0.1d, 0.01d, 0.01d)
+    (1 to 3).foreach { _ =>
+      val p = lit(1.0d) / (lit(1.0d) +
+        exp(-(lit(w(0)) * $"x0" + lit(w(1)) * $"x1" + lit(w(2)) * $"x2")))
+      val g = f.agg(avg((p - $"y") * $"x0"), avg((p - $"y") * $"x1"),
+        avg((p - $"y") * $"x2")).head()
+      w = Array(r8(w(0) - r8(g.getDouble(0))), r8(w(1) - r8(g.getDouble(1))),
+        r8(w(2) - r8(g.getDouble(2))))
+    }
+    w
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Logistic regression by full-batch gradient descent, 3 unrolled
@@ -86,38 +122,54 @@ object Learn {
         } finally f.unpersist()
       },
       Some(s"""WITH feat AS ($featsSql),
-             |w0 AS (SELECT 0.1 AS w0, 0.01 AS w1, 0.01 AS w2),
-             |g1 AS (
-             |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
-             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
-             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
-             |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
-             |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
-             |  FROM feat, w0 w),
-             |w1 AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
-             |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM w0 w, g1 g),
-             |g2 AS (
-             |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
-             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
-             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
-             |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
-             |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
-             |  FROM feat, w1 w),
-             |w2 AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
-             |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM w1 w, g2 g),
-             |g3 AS (
-             |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
-             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
-             |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
-             |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
-             |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
-             |  FROM feat, w2 w),
-             |w3 AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
-             |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM w2 w, g3 g)
+             |$gdChainSql
              |SELECT 1 AS step, w0, w1, w2, loss AS loss_before FROM w1
              |UNION ALL SELECT 2, w0, w1, w2, loss FROM w2
              |UNION ALL SELECT 3, w0, w1, w2, loss FROM w3
              |ORDER BY step""".stripMargin)),
+
+    // Uncertainty sampling — the active-learning read of the q208 model:
+    // score every document with the trained weights and keep the 16 docs
+    // nearest the decision boundary (the ones a labeling pass would
+    // target next). p is rounded to 6 dp BEFORE ranking so both engines
+    // rank identical values; ties break on doc_id. The selection is
+    // orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    // top-16, then a 16-row driver merge), never a global sort.
+    Q("q215_uncertainty_sample",
+      (s, d) => {
+        import s.implicits._
+        val f2 = Tables.documents(s, d).select(
+          $"doc_id",
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          val w = trainW3(s, f2)
+          f2.select($"doc_id", $"y",
+              round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+                lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6).as("p"))
+            .withColumn("dist", abs($"p" - 0.5d))
+            .orderBy($"dist", $"doc_id")
+            .limit(16)
+        } finally f2.unpersist()
+      },
+      Some(s"""WITH feat2 AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             |    1.0 AS x0, n_chars / 256.0 AS x1,
+             |    len(string_split(text, ' ')) / 64.0 AS x2
+             |  FROM documents),
+             |feat AS (SELECT y, x0, x1, x2 FROM feat2),
+             |$gdChainSql,
+             |scored AS (
+             |  SELECT f.doc_id, f.y,
+             |    round(1/(1+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))), 6) AS p
+             |  FROM feat2 f, w3 w)
+             |SELECT doc_id, y, p, abs(p - 0.5) AS dist
+             |FROM scored
+             |ORDER BY dist, doc_id
+             |LIMIT 16""".stripMargin)),
 
     // Unigram-LM (SentencePiece-style) tokenizer: build a piece vocab
     // (every single character + the 24 most frequent 2/3-grams over the
