@@ -1,0 +1,51 @@
+package graft
+
+/** Machine-checked versions of the PLANS.md audit claims — the plan
+  * shapes the 100 TB story depends on, pinned so a refactor (or a Spark
+  * upgrade) that silently regresses one fails the suite, not the next
+  * manual audit.
+  */
+class PlanAuditSuite extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filters reach the parquet scan and columns are pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate predicate must be pushed to the scan")
+    assert(!p.contains("l_orderkey"),
+      "unused lineitem columns must not survive pruning")
+  }
+
+  test("q08: per-group top-k runs through WindowGroupLimit, not a full sort+filter") {
+    // Spark's rank-limit pushdown keeps only k rows per group per
+    // partition BEFORE the window shuffle — the difference between
+    // shuffling k·groups rows and shuffling the corpus at 100 TB
+    assert(plan("q08_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("q05: star joins broadcast every dimension side") {
+    val p = plan("q05_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q84: the band theta-join is rewritten to a binned equi-join") {
+    val p = plan("q84_auto_range_join")
+    // the RangeBinJoin rule must leave no fact-sized nested loop: the
+    // |Δt| <= w predicate becomes a Generate (bin explode) + hash join
+    assert(p.contains("Generate"), "bin explode missing - rule did not fire")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q196: bounded group sampling uses the UDAF, never a window sort") {
+    assert(!plan("q196_group_sample").contains("Window"),
+      "top-k-per-group must aggregate, not rank the corpus")
+  }
+
+  test("q215: boundary sampling is TakeOrdered, not a global sort") {
+    assert(plan("q215_uncertainty_sample").contains("TakeOrderedAndProject"))
+  }
+}
