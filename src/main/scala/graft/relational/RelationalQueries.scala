@@ -2803,7 +2803,53 @@ object RelationalQueries {
              |FROM (SELECT event_type,
              |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events)
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // FORWARD as-of through the same native operator — the backward merge
+    // composes into "first purchase AT OR AFTER each error" by negating
+    // the time axis (last right with −t_r ≤ −t_l ⇔ first right with
+    // t_r ≥ t_l); the tie-break negates event_id, so equal-instant
+    // purchases resolve to the LOWEST id, mirrored by min_by in the
+    // oracle. Same plan: one exchange per side + one forward-merge pass.
+    Q("q216_asof_forward",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val errs = ev.filter($"event_type" === "error")
+          .select($"event_id".as("err_id"), $"user_id", $"ts".as("err_ts"),
+            struct((-unix_micros($"ts")).as("t"), lit(Long.MaxValue).as("i")).as("lt"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_uid"), $"ts".as("p_ts"),
+            $"event_id".as("p_id"), $"value".as("p_value"),
+            struct((-unix_micros($"ts")).as("t"), (-$"event_id").as("i")).as("rt"))
+        graft.plans.AsOf.join(s, errs, purch,
+            Seq("user_id"), Seq("p_uid"), "lt", "rt")
+          .select($"err_id", $"user_id", $"err_ts", $"p_ts", $"p_id",
+            round($"p_value", 2).as("p_value"),
+            round((unix_micros($"p_ts") - unix_micros($"err_ts")) / lit(1e6), 3)
+              .as("wait_s"))
+          .orderBy($"err_id")
+      },
+      Some("""WITH wl AS (
+             |  SELECT event_id, ts, user_id, event_type,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts
+             |      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pts
+             |  FROM events),
+             |err AS (
+             |  SELECT event_id AS err_id, user_id, ts AS err_ts, next_pts
+             |  FROM wl WHERE event_type = 'error'),
+             |p AS (
+             |  SELECT user_id, ts AS next_pts, event_id AS p_id, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT e.err_id, e.user_id, e.err_ts, e.next_pts AS p_ts,
+             |  CAST(min(p.p_id) AS BIGINT) AS p_id,
+             |  round(min_by(p.p_value, p.p_id), 2) AS p_value,
+             |  round((epoch_us(e.next_pts) - epoch_us(e.err_ts)) / 1e6, 3) AS wait_s
+             |FROM err e LEFT JOIN p
+             |  ON p.user_id = e.user_id AND p.next_pts = e.next_pts
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY err_id""".stripMargin))
   )
 
   /** The z_value interleave as portable SQL, shared by the q68 oracle. */

@@ -518,6 +518,20 @@ object StreamingQueries {
              |JOIN tstat s ON s.user_id = a.user_id
              |JOIN argm m ON m.user_id = a.user_id
              |WHERE a.n >= 2
-             |ORDER BY a.user_id""".stripMargin))
+             |ORDER BY a.user_id""".stripMargin)),
+
+    // Event-time timers + state eviction on transformWithState (see
+    // TwsTimers): per-user inactivity alerts fired by the WATERMARK
+    // passing last_seen + 30 min — the no-data micro-batch after the
+    // file batch fires them; the strict 31-min predicate makes the
+    // result a pure function of the data.
+    Q("q217_stream_timers",
+      (s, d) => TwsTimers.inactiveUsers(s, d, "q217_stream_timers_sink"),
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+             |u AS (SELECT user_id, max(ts) AS last_seen FROM events GROUP BY 1)
+             |SELECT user_id, last_seen
+             |FROM u, mx
+             |WHERE last_seen + INTERVAL 31 MINUTE <= m - INTERVAL 10 MINUTE
+             |ORDER BY user_id""".stripMargin))
   )
 }
