@@ -27,12 +27,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
     val spark = Sessions.local(cpus)
-    // warm-up: touch every table (page cache + parquet footers) and run one
-    // cheap aggregation so JIT/codegen startup doesn't land on the first
-    // timed query
+    // warm-up: pull every table's BYTES through the page cache (count()
+    // alone reads only footers/metadata, leaving the first timed queries
+    // to pay the cold read — observed as a 130 s vs 170+ s whole-run
+    // spread depending on cache state) and run one cheap aggregation so
+    // JIT/codegen startup doesn't land on the first timed query
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val p = Paths.get(s"$sfDir/$t.parquet")
+      if (Files.isRegularFile(p)) Files.readAllBytes(p)
+      Tables.load(spark, sfDir, t).count()
+    }
     SparkEntry.queries.get("q06_forecast_revenue").foreach(_(spark, sfDir).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
