@@ -359,6 +359,114 @@ object Metrics {
              |  FROM ranked WHERE er <= 5 GROUP BY 1)
              |SELECT qid, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
              |  round(dcg / idcg, 4) AS ndcg
-             |FROM dcg JOIN idcg USING (qid) ORDER BY qid""".stripMargin))
+             |FROM dcg JOIN idcg USING (qid) ORDER BY qid""".stripMargin)),
+
+    // Matryoshka truncation audit — MRL-style embeddings are stored full
+    // width but SERVED truncated; this measures what a 100 TB serving
+    // tier loses by reading only the first 16/32 of 64 dims: top-5
+    // overlap between the truncated-cosine and full-cosine rankings per
+    // panel query. One pass computes all three dot products against the
+    // broadcast 8-query panel (|panel|·|corpus|, never corpus²);
+    // cosines round to 4 dp BEFORE ranking, ties break on did.
+    Q("q218_matryoshka",
+      (s, d) => {
+        import s.implicits._
+        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          round(Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b)), 4)
+        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val q = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        val pairs = e.select($"vec_id".as("did"), $"embedding".as("de"))
+          .crossJoin(broadcast(q))
+          .filter($"did" =!= $"qid")
+          .select($"qid", $"did",
+            cos($"qe", $"de").as("c"),
+            cos(expr("slice(qe, 1, 32)"), expr("slice(de, 1, 32)")).as("c32"),
+            cos(expr("slice(qe, 1, 16)"), expr("slice(de, 1, 16)")).as("c16"))
+        def rk(c: org.apache.spark.sql.Column) = row_number().over(
+          Window.partitionBy($"qid").orderBy(c.desc, $"did"))
+        pairs
+          .withColumn("er", rk($"c"))
+          .withColumn("r32", rk($"c32"))
+          .withColumn("r16", rk($"c16"))
+          .groupBy($"qid")
+          .agg(sum(when($"er" <= 5 && $"r32" <= 5, 1L).otherwise(0L)).as("overlap32"),
+            sum(when($"er" <= 5 && $"r16" <= 5, 1L).otherwise(0L)).as("overlap16"))
+          .orderBy($"qid")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |nf AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM e GROUP BY 1),
+             |n32 AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM e WHERE i <= 32 GROUP BY 1),
+             |n16 AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM e WHERE i <= 16 GROUP BY 1),
+             |df AS (
+             |  SELECT q.vec_id AS qid, x.vec_id AS did, sum(q.v * x.v) AS dot
+             |  FROM e q JOIN e x USING (i)
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id GROUP BY 1, 2),
+             |d32 AS (
+             |  SELECT q.vec_id AS qid, x.vec_id AS did, sum(q.v * x.v) AS dot
+             |  FROM e q JOIN e x USING (i)
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id AND q.i <= 32 AND x.i <= 32
+             |  GROUP BY 1, 2),
+             |d16 AS (
+             |  SELECT q.vec_id AS qid, x.vec_id AS did, sum(q.v * x.v) AS dot
+             |  FROM e q JOIN e x USING (i)
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id AND q.i <= 16 AND x.i <= 16
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT f.qid, f.did,
+             |    round(f.dot / (qa.nn * qb.nn), 4) AS c,
+             |    round(a32.dot / (pa.nn * pb.nn), 4) AS c32,
+             |    round(a16.dot / (sa.nn * sb.nn), 4) AS c16
+             |  FROM df f
+             |  JOIN d32 a32 ON a32.qid = f.qid AND a32.did = f.did
+             |  JOIN d16 a16 ON a16.qid = f.qid AND a16.did = f.did
+             |  JOIN nf qa ON qa.vec_id = f.qid JOIN nf qb ON qb.vec_id = f.did
+             |  JOIN n32 pa ON pa.vec_id = f.qid JOIN n32 pb ON pb.vec_id = f.did
+             |  JOIN n16 sa ON sa.vec_id = f.qid JOIN n16 sb ON sb.vec_id = f.did),
+             |ranked AS (
+             |  SELECT qid, did,
+             |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, did) AS er,
+             |    row_number() OVER (PARTITION BY qid ORDER BY c32 DESC, did) AS r32,
+             |    row_number() OVER (PARTITION BY qid ORDER BY c16 DESC, did) AS r16
+             |  FROM pairs)
+             |SELECT qid,
+             |  CAST(sum(CASE WHEN er <= 5 AND r32 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS overlap32,
+             |  CAST(sum(CASE WHEN er <= 5 AND r16 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS overlap16
+             |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin)),
+
+    // Normalization idempotence audit — the precondition every dedup /
+    // fingerprint stage silently assumes: normalize(normalize(x)) ==
+    // normalize(x). One conditional-aggregation scan per source reports
+    // how much the normalizer (lowercase + whitespace collapse + trim)
+    // changes, and n_nonidem MUST be 0 — a normalizer that isn't a
+    // projection would make every downstream content hash unstable.
+    Q("q219_normalize_idempotent",
+      (s, d) => {
+        import s.implicits._
+        val norm1 = trim(regexp_replace(lower($"text"), "\\s+", " "))
+        val norm2 = trim(regexp_replace(lower(norm1), "\\s+", " "))
+        Tables.documents(s, d)
+          .select($"source", $"text", norm1.as("n1"), norm2.as("n2"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"text" =!= $"n1", 1L).otherwise(0L)).as("n_changed"),
+            sum(length($"text") - length($"n1")).as("tot_delta"),
+            sum(when($"n1" =!= $"n2", 1L).otherwise(0L)).as("n_nonidem"))
+          .orderBy($"source")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, text,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n1,
+             |    trim(regexp_replace(lower(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+             |      '\s+', ' ', 'g')) AS n2
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN text != n1 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(sum(length(text) - length(n1)) AS BIGINT) AS tot_delta,
+             |  CAST(sum(CASE WHEN n1 != n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonidem
+             |FROM n GROUP BY source ORDER BY source""".stripMargin))
   )
 }
