@@ -285,6 +285,65 @@ object Learn {
              |GROUP BY t.word, t.cnt, b.cost
              |ORDER BY t.word""".stripMargin)),
 
+    // Inter-rater agreement (Cohen's κ) between the rule label
+    // (lang = 'en') and the trained q208 classifier at threshold 0.5 —
+    // the "do my two labelers actually agree beyond chance" audit run
+    // before trusting silver labels. Confusion counts are exact integers
+    // from one conditional-aggregation scan (predictions use the 6-dp
+    // rounded p, so the threshold comparison is engine-identical); κ is
+    // one closed-form expression over the four counts.
+    Q("q220_cohens_kappa",
+      (s, d) => {
+        import s.implicits._
+        val f2 = Tables.documents(s, d).select(
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          val w = trainW3(s, f2)
+          val scored = f2.select($"y",
+            when(round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+              lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6) >= 0.5d, 1.0d)
+              .otherwise(0.0d).as("yhat"))
+          scored.agg(
+              sum(when($"y" === 1.0d && $"yhat" === 1.0d, 1L).otherwise(0L)).as("tp"),
+              sum(when($"y" === 0.0d && $"yhat" === 1.0d, 1L).otherwise(0L)).as("fp"),
+              sum(when($"y" === 1.0d && $"yhat" === 0.0d, 1L).otherwise(0L)).as("fn"),
+              sum(when($"y" === 0.0d && $"yhat" === 0.0d, 1L).otherwise(0L)).as("tn"))
+            .select($"tp", $"fp", $"fn", $"tn",
+              round(($"tp" + $"tn") / ($"tp" + $"fp" + $"fn" + $"tn").cast("double"), 6)
+                .as("po"),
+              round((($"tp" + $"fn") * ($"tp" + $"fp") + ($"fp" + $"tn") * ($"fn" + $"tn"))
+                / (($"tp" + $"fp" + $"fn" + $"tn") * ($"tp" + $"fp" + $"fn" + $"tn"))
+                  .cast("double"), 6).as("pe"))
+            .withColumn("kappa", round(($"po" - $"pe") / (lit(1.0d) - $"pe"), 6))
+        } finally f2.unpersist()
+      },
+      Some(s"""WITH feat AS ($featsSql),
+             |$gdChainSql,
+             |scored AS (
+             |  SELECT f.y,
+             |    CASE WHEN round(1/(1+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))), 6)
+             |      >= 0.5 THEN 1.0 ELSE 0.0 END AS yhat
+             |  FROM feat f, w3 w),
+             |cm AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM scored),
+             |rates AS (
+             |  SELECT tp, fp, fn, tn,
+             |    round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS po,
+             |    round(((tp + fn) * (tp + fp) + (fp + tn) * (fn + tn))
+             |      / CAST((tp + fp + fn + tn) * (tp + fp + fn + tn) AS DOUBLE), 6) AS pe
+             |  FROM cm)
+             |SELECT tp, fp, fn, tn, po, pe,
+             |  round((po - pe) / (1.0 - pe), 6) AS kappa
+             |FROM rates""".stripMargin)),
+
     // Ridge regression in closed form: ŷ = n_chars/256 from the token
     // count and the sentence-punctuation count, solved from the normal
     // equations (XᵀX + λI)w = Xᵀy with λ = 1. ONE aggregation scan
