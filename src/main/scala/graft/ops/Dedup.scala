@@ -1705,6 +1705,53 @@ object Dedup {
              |SELECT a, b, round(cw * 1.0 / (ta.tw + tb.tw - cw), 4) AS wjaccard
              |FROM common JOIN tot ta ON ta.doc_id = a JOIN tot tb ON tb.doc_id = b
              |WHERE cw * 1.0 / (ta.tw + tb.tw - cw) >= 0.10
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // Newman modularity of the near-dup cluster partition — the
+    // community-quality certificate for the q46 components. Every LSH
+    // edge is intra-component by construction (components are the
+    // transitive closure), so Σe_c = m and Q reduces to
+    // 1 − Σ_c (d_c / 2m)², computed from exact integer degree sums with
+    // ONE final double expression. At 100 TB this adds one groupBy over
+    // the (bounded) pair list to the CC cost it reuses; nothing touches
+    // the corpus again.
+    Q("q221_modularity",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(Tables.documents(s, d)).select($"a", $"b").cache()
+        try {
+          val comp = connectedComponents(pairs)
+            .withColumnRenamed("id", "node")
+          val deg = pairs.select($"a".as("node"))
+            .unionAll(pairs.select($"b".as("node")))
+            .groupBy($"node").agg(count(lit(1)).as("deg"))
+          val dc = deg.join(comp, "node")
+            .groupBy($"component").agg(sum($"deg").as("d_c"))
+          val m = pairs.count()
+          dc.agg(count(lit(1)).as("n_communities"),
+              sum($"d_c" * $"d_c").as("sum_d2"))
+            .select(lit(m).as("m"), $"n_communities", $"sum_d2",
+              round(lit(1.0d) - $"sum_d2" / (4.0d * m * m), 6).as("modularity"))
+        } finally pairs.unpersist()
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM sym
+             |  UNION
+             |  SELECT x.id, e.dst FROM reach x JOIN sym e ON e.src = x.r),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+             |dc AS (
+             |  SELECT c.component, CAST(sum(g.deg) AS BIGINT) AS d_c
+             |  FROM deg g JOIN comp c ON c.id = g.node GROUP BY 1),
+             |m AS (SELECT count(*) AS m FROM pairs)
+             |SELECT CAST(m.m AS BIGINT) AS m,
+             |  count(*) AS n_communities,
+             |  CAST(sum(d_c * d_c) AS BIGINT) AS sum_d2,
+             |  round(1.0 - sum(d_c * d_c) / (4.0 * m.m * m.m), 6) AS modularity
+             |FROM dc, m
+             |GROUP BY m.m""".stripMargin))
   )
 }
