@@ -305,6 +305,73 @@ object Audits {
            |FROM hourly h JOIN ewma e USING (event_type, hr)
            |ORDER BY drift_ratio DESC, event_type, hr
            |LIMIT 20""".stripMargin
-      })
+      }),
+
+    // The native mergeable-HLL aggregate (functions.HllRegisterAgg, a
+    // Catalyst TypedImperativeAggregate — 256-byte register buffer per
+    // group, map-side partials, binary shuffle, O(1) merge) counting
+    // distinct tokens per source. Because the registers hash with the
+    // engine-portable 52-bit md5 prefix, the ORACLE REPLAYS THE SKETCH
+    // ITSELF register-by-register (not just an error bound): DuckDB
+    // computes the same bucket maxima from generate_series(0,255) and
+    // the same harmonic-mean estimate with linear-counting correction,
+    // and the rounded estimate must hash-match. exact is the true
+    // distinct count; ok pins the ±15% envelope.
+    Q("q222_hll_native",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"source", explode(split($"text", " ")).as("w"))
+          .distinct()
+        toks.groupBy($"source")
+          .agg(count(lit(1)).as("n_exact"),
+            graft.functions.HllRegisterAgg.hllRegisters($"w").as("regs"))
+          .withColumn("sum_inv", expr(
+            "aggregate(regs, cast(0.0 as double), (a, x) -> a + 1.0d / cast(shiftleft(1L, x) as double))"))
+          .withColumn("zeros", expr("size(filter(regs, x -> x = 0))").cast("long"))
+          .withColumn("raw_est",
+            lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0d) / $"sum_inv")
+          .withColumn("hll_est", round(
+            when($"raw_est" <= 640.0d && $"zeros" > 0,
+              lit(256.0d) * log(lit(256.0d) / $"zeros")).otherwise($"raw_est"), 4))
+          .select($"source", $"n_exact", $"zeros", $"hll_est",
+            (abs($"hll_est" - $"n_exact") <= $"n_exact" * 0.15d).as("ok"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT source, w FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+             |h AS (
+             |  SELECT source, ('0x' || substr(md5(w), 1, 13))::BIGINT AS h FROM toks),
+             |ranked AS (
+             |  SELECT source, h % 256 AS bucket,
+             |    CASE WHEN h // 256 = 0 THEN 45
+             |      ELSE 44 - CAST(floor(log2(h // 256)) AS INTEGER) END AS rank
+             |  FROM h),
+             |maxima AS (
+             |  SELECT source, bucket, max(rank) AS r FROM ranked GROUP BY 1, 2),
+             |srcs AS (SELECT DISTINCT source FROM toks),
+             |full_regs AS (
+             |  SELECT s.source, g.b AS bucket, coalesce(m.r, 0) AS r
+             |  FROM srcs s
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) g
+             |  LEFT JOIN maxima m ON m.source = s.source AND m.bucket = g.b),
+             |agg AS (
+             |  SELECT source,
+             |    sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS sum_inv,
+             |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+             |  FROM full_regs GROUP BY 1),
+             |exact AS (SELECT source, count(*) AS n_exact FROM toks GROUP BY 1),
+             |est AS (
+             |  SELECT a.source, e.n_exact, a.zeros,
+             |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / a.sum_inv AS raw_est
+             |  FROM agg a JOIN exact e USING (source))
+             |SELECT source, n_exact, zeros,
+             |  round(CASE WHEN raw_est <= 640.0 AND zeros > 0
+             |    THEN 256.0 * ln(256.0 / zeros) ELSE raw_est END, 4) AS hll_est,
+             |  abs(round(CASE WHEN raw_est <= 640.0 AND zeros > 0
+             |    THEN 256.0 * ln(256.0 / zeros) ELSE raw_est END, 4) - n_exact)
+             |    <= n_exact * 0.15 AS ok
+             |FROM est ORDER BY source""".stripMargin))
   )
 }
