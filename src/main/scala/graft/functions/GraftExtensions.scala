@@ -10,6 +10,7 @@ object GraftFunctions {
     graft.kmer.KmerGenerator.register(spark)
     DotProduct.register(spark)
     ZValue.register(spark)
+    HllRegisterAgg.register(spark)
   }
 }
 
@@ -57,7 +58,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZValue(exprs.head, exprs(1))
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegisterAgg].getName, "hll_registers"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "usage: hll_registers(x)")
+        HllRegisterAgg(exprs.head).toAggregateExpression()
+      }))
+
     // band-join → binned equi-join rewrite (see plans.RangeBinJoin)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoin)
+
+    // native as-of join planning (see plans.AsOfJoinPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -407,6 +407,11 @@ class OpsSuite extends SparkSuite {
         |LATERAL VIEW kmer_explode(seq, 4) k AS kmer""".stripMargin).collect()
     assert(r.map(_.getString(0)).toSeq === Seq("ACGT", "CGTA"))
     assert(r.forall(_.getDouble(1) === 11.0))
+    // the native HLL aggregate resolves by SQL name too
+    val regs = spark.sql(
+      "SELECT hll_registers(x) AS r FROM (SELECT explode(array('a','b','c')) AS x)")
+      .collect().head.getSeq[Int](0)
+    assert(regs.length === 256 && regs.count(_ > 0) === 3)
     // the cluster-deployment hook (spark.sql.extensions) injects the same
     // builders at session build time; pin that injection itself is sound
     new graft.functions.GraftExtensions()
