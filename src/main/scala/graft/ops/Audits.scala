@@ -372,6 +372,36 @@ object Audits {
              |  abs(round(CASE WHEN raw_est <= 640.0 AND zeros > 0
              |    THEN 256.0 * ln(256.0 / zeros) ELSE raw_est END, 4) - n_exact)
              |    <= n_exact * 0.15 AS ok
-             |FROM est ORDER BY source""".stripMargin))
+             |FROM est ORDER BY source""".stripMargin)),
+
+    // Order-invariant dataset fingerprint — the content-addressed version
+    // id a pipeline cache/lineage layer keys on: per source, XOR of a
+    // canonical per-row hash (md5 over a delimited projection of every
+    // column, text itself pre-hashed). XOR is commutative/associative, so
+    // the fingerprint is independent of partitioning, row order, and
+    // merge order — one partial-agg scan at any scale, and any single
+    // changed/added/dropped row flips it.
+    Q("q224_dataset_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"source",
+            expr("""cast(conv(substring(md5(concat_ws('|',
+                   |  cast(doc_id as string), lang, cast(n_chars as string),
+                   |  md5(text))), 1, 13), 16, 10) as bigint)""".stripMargin)
+              .as("h"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fingerprint"))
+          .orderBy($"source")
+      },
+      Some("""WITH h AS (
+             |  SELECT source,
+             |    ('0x' || substr(md5(concat_ws('|',
+             |      CAST(doc_id AS VARCHAR), lang, CAST(n_chars AS VARCHAR),
+             |      md5(text))), 1, 13))::BIGINT AS h
+             |  FROM documents)
+             |SELECT source, count(*) AS n_rows,
+             |  CAST(bit_xor(h) AS BIGINT) AS fingerprint
+             |FROM h GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -437,6 +437,46 @@ object Metrics {
              |  CAST(sum(CASE WHEN er <= 5 AND r16 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS overlap16
              |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin)),
 
+    // Weighted consistent sampling (Efraimidis–Spirakis): the top-4 docs
+    // per source by u^(1/w) with u = md5-uniform and w = n_chars — the
+    // reproducible LENGTH-PROPORTIONAL sample (long docs more likely)
+    // that complements q196's uniform one. Ranking uses the monotone
+    // integer surrogate round(1e9·ln(u)/w) so both engines order
+    // identical BIGINTs; the TopKAggregator keeps shuffle state at 4
+    // entries per (partition, source) — the oracle's window sort IS the
+    // shape this replaces at 100 TB.
+    Q("q223_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        val top4 = udaf(new graft.functions.TopKAggregator(4))
+        val scored = Tables.documents(s, d)
+          .select($"source", $"doc_id", $"n_chars",
+            expr(s"""cast(round(1e9 * ln(${mdLong("concat('wsmp:', doc_id)")}
+                    | / 4503599627370496.0d) / n_chars) as bigint)""".stripMargin)
+              .as("score"))
+        scored
+          .groupBy($"source")
+          .agg(top4($"score", $"doc_id").as("top"))
+          .select($"source", posexplode(arrays_zip($"top.scores", $"top.ids")))
+          .select($"source", ($"pos" + 1).cast("long").as("rank"),
+            $"col.ids".as("doc_id"), $"col.scores".as("score"))
+          .join(Tables.documents(s, d).select($"doc_id", $"n_chars"), "doc_id")
+          .select($"source", $"rank", $"doc_id", $"n_chars", $"score")
+          .orderBy($"source", $"rank")
+      },
+      Some("""WITH h AS (
+             |  SELECT source, doc_id, n_chars,
+             |    CAST(round(1e9 * ln((('0x' || substr(md5('wsmp:' || doc_id), 1, 13))::BIGINT)
+             |      / 4503599627370496.0) / n_chars) AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, n_chars, score,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY score DESC, doc_id) AS rank
+             |  FROM h)
+             |SELECT source, rank, doc_id, n_chars, score
+             |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin)),
+
     // Normalization idempotence audit — the precondition every dedup /
     // fingerprint stage silently assumes: normalize(normalize(x)) ==
     // normalize(x). One conditional-aggregation scan per source reports
