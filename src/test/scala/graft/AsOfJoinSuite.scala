@@ -37,6 +37,26 @@ class AsOfJoinSuite extends SparkSuite {
       (3L, 9L, None, None))) // key absent on the right
   }
 
+  test("composite keys: the merge respects every key column") {
+    import spark.implicits._
+    val left = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 1L, 10L))
+      .toDF("k1", "k2", "t")
+      .select($"k1", $"k2", $"t",
+        struct($"t".as("t"), lit(Long.MaxValue).as("i")).as("lt"))
+    val right = Seq(("a", 1L, 5L, "a1"), ("a", 2L, 7L, "a2"), ("b", 2L, 3L, "b2"))
+      .toDF("rk1", "rk2", "rt0", "tag")
+      .select($"rk1", $"rk2", $"rt0", $"tag",
+        struct($"rt0".as("t"), lit(0L).as("i")).as("rt"))
+    val out = graft.plans.AsOf.join(spark, left, right,
+        Seq("k1", "k2"), Seq("rk1", "rk2"), "lt", "rt")
+      .select($"k1", $"k2", $"tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out === Set(
+      ("a", 1L, Some("a1")),
+      ("a", 2L, Some("a2")),
+      ("b", 1L, None))) // (b,2) exists on the right but key (b,1) must not match
+  }
+
   test("q212 equals the q16 window formulation where matched") {
     val sf = "/root/testdata/sf0.001"
     val native = SparkEntry.queries("q212_asof_native")(spark, sf)
