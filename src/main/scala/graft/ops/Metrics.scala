@@ -437,6 +437,74 @@ object Metrics {
              |  CAST(sum(CASE WHEN er <= 5 AND r16 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS overlap16
              |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin)),
 
+    // Single-linkage dendrogram over the label centroids — hierarchical
+    // clustering's merge order equals Prim's MST edge order, so the
+    // "which classes fuse first" map comes out as 9 greedy edge picks
+    // over the 45-entry centroid distance matrix. The 100 TB reduction
+    // is the same one as q198 (one partial-agg mean per (label, dim));
+    // the MST runs driver-side on the |labels|² matrix — bounded data,
+    // the q210/Tare driver-solve pattern. The oracle unrolls Prim: one
+    // CTE pair per step, tree membership as a growing list, ties broken
+    // (w, la, lb). Distances are Euclidean over 6-dp centroids, rounded
+    // to 6 dp, so both engines pick among identical doubles.
+    Q("q225_centroid_mst",
+      (s, d) => {
+        import s.implicits._
+        val cent = Tables.embeddings(s, d)
+          .select($"label", posexplode($"embedding").as(Seq("i", "v")))
+          .groupBy($"label", $"i")
+          .agg(round(avg($"v".cast("double")), 6).as("c"))
+        val a = cent.select($"label".as("la"), $"i", $"c".as("ca"))
+        val b = cent.select($"label".as("lb"), $"i", $"c".as("cb"))
+        val dist = a.join(b, "i").filter($"la" < $"lb")
+          .groupBy($"la", $"lb")
+          .agg(round(sqrt(sum(($"ca" - $"cb") * ($"ca" - $"cb"))), 6).as("w"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val nodes = dist.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        var tree = Set(nodes.min)
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var step = 1L
+        while (tree.size < nodes.length) {
+          val cand = dist.filter(e => tree.contains(e._1) != tree.contains(e._2))
+          val (la, lb, w) = cand.minBy(e => (e._3, e._1, e._2))
+          picks += ((step, la.toLong, lb.toLong, w))
+          tree += (if (tree.contains(la)) lb else la)
+          step += 1
+        }
+        s.createDataFrame(picks.toSeq).toDF("step", "la", "lb", "w")
+          .orderBy($"step")
+      },
+      Some {
+        val steps = (1 to 9).map { k =>
+          s"""s$k AS (
+             |  SELECT d.la, d.lb, d.w FROM dist d, t${k - 1}
+             |  WHERE list_contains(t${k - 1}.t, d.la) != list_contains(t${k - 1}.t, d.lb)
+             |  ORDER BY d.w, d.la, d.lb LIMIT 1),
+             |t$k AS (
+             |  SELECT list_append(t${k - 1}.t,
+             |    CASE WHEN list_contains(t${k - 1}.t, s$k.la) THEN s$k.lb ELSE s$k.la END) AS t
+             |  FROM t${k - 1}, s$k)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to 9).map(k =>
+          s"SELECT $k AS step, CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb, w FROM s$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH e AS (
+           |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |cent AS (SELECT label, i, round(avg(v), 6) AS c FROM e GROUP BY 1, 2),
+           |dist AS (
+           |  SELECT a.label AS la, b.label AS lb,
+           |    round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS w
+           |  FROM cent a JOIN cent b USING (i) WHERE a.label < b.label
+           |  GROUP BY 1, 2),
+           |t0 AS (SELECT [(SELECT min(label) FROM cent)] AS t),
+           |$steps
+           |$union
+           |ORDER BY step""".stripMargin
+      }),
+
     // Weighted consistent sampling (Efraimidis–Spirakis): the top-4 docs
     // per source by u^(1/w) with u = md5-uniform and w = n_chars — the
     // reproducible LENGTH-PROPORTIONAL sample (long docs more likely)
