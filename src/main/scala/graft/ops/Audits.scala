@@ -402,6 +402,101 @@ object Audits {
              |  FROM documents)
              |SELECT source, count(*) AS n_rows,
              |  CAST(bit_xor(h) AS BIGINT) AS fingerprint
-             |FROM h GROUP BY source ORDER BY source""".stripMargin))
+             |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
+    // χ² independence audit of the (source, lang) contingency table — is
+    // language mix actually independent of source, or is a crawl slice
+    // skewed? The statistic is assembled from EXACT integer cross
+    // products (o·N − r·c over a common denominator), summed before the
+    // one division, so rounding sees stable doubles. One (source, lang)
+    // count scan; the χ² epilogue is |sources|·|langs|.
+    Q("q226_chisq_independence",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.documents(s, d)
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+        val rs = o.groupBy($"source").agg(sum($"o").as("r"))
+        val cs = o.groupBy($"lang").agg(sum($"o").as("c"))
+        val n = o.agg(sum($"o").as("n"))
+        rs.crossJoin(broadcast(cs))
+          .join(o, Seq("source", "lang"), "left")
+          .crossJoin(broadcast(n))
+          .select($"source", $"lang", $"r", $"c", $"n",
+            // num² overflows BIGINT once N² terms appear (N ≥ ~1e5), so
+            // the square happens in double space as (num/N)²·N/(r·c) —
+            // identical formula text in the oracle
+            ((coalesce($"o", lit(0L)) * $"n" - $"r" * $"c") / ($"n" * 1.0d)).as("x"))
+          .agg(
+            (countDistinct($"source") - 1).as("dof_r"),
+            (countDistinct($"lang") - 1).as("dof_c"),
+            round(sum($"x" * $"x" * $"n" / ($"r" * $"c" * 1.0d)), 6)
+              .as("chi2_scaled"))
+          .select(($"dof_r" * $"dof_c").as("dof"), $"chi2_scaled".as("chi2"))
+      },
+      Some("""WITH o AS (
+             |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+             |rs AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+             |cs AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+             |cells AS (
+             |  SELECT rs.source, cs.lang, rs.r, cs.c, n.n,
+             |    (coalesce(o.o, 0) * n.n - rs.r * cs.c) / (n.n * 1.0) AS x
+             |  FROM rs CROSS JOIN cs CROSS JOIN n
+             |  LEFT JOIN o ON o.source = rs.source AND o.lang = cs.lang)
+             |SELECT CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+             |    AS BIGINT) AS dof,
+             |  round(sum(x * x * n / (r * c * 1.0)), 6) AS chi2
+             |FROM cells""".stripMargin)),
+
+    // Seasonal decomposition of event volume: collapse to (type, hour)
+    // counts, extract the hour-of-day profile (the seasonal component),
+    // and report how much variance the season explains —
+    // var(residual)/var(series) per type. Everything runs on the
+    // aggregated hourly series (|types|·|hours| rows), so the 100 TB
+    // cost is the one groupBy scan; the decomposition is an epilogue.
+    Q("q227_seasonal_profile",
+      (s, d) => {
+        import s.implicits._
+        val hourly = Tables.events(s, d)
+          .select($"event_type",
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+        val prof = hourly.withColumn("hod", pmod($"hr", lit(24L)))
+          .groupBy($"event_type", $"hod").agg(avg($"n").as("p"))
+        val amp = prof.groupBy($"event_type")
+          .agg(round(max($"p") - min($"p"), 4).as("amplitude"))
+        hourly.withColumn("hod", pmod($"hr", lit(24L)))
+          .join(prof, Seq("event_type", "hod"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            round(avg($"n"), 4).as("mean_n"),
+            round(var_pop($"n" - $"p") / var_pop($"n" * 1.0d), 4)
+              .as("resid_var_ratio"))
+          .join(amp, "event_type")
+          .select($"event_type", $"n_hours", $"mean_n", $"amplitude",
+            $"resid_var_ratio")
+          .orderBy($"event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |prof AS (
+             |  SELECT event_type, hr % 24 AS hod, avg(n) AS p
+             |  FROM hourly GROUP BY 1, 2),
+             |amp AS (
+             |  SELECT event_type, round(max(p) - min(p), 4) AS amplitude
+             |  FROM prof GROUP BY 1),
+             |dec AS (
+             |  SELECT h.event_type, count(*) AS n_hours,
+             |    round(avg(h.n), 4) AS mean_n,
+             |    round(var_pop(h.n - p.p) / var_pop(h.n * 1.0), 4) AS resid_var_ratio
+             |  FROM hourly h JOIN prof p
+             |    ON p.event_type = h.event_type AND p.hod = h.hr % 24
+             |  GROUP BY 1)
+             |SELECT d.event_type, d.n_hours, d.mean_n, a.amplitude,
+             |  d.resid_var_ratio
+             |FROM dec d JOIN amp a USING (event_type)
+             |ORDER BY event_type""".stripMargin))
   )
 }
