@@ -505,6 +505,76 @@ object Metrics {
            |ORDER BY step""".stripMargin
       }),
 
+    // Per-dimension standardization (whitening-lite) and its effect on
+    // similarity: anisotropic embeddings make cosine concentrate (the
+    // "all vectors look alike" failure); standardizing each dim to
+    // zero-mean/unit-variance is the one-pass fix a 100 TB pipeline can
+    // afford (diagonal whitening — no covariance matrix, no eigen
+    // decomposition; stats are one partial-agg scan over (dim, value)).
+    // Reported per panel query: mean cosine to the corpus before vs
+    // after, and the concentration drop. Stats round to 6 dp before the
+    // rescale so both engines standardize with identical constants.
+    Q("q228_whitening",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id", posexplode($"embedding").as(Seq("i", "v")))
+          .select($"vec_id", $"i", $"v".cast("double").as("v"))
+        val stats = e.groupBy($"i").agg(
+          round(avg($"v"), 6).as("mu"),
+          round(greatest(stddev_pop($"v"), lit(1e-9d)), 6).as("sd"))
+        val w = e.join(broadcast(stats), "i")
+          .select($"vec_id", $"i", $"v", (($"v" - $"mu") / $"sd").as("z"))
+        val norms = w.groupBy($"vec_id").agg(
+          sqrt(sum($"v" * $"v")).as("nv"), sqrt(sum($"z" * $"z")).as("nz"))
+        val q = w.filter($"vec_id" < 8)
+          .select($"vec_id".as("qid"), $"i", $"v".as("qv"), $"z".as("qz"))
+        val dots = w.join(q, "i")
+          .filter($"vec_id" =!= $"qid")
+          .groupBy($"qid", $"vec_id")
+          .agg(sum($"qv" * $"v").as("dv"), sum($"qz" * $"z").as("dz"))
+        dots
+          .join(norms, "vec_id")
+          .join(norms.select($"vec_id".as("qid"), $"nv".as("qnv"), $"nz".as("qnz")),
+            "qid")
+          .groupBy($"qid")
+          .agg(round(avg($"dv" / ($"qnv" * $"nv")), 4).as("mean_cos_raw"),
+            round(avg($"dz" / ($"qnz" * $"nz")), 4).as("mean_cos_white"))
+          .withColumn("concentration_drop",
+            round($"mean_cos_raw" - $"mean_cos_white", 4))
+          .orderBy($"qid")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |stats AS (
+             |  SELECT i, round(avg(v), 6) AS mu,
+             |    round(greatest(stddev_pop(v), 1e-9), 6) AS sd
+             |  FROM e GROUP BY 1),
+             |w AS (
+             |  SELECT e.vec_id, e.i, e.v, (e.v - s.mu) / s.sd AS z
+             |  FROM e JOIN stats s USING (i)),
+             |norms AS (
+             |  SELECT vec_id, sqrt(sum(v * v)) AS nv, sqrt(sum(z * z)) AS nz
+             |  FROM w GROUP BY 1),
+             |dots AS (
+             |  SELECT q.vec_id AS qid, x.vec_id, sum(q.v * x.v) AS dv,
+             |    sum(q.z * x.z) AS dz
+             |  FROM w q JOIN w x USING (i)
+             |  WHERE q.vec_id < 8 AND x.vec_id != q.vec_id
+             |  GROUP BY 1, 2),
+             |cos AS (
+             |  SELECT d.qid,
+             |    d.dv / (qn.nv * xn.nv) AS cr, d.dz / (qn.nz * xn.nz) AS cw
+             |  FROM dots d
+             |  JOIN norms qn ON qn.vec_id = d.qid
+             |  JOIN norms xn ON xn.vec_id = d.vec_id)
+             |SELECT qid, round(avg(cr), 4) AS mean_cos_raw,
+             |  round(avg(cw), 4) AS mean_cos_white,
+             |  round(round(avg(cr), 4) - round(avg(cw), 4), 4) AS concentration_drop
+             |FROM cos GROUP BY qid ORDER BY qid""".stripMargin)),
+
     // Weighted consistent sampling (Efraimidis–Spirakis): the top-4 docs
     // per source by u^(1/w) with u = md5-uniform and w = n_chars — the
     // reproducible LENGTH-PROPORTIONAL sample (long docs more likely)
