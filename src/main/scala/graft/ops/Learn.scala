@@ -41,25 +41,27 @@ object Learn {
   private def r8(v: Double): Double =
     BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** The 3-step GD weight chain as oracle CTE text (expects a `feat`
-    * CTE in scope) — shared verbatim by q208 and q215 so the two oracles
-    * cannot drift apart. */
-  private val gdChainSql: String = {
-    def g(i: Int, prev: String) =
-      s"""g$i AS (
+  /** The 3-step GD weight chain as oracle CTE text over the `feat` CTE
+    * named `$feat`, with CTE names prefixed `$pfx` — shared verbatim by
+    * q208/q215/q220/q229 so the oracles cannot drift apart. */
+  private def gdChain(feat: String, pfx: String): String = {
+    def g(i: Int) =
+      s"""${pfx}g$i AS (
          |  SELECT round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x0), 8) AS g0,
          |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x1), 8) AS g1,
          |    round(avg((1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))) - y) * x2), 8) AS g2,
          |    round(avg(-(y * ln(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))))
          |      + (1 - y) * ln(1 - 1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2)))))), 4) AS loss
-         |  FROM feat, $prev w)""".stripMargin
-    def w(i: Int, prev: String) =
-      s"""w$i AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
-         |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM $prev w, g$i g)""".stripMargin
-    Seq("w0 AS (SELECT 0.1 AS w0, 0.01 AS w1, 0.01 AS w2)",
-      g(1, "w0"), w(1, "w0"), g(2, "w1"), w(2, "w1"), g(3, "w2"), w(3, "w2"))
+         |  FROM $feat, ${pfx}w${i - 1} w)""".stripMargin
+    def w(i: Int) =
+      s"""${pfx}w$i AS (SELECT round(w.w0 - g.g0, 8) AS w0, round(w.w1 - g.g1, 8) AS w1,
+         |    round(w.w2 - g.g2, 8) AS w2, g.loss FROM ${pfx}w${i - 1} w, ${pfx}g$i g)""".stripMargin
+    (Seq(s"${pfx}w0 AS (SELECT 0.1 AS w0, 0.01 AS w1, 0.01 AS w2)") ++
+      (1 to 3).flatMap(i => Seq(g(i), w(i))))
       .mkString(",\n")
   }
+
+  private val gdChainSql: String = gdChain("feat", "")
 
   /** Run the same 3 GD steps on a feature frame; returns w3 (each step
     * re-rounded to 8 dp exactly like the oracle chain). */
@@ -284,6 +286,68 @@ object Learn {
              |JOIN done d ON d.word = t.word AND d.cost = b.cost
              |GROUP BY t.word, t.cnt, b.cost
              |ORDER BY t.word""".stripMargin)),
+
+    // 3-fold cross-validation of the GD classifier — the out-of-sample
+    // honesty check q208's in-sample trace cannot give: fold f trains on
+    // doc_id % 3 ≠ f (the same 3 aggregate-scan steps) and reports
+    // held-out mean log-loss and accuracy on doc_id % 3 = f. Per fold:
+    // 3 training scans + 1 eval scan; the driver carries only 3 doubles.
+    // The oracle unrolls THREE weight chains via the shared generator
+    // (prefix f0_/f1_/f2_), so all four oracles of this model family are
+    // generated from one text.
+    Q("q229_logreg_cv",
+      (s, d) => {
+        import s.implicits._
+        val all = Tables.documents(s, d).select(
+          $"doc_id",
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          val rows = (0 to 2).map { f =>
+            val w = trainW3(s, all.filter($"doc_id" % 3 =!= f))
+            val p = round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+              lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6)
+            val m = all.filter($"doc_id" % 3 === f)
+              .select($"y", p.as("p"))
+              .agg(count(lit(1)),
+                avg(-($"y" * log($"p") + (lit(1.0d) - $"y") * log(lit(1.0d) - $"p"))),
+                sum(when(($"p" >= 0.5d) === ($"y" === 1.0d), 1L).otherwise(0L)))
+              .head()
+            (f.toLong, w(0), w(1), w(2), m.getLong(0),
+              BigDecimal(m.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              m.getLong(2))
+          }
+          s.createDataFrame(rows)
+            .toDF("fold", "w0", "w1", "w2", "n_test", "holdout_loss", "n_correct")
+            .orderBy($"fold")
+        } finally all.unpersist()
+      },
+      Some {
+        val feat2 =
+          """SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+            |  1.0 AS x0, n_chars / 256.0 AS x1,
+            |  len(string_split(text, ' ')) / 64.0 AS x2 FROM documents""".stripMargin
+        val folds = (0 to 2).map { f =>
+          s"""f${f}_feat AS (SELECT y, x0, x1, x2 FROM base WHERE doc_id % 3 != $f),
+             |${gdChain(s"f${f}_feat", s"f${f}_")},
+             |f${f}_eval AS (
+             |  SELECT $f AS fold, w.w0, w.w1, w.w2, count(*) AS n_test,
+             |    round(avg(-(b.y * ln(p) + (1 - b.y) * ln(1 - p))), 4) AS holdout_loss,
+             |    CAST(sum(CASE WHEN (p >= 0.5) = (b.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_correct
+             |  FROM (SELECT *, round(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))), 6) AS p
+             |        FROM base, f${f}_w3 w WHERE doc_id % 3 = $f) b, f${f}_w3 w
+             |  GROUP BY 1, 2, 3, 4)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS ($feat2),
+           |$folds
+           |SELECT fold, w0, w1, w2, n_test, holdout_loss, n_correct FROM f0_eval
+           |UNION ALL SELECT fold, w0, w1, w2, n_test, holdout_loss, n_correct FROM f1_eval
+           |UNION ALL SELECT fold, w0, w1, w2, n_test, holdout_loss, n_correct FROM f2_eval
+           |ORDER BY fold""".stripMargin
+      }),
 
     // Inter-rater agreement (Cohen's κ) between the rule label
     // (lang = 'en') and the trained q208 classifier at threshold 0.5 —
