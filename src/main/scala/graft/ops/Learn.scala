@@ -349,6 +349,86 @@ object Learn {
            |ORDER BY fold""".stripMargin
       }),
 
+    // Loss-based data pruning (the EL2N/forgetting-score shape): score
+    // every doc with its per-example log-loss under the trained model,
+    // split the corpus at the per-source 80th loss percentile (exact,
+    // via the value-histogram rank method — no per-source sort), and
+    // report what the pruned fifth looks like vs the kept bulk. The
+    // decision threshold comes from exact integer ranks over 6-dp
+    // losses, so membership is engine-stable. One training pass + two
+    // aggregation scans at any scale.
+    Q("q230_loss_pruning",
+      (s, d) => {
+        import s.implicits._
+        val f2 = Tables.documents(s, d).select(
+          $"doc_id", $"source", $"n_chars",
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          val w = trainW3(s, f2.select($"y", $"x0", $"x1", $"x2"))
+          val p = round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+            lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6)
+          val scored = f2.select($"doc_id", $"source", $"n_chars", $"y",
+            round(-($"y" * log(p) + (lit(1.0d) - $"y") * log(lit(1.0d) - p)), 6)
+              .as("loss"))
+          // exact per-source 80th percentile threshold via the loss
+          // histogram: the smallest loss value whose cumulative count
+          // reaches ceil(0.8·n) — rank arithmetic, not a sort of docs
+          val hist = scored.groupBy($"source", $"loss").agg(count(lit(1)).as("c"))
+          val cum = hist.withColumn("cum", sum($"c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"source")
+              .orderBy($"loss")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          val n = hist.groupBy($"source").agg(sum($"c").as("n"))
+          val thr = cum.join(n, "source")
+            .filter($"cum" >= ceil($"n" * 0.8d))
+            .groupBy($"source").agg(min($"loss").as("thr"))
+          scored.join(thr, "source")
+            .withColumn("bucket",
+              when($"loss" <= $"thr", lit("kept")).otherwise(lit("pruned")))
+            .groupBy($"source", $"bucket")
+            .agg(count(lit(1)).as("n_docs"),
+              round(avg($"n_chars"), 4).as("mean_chars"),
+              round(avg($"y"), 6).as("en_rate"),
+              round(avg($"loss"), 4).as("mean_loss"))
+            .orderBy($"source", $"bucket")
+        } finally f2.unpersist()
+      },
+      Some {
+        val feat2 =
+          """SELECT doc_id, source, n_chars,
+            |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+            |  1.0 AS x0, n_chars / 256.0 AS x1,
+            |  len(string_split(text, ' ')) / 64.0 AS x2 FROM documents""".stripMargin
+        s"""WITH base AS ($feat2),
+           |feat AS (SELECT y, x0, x1, x2 FROM base),
+           |$gdChainSql,
+           |scored AS (
+           |  SELECT b.doc_id, b.source, b.n_chars, b.y,
+           |    round(-(b.y * ln(p) + (1 - b.y) * ln(1 - p)), 6) AS loss
+           |  FROM (SELECT *, round(1/(1+exp(-(w.w0*x0 + w.w1*x1 + w.w2*x2))), 6) AS p
+           |        FROM base, w3 w) b),
+           |hist AS (SELECT source, loss, count(*) AS c FROM scored GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT source, loss, c,
+           |    sum(c) OVER (PARTITION BY source ORDER BY loss
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM hist),
+           |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+           |thr AS (
+           |  SELECT c.source, min(c.loss) AS thr
+           |  FROM cum c JOIN n ON n.source = c.source
+           |  WHERE c.cum >= ceil(n.n * 0.8) GROUP BY 1)
+           |SELECT s.source,
+           |  CASE WHEN s.loss <= t.thr THEN 'kept' ELSE 'pruned' END AS bucket,
+           |  count(*) AS n_docs, round(avg(s.n_chars), 4) AS mean_chars,
+           |  round(avg(s.y), 6) AS en_rate, round(avg(s.loss), 4) AS mean_loss
+           |FROM scored s JOIN thr t USING (source)
+           |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+      }),
+
     // Inter-rater agreement (Cohen's κ) between the rule label
     // (lang = 'en') and the trained q208 classifier at threshold 0.5 —
     // the "do my two labelers actually agree beyond chance" audit run
