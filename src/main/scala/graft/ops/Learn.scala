@@ -429,6 +429,52 @@ object Learn {
            |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
       }),
 
+    // Confident-learning label suspects — the OPPOSITE tail of q215's
+    // uncertainty sample: docs where the model CONFIDENTLY contradicts
+    // the label (|p − y| ≥ 0.55 — the 3-step model is deliberately
+    // mild, so "confident" is calibrated to its probability range) are the mislabel candidates a cleaning
+    // pass reviews first. Selection is TakeOrdered top-8 by extremity
+    // (6-dp p, doc_id tie-break) — per-partition top-k, 8-row driver
+    // merge, never a global sort.
+    Q("q231_label_suspects",
+      (s, d) => {
+        import s.implicits._
+        val f2 = Tables.documents(s, d).select(
+          $"doc_id", $"source",
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          val w = trainW3(s, f2.select($"y", $"x0", $"x1", $"x2"))
+          f2.select($"doc_id", $"source", $"y",
+              round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+                lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6).as("p"))
+            .withColumn("extremity", abs($"p" - $"y"))
+            .filter($"extremity" >= 0.55d)
+            .orderBy($"extremity".desc, $"doc_id")
+            .limit(8)
+        } finally f2.unpersist()
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, source,
+             |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             |    1.0 AS x0, n_chars / 256.0 AS x1,
+             |    len(string_split(text, ' ')) / 64.0 AS x2
+             |  FROM documents),
+             |feat AS (SELECT y, x0, x1, x2 FROM base),
+             |$gdChainSql,
+             |scored AS (
+             |  SELECT b.doc_id, b.source, b.y,
+             |    round(1/(1+exp(-(w.w0*b.x0 + w.w1*b.x1 + w.w2*b.x2))), 6) AS p
+             |  FROM base b, w3 w)
+             |SELECT doc_id, source, y, p, abs(p - y) AS extremity
+             |FROM scored
+             |WHERE abs(p - y) >= 0.55
+             |ORDER BY extremity DESC, doc_id
+             |LIMIT 8""".stripMargin))
+
+,
     // Inter-rater agreement (Cohen's κ) between the rule label
     // (lang = 'en') and the trained q208 classifier at threshold 0.5 —
     // the "do my two labelers actually agree beyond chance" audit run
