@@ -1707,6 +1707,38 @@ object Dedup {
              |WHERE cw * 1.0 / (ta.tw + tb.tw - cw) >= 0.10
              |ORDER BY a, b""".stripMargin)),
 
+    // Bag-of-words canonical dedup — order-insensitive exact duplicate
+    // detection: the fingerprint is md5 over the SORTED distinct word
+    // set, so shuffled/reordered copies (which q40's exact-text hash
+    // misses) collapse to one group. Same scale shape as q40: only
+    // (fingerprint, id) crosses the shuffle; groups of size 1 are
+    // filtered map-side-combined.
+    Q("q232_bow_dedup",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            md5(concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+              .as("bow_fp"))
+          .groupBy($"bow_fp")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper"),
+            sort_array(collect_list($"doc_id")).as("members"))
+          .filter($"n_docs" > 1)
+          .select($"bow_fp", $"n_docs", $"keeper",
+            concat_ws(",", $"members".cast("array<string>")).as("member_ids"))
+          .orderBy($"bow_fp")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |      AS bow_fp
+             |  FROM documents)
+             |SELECT bow_fp, count(*) AS n_docs,
+             |  CAST(min(doc_id) AS BIGINT) AS keeper,
+             |  array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+             |FROM fp GROUP BY bow_fp HAVING count(*) > 1
+             |ORDER BY bow_fp""".stripMargin)),
+
     // Newman modularity of the near-dup cluster partition — the
     // community-quality certificate for the q46 components. Every LSH
     // edge is intra-component by construction (components are the

@@ -615,6 +615,52 @@ object Metrics {
              |SELECT source, rank, doc_id, n_chars, score
              |FROM r WHERE rank <= 4 ORDER BY source, rank""".stripMargin)),
 
+    // Character-entropy quality signal — low-entropy docs are the
+    // boilerplate/garbage a filter pass drops. Per doc: Shannon entropy
+    // of the character distribution, from (doc, char) counts (the
+    // corpus collapses to ≤|alphabet| rows per doc in one partial-agg
+    // scan); reported as per-source histogram stats plus the count
+    // under the 3.5-bit gate. Entropy rounds to 6 dp per doc before the
+    // source aggregate so both engines average identical values.
+    Q("q233_char_entropy",
+      (s, d) => {
+        import s.implicits._
+        val chars = Tables.documents(s, d)
+          .select($"doc_id", $"source", explode(split($"text", "")).as("ch"))
+          .filter(length($"ch") === 1)
+          .groupBy($"doc_id", $"source", $"ch").agg(count(lit(1)).as("c"))
+        val ent = chars
+          .withColumn("n", sum($"c").over(
+            Window.partitionBy($"doc_id")))
+          .groupBy($"doc_id", $"source")
+          .agg(round(-sum(($"c" / $"n") * log2($"c" / $"n")), 6).as("h"))
+        ent.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg($"h"), 4).as("mean_entropy"),
+            round(min($"h"), 4).as("min_entropy"),
+            round(max($"h"), 4).as("max_entropy"),
+            sum(when($"h" < 3.5d, 1L).otherwise(0L)).as("n_low"))
+          .orderBy($"source")
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id, source, unnest(string_split_regex(text, '')) AS ch
+             |  FROM documents),
+             |cc AS (
+             |  SELECT doc_id, source, ch, count(*) AS c
+             |  FROM chars WHERE length(ch) = 1 GROUP BY 1, 2, 3),
+             |ent AS (
+             |  SELECT doc_id, source,
+             |    round(-sum((c / n) * log2(c / n)), 6) AS h
+             |  FROM (SELECT *, CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+             |        FROM cc)
+             |  GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_docs,
+             |  round(avg(h), 4) AS mean_entropy,
+             |  round(min(h), 4) AS min_entropy,
+             |  round(max(h), 4) AS max_entropy,
+             |  CAST(sum(CASE WHEN h < 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+             |FROM ent GROUP BY source ORDER BY source""".stripMargin)),
+
     // Normalization idempotence audit — the precondition every dedup /
     // fingerprint stage silently assumes: normalize(normalize(x)) ==
     // normalize(x). One conditional-aggregation scan per source reports
