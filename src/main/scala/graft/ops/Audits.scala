@@ -448,6 +448,54 @@ object Audits {
              |  round(sum(x * x * n / (r * c * 1.0)), 6) AS chi2
              |FROM cells""".stripMargin)),
 
+    // Largest-remainder apportionment of a sampling budget: split a
+    // 1000-doc budget across sources proportionally to size, with the
+    // floor quotas topped up in order of the EXACT integer remainders
+    // (B·nᵢ mod N) — no floats anywhere near the allocation decision,
+    // so both engines hand out identical +1s; Σalloc = B is certified in
+    // the output. One count scan; the apportionment is |sources| rows.
+    Q("q234_budget_apportion",
+      (s, d) => {
+        import s.implicits._
+        val b = 1000L
+        val counts = Tables.documents(s, d)
+          .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum($"n_docs").as("n")).head().getLong(0)
+        val base = counts
+          .withColumn("fl", expr(s"(n_docs * $b) div $tot"))
+          .withColumn("rem", ($"n_docs" * b) % tot)
+        val leftover = b - base.agg(sum($"fl")).head().getLong(0)
+        val ranked = base.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"rem".desc, $"source")))
+        ranked
+          .withColumn("alloc", $"fl" + when($"rk" <= leftover, 1L).otherwise(0L))
+          .select($"source", $"n_docs",
+            round($"n_docs" * b / (tot * 1.0d), 4).as("quota"),
+            $"alloc")
+          .orderBy($"source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts),
+             |base AS (
+             |  SELECT c.source, c.n_docs,
+             |    (c.n_docs * 1000) // t.n AS fl,
+             |    (c.n_docs * 1000) % t.n AS rem,
+             |    t.n
+             |  FROM counts c, tot t),
+             |lo AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS leftover FROM base),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |  FROM base)
+             |SELECT r.source, r.n_docs,
+             |  round(r.n_docs * 1000 / (r.n * 1.0), 4) AS quota,
+             |  CAST(r.fl + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+             |    AS alloc
+             |FROM ranked r, lo
+             |ORDER BY source""".stripMargin))
+
+,
     // Seasonal decomposition of event volume: collapse to (type, hour)
     // counts, extract the hour-of-day profile (the seasonal component),
     // and report how much variance the season explains —
