@@ -41,6 +41,11 @@ object Learn {
   private def r8(v: Double): Double =
     BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** 52-bit md5 uniform hash as BIGINT (engine-portable; mirrors the
+    * oracle's ('0x' || substr(md5(x),1,13))::BIGINT). */
+  private def mdLongExpr(seedSql: String): String =
+    s"cast(conv(substring(md5($seedSql), 1, 13), 16, 10) as bigint)"
+
   /** The 3-step GD weight chain as oracle CTE text over the `feat` CTE
     * named `$feat`, with CTE names prefixed `$pfx` — shared verbatim by
     * q208/q215/q220/q229 so the oracles cannot drift apart. */
@@ -427,6 +432,77 @@ object Learn {
            |  round(avg(s.y), 6) AS en_rate, round(avg(s.loss), 4) AS mean_loss
            |FROM scored s JOIN thr t USING (source)
            |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+      }),
+
+    // Learning curve — the "will more data help" audit run before
+    // scaling a labeling/curation budget: hold out a fixed md5 fifth of
+    // the corpus, train the same 3-step GD model on growing md5-quarter
+    // fractions of the rest, and report held-out loss/accuracy per
+    // fraction. Membership comes from integer md5 buckets, so train
+    // sets are nested and engine-identical; each fraction costs 3
+    // aggregate scans + 1 eval scan.
+    Q("q235_learning_curve",
+      (s, d) => {
+        import s.implicits._
+        val bucket = expr(s"${mdLongExpr("concat('lc:', doc_id)")} % 20")
+        val all = Tables.documents(s, d).select(
+          $"doc_id", bucket.as("b"),
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          val holdout = all.filter($"b" >= 16) // fixed 4/20 = 20% holdout
+          val pool = all.filter($"b" < 16)
+          val rows = (1 to 4).map { f =>
+            val train = pool.filter($"b" < f * 4)
+            val nTrain = train.count()
+            val w = trainW3(s, train)
+            val p = round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+              lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6)
+            val m = holdout.select($"y", p.as("p"))
+              .agg(count(lit(1)),
+                avg(-($"y" * log($"p") + (lit(1.0d) - $"y") * log(lit(1.0d) - $"p"))),
+                sum(when(($"p" >= 0.5d) === ($"y" === 1.0d), 1L).otherwise(0L)))
+              .head()
+            (f.toLong * 25L, nTrain, m.getLong(0),
+              BigDecimal(m.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              m.getLong(2))
+          }
+          s.createDataFrame(rows)
+            .toDF("train_pct", "n_train", "n_test", "holdout_loss", "n_correct")
+            .orderBy($"train_pct")
+        } finally all.unpersist()
+      },
+      Some {
+        val feat2 =
+          s"""SELECT doc_id,
+             |  ('0x' || substr(md5('lc:' || doc_id), 1, 13))::BIGINT % 20 AS b,
+             |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             |  1.0 AS x0, n_chars / 256.0 AS x1,
+             |  len(string_split(text, ' ')) / 64.0 AS x2 FROM documents""".stripMargin
+        val fracs = (1 to 4).map { f =>
+          s"""p${f}_feat AS (SELECT y, x0, x1, x2 FROM base WHERE b < ${f * 4}),
+             |${gdChain(s"p${f}_feat", s"p${f}_")},
+             |p${f}_eval AS (
+             |  SELECT CAST(${f * 25} AS BIGINT) AS train_pct,
+             |    (SELECT count(*) FROM p${f}_feat) AS n_train,
+             |    count(*) AS n_test,
+             |    round(avg(-(h.y * ln(h.p) + (1 - h.y) * ln(1 - h.p))), 4) AS holdout_loss,
+             |    CAST(sum(CASE WHEN (h.p >= 0.5) = (h.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_correct
+             |  FROM (SELECT b.y,
+             |          round(1/(1+exp(-(w.w0*b.x0 + w.w1*b.x1 + w.w2*b.x2))), 6) AS p
+             |        FROM base b, p${f}_w3 w WHERE b.b >= 16) h)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS ($feat2),
+           |$fracs
+           |SELECT train_pct, CAST(n_train AS BIGINT) AS n_train, n_test,
+           |  holdout_loss, n_correct FROM p1_eval
+           |UNION ALL SELECT train_pct, CAST(n_train AS BIGINT), n_test, holdout_loss, n_correct FROM p2_eval
+           |UNION ALL SELECT train_pct, CAST(n_train AS BIGINT), n_test, holdout_loss, n_correct FROM p3_eval
+           |UNION ALL SELECT train_pct, CAST(n_train AS BIGINT), n_test, holdout_loss, n_correct FROM p4_eval
+           |ORDER BY train_pct""".stripMargin
       }),
 
     // Confident-learning label suspects — the OPPOSITE tail of q215's
