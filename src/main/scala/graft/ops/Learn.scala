@@ -505,6 +505,69 @@ object Learn {
            |ORDER BY train_pct""".stripMargin
       }),
 
+    // Feature-ablation importance: retrain the same model with each
+    // feature zeroed out and report the in-sample loss penalty vs the
+    // full model — the "what does each signal buy" attribution a
+    // feature pipeline justifies its columns with. Zeroing (not
+    // dropping) keeps the weight chain shape identical, so the oracle
+    // is three more instances of the shared generator over feat CTEs
+    // that null one column. 3 scans per variant.
+    Q("q236_feature_ablation",
+      (s, d) => {
+        import s.implicits._
+        val all = Tables.documents(s, d).select(
+          when($"lang" === "en", 1.0d).otherwise(0.0d).as("y"),
+          lit(1.0d).as("x0"),
+          ($"n_chars" / 256.0d).as("x1"),
+          (size(split($"text", " ")) / 64.0d).as("x2")).cache()
+        try {
+          def lossAt(f: DataFrame): Double = {
+            val w = trainW3(s, f)
+            val p = round(lit(1.0d) / (lit(1.0d) + exp(-(lit(w(0)) * $"x0" +
+              lit(w(1)) * $"x1" + lit(w(2)) * $"x2"))), 6)
+            val l = f.select($"y", p.as("p"))
+              .agg(avg(-($"y" * log($"p") + (lit(1.0d) - $"y") * log(lit(1.0d) - $"p"))))
+              .head().getDouble(0)
+            BigDecimal(l).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          val full = lossAt(all)
+          val rows = Seq(
+            ("full", full),
+            ("no_chars", lossAt(all.withColumn("x1", lit(0.0d)))),
+            ("no_tokens", lossAt(all.withColumn("x2", lit(0.0d)))))
+            .map { case (v, l) =>
+              (v, l, BigDecimal(l - full).setScale(4,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          s.createDataFrame(rows).toDF("variant", "loss", "penalty")
+            .orderBy($"variant")
+        } finally all.unpersist()
+      },
+      Some {
+        def evalSql(pfx: String, feat: String) =
+          s"""${pfx}loss AS (
+             |  SELECT round(avg(-(h.y * ln(h.p) + (1 - h.y) * ln(1 - h.p))), 4) AS loss
+             |  FROM (SELECT f.y,
+             |          round(1/(1+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))), 6) AS p
+             |        FROM $feat f, ${pfx}w3 w) h)""".stripMargin
+        s"""WITH feat AS ($featsSql),
+           |nc_feat AS (SELECT y, x0, 0.0 AS x1, x2 FROM feat),
+           |nt_feat AS (SELECT y, x0, x1, 0.0 AS x2 FROM feat),
+           |${gdChain("feat", "fu_")},
+           |${evalSql("fu_", "feat")},
+           |${gdChain("nc_feat", "nc_")},
+           |${evalSql("nc_", "nc_feat")},
+           |${gdChain("nt_feat", "nt_")},
+           |${evalSql("nt_", "nt_feat")}
+           |SELECT 'full' AS variant, l.loss, round(l.loss - f.loss, 4) AS penalty
+           |  FROM fu_loss l, fu_loss f
+           |UNION ALL SELECT 'no_chars', l.loss, round(l.loss - f.loss, 4)
+           |  FROM nc_loss l, fu_loss f
+           |UNION ALL SELECT 'no_tokens', l.loss, round(l.loss - f.loss, 4)
+           |  FROM nt_loss l, fu_loss f
+           |ORDER BY variant""".stripMargin
+      }),
+
     // Confident-learning label suspects — the OPPOSITE tail of q215's
     // uncertainty sample: docs where the model CONFIDENTLY contradicts
     // the label (|p − y| ≥ 0.55 — the 3-step model is deliberately
