@@ -575,6 +575,97 @@ object Metrics {
              |  round(round(avg(cr), 4) - round(avg(cw), 4), 4) AS concentration_drop
              |FROM cos GROUP BY qid ORDER BY qid""".stripMargin)),
 
+    // Embedding drift per label — split each label's vectors into two
+    // deterministic halves (vec_id parity, standing in for two ingest
+    // epochs) and report the cosine between the half-centroids: a
+    // retrained or drifted encoder shows up as sub-1 self-similarity
+    // before any downstream index degrades. One partial-agg mean per
+    // (label, half, dim); the comparison is |labels| rows.
+    Q("q237_embed_drift",
+      (s, d) => {
+        import s.implicits._
+        val cent = Tables.embeddings(s, d)
+          .select($"label", ($"vec_id" % 2).as("half"),
+            posexplode($"embedding").as(Seq("i", "v")))
+          .groupBy($"label", $"half", $"i")
+          .agg(round(avg($"v".cast("double")), 6).as("c"))
+        val a = cent.filter($"half" === 0)
+          .select($"label", $"i", $"c".as("ca"))
+        val b = cent.filter($"half" === 1)
+          .select($"label", $"i", $"c".as("cb"))
+        a.join(b, Seq("label", "i"))
+          .groupBy($"label")
+          .agg(sum($"ca" * $"cb").as("dot"),
+            sqrt(sum($"ca" * $"ca")).as("na"), sqrt(sum($"cb" * $"cb")).as("nb"))
+          .select($"label",
+            round($"dot" / ($"na" * $"nb"), 6).as("self_cosine"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (
+             |  SELECT label, vec_id % 2 AS half,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v,
+             |    generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, half, i, round(avg(v), 6) AS c
+             |  FROM e GROUP BY 1, 2, 3),
+             |j AS (
+             |  SELECT a.label, sum(a.c * b.c) AS dot,
+             |    sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+             |  FROM cent a JOIN cent b
+             |    ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+             |  GROUP BY 1)
+             |SELECT label, round(dot / (na * nb), 6) AS self_cosine
+             |FROM j ORDER BY label""".stripMargin)),
+
+    // Gini coefficient of doc-length contribution per source — how
+    // concentrated is each slice's byte mass in its longest documents?
+    // Computed EXACTLY from the length histogram with rank arithmetic
+    // (G = Σ(2·rank − n − 1)·x over the sorted values, ranks from
+    // cumulative counts — never a per-doc sort): per source the
+    // post-shuffle work is O(distinct lengths). Integer numerators
+    // throughout; one division at the end.
+    Q("q238_gini",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.documents(s, d)
+          .groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy($"source").orderBy($"n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        // docs with this length occupy ranks (cum-c+1)..cum; their total
+        // Σ(2i−n−1) over that run is c·(cum−c+cum+1) − c·(n+1)
+        val cum = hist.withColumn("cum", sum($"c").over(w))
+        val tot = hist.groupBy($"source")
+          .agg(sum($"c").as("n"), sum($"c" * $"n_chars").as("sx"))
+        cum.join(tot, "source")
+          .select($"source", $"n", $"sx",
+            ($"n_chars" * ($"c" * ($"cum" * 2 - $"c" + 1) - $"c" * ($"n" + 1)))
+              .as("num"))
+          .groupBy($"source", $"n", $"sx")
+          .agg(sum($"num").as("num_sum"))
+          .select($"source", $"n".as("n_docs"),
+            round($"num_sum" / ($"n" * $"sx" * 1.0d), 6).as("gini"))
+          .orderBy($"source")
+      },
+      Some("""WITH hist AS (
+             |  SELECT source, n_chars, count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT source, n_chars, c,
+             |    sum(c) OVER (PARTITION BY source ORDER BY n_chars
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM hist),
+             |tot AS (
+             |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(c * n_chars) AS BIGINT) AS sx
+             |  FROM hist GROUP BY 1)
+             |SELECT h.source, t.n AS n_docs,
+             |  round(sum(h.n_chars * (h.c * (h.cum * 2 - h.c + 1) - h.c * (t.n + 1)))
+             |    / (t.n * t.sx * 1.0), 6) AS gini
+             |FROM cum h JOIN tot t USING (source)
+             |GROUP BY 1, 2, t.sx
+             |ORDER BY source""".stripMargin)),
+
     // Weighted consistent sampling (Efraimidis–Spirakis): the top-4 docs
     // per source by u^(1/w) with u = md5-uniform and w = n_chars — the
     // reproducible LENGTH-PROPORTIONAL sample (long docs more likely)
