@@ -496,6 +496,42 @@ object Audits {
              |ORDER BY source""".stripMargin))
 
 ,
+    // Poisson dispersion audit — is each event type's arrival process
+    // actually Poisson-like, or bursty? The index of dispersion
+    // var/mean of the HOURLY counts is ≈1 under Poisson and >1 under
+    // burstiness; computed entirely on the (type, hour) aggregation, so
+    // the fact table is scanned once and the statistics run on
+    // |types|·|hours| rows. The 1.5 burstiness verdict is compared on
+    // the 6-dp rounded ratio so the boolean is engine-stable.
+    Q("q239_dispersion",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type",
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            round(avg($"n"), 6).as("mean_n"),
+            round(var_pop($"n" * 1.0d), 6).as("var_n"))
+          .withColumn("dispersion", round($"var_n" / $"mean_n", 6))
+          .withColumn("bursty", $"dispersion" > 1.5d)
+          .orderBy($"event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, count(*) AS n_hours,
+             |    round(avg(n), 6) AS mean_n,
+             |    round(var_pop(n * 1.0), 6) AS var_n
+             |  FROM hourly GROUP BY 1)
+             |SELECT event_type, n_hours, mean_n, var_n,
+             |  round(var_n / mean_n, 6) AS dispersion,
+             |  round(var_n / mean_n, 6) > 1.5 AS bursty
+             |FROM stats ORDER BY event_type""".stripMargin)),
+
     // Seasonal decomposition of event volume: collapse to (type, hour)
     // counts, extract the hour-of-day profile (the seasonal component),
     // and report how much variance the season explains —
