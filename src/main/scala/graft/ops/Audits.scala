@@ -496,6 +496,50 @@ object Audits {
              |ORDER BY source""".stripMargin))
 
 ,
+    // Out-of-orderness audit — the number a streaming deployment needs
+    // BEFORE picking its watermark delay: how many events arrive more
+    // than δ behind the maximum event time already seen in their own
+    // user's stream (arrival order = event_id). Keyed by user, so the
+    // running max is a per-user window (one shuffle on user_id), never
+    // a global sequence; reported for three candidate delays as exact
+    // integer counts.
+    Q("q240_out_of_order",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val lagged = Tables.events(s, d)
+          .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"))
+          .withColumn("prior_max", max($"us").over(w))
+          .filter($"prior_max".isNotNull)
+          .withColumn("late_us", greatest($"prior_max" - $"us", lit(0L)))
+        lagged.agg(
+            count(lit(1)).as("n_sequenced"),
+            sum(when($"late_us" > 60L * 1000000L, 1L).otherwise(0L)).as("late_1m"),
+            sum(when($"late_us" > 600L * 1000000L, 1L).otherwise(0L)).as("late_10m"),
+            sum(when($"late_us" > 3600L * 1000000L, 1L).otherwise(0L)).as("late_1h"),
+            max($"late_us").as("max_late_us"))
+          .withColumn("pct_late_10m",
+            round($"late_10m" / ($"n_sequenced" * 1.0d) * 100.0d, 4))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+             |  FROM events),
+             |late AS (
+             |  SELECT greatest(prior_max - us, 0) AS late_us
+             |  FROM seq WHERE prior_max IS NOT NULL)
+             |SELECT count(*) AS n_sequenced,
+             |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+             |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_10m,
+             |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+             |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+             |  round(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+             |    / (count(*) * 1.0) * 100.0, 4) AS pct_late_10m
+             |FROM late""".stripMargin)),
+
     // Poisson dispersion audit — is each event type's arrival process
     // actually Poisson-like, or bursty? The index of dispersion
     // var/mean of the HOURLY counts is ≈1 under Poisson and >1 under
