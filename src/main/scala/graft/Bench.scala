@@ -35,7 +35,14 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       val p = Paths.get(s"$sfDir/$t.parquet")
-      if (Files.isRegularFile(p)) Files.readAllBytes(p)
+      if (Files.isRegularFile(p)) {
+        // stream through a fixed buffer: warms the page cache without
+        // materializing the whole file in driver heap (a >heap-sized table
+        // would OOM the bench before any query ran)
+        val in = Files.newInputStream(p)
+        try { val buf = new Array[Byte](1 << 20); while (in.read(buf) >= 0) () }
+        finally in.close()
+      }
       Tables.load(spark, sfDir, t).count()
     }
     SparkEntry.queries.get("q06_forecast_revenue").foreach(_(spark, sfDir).count())

@@ -31,6 +31,20 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression) extends BinaryNode {
+  // the exec's merge compares left/right projections with ONE ordering built
+  // from the LEFT types — a type mismatch would silently misread UnsafeRow
+  // fields, so reject it at plan construction (sameType: nullability-blind,
+  // the physical row layout is what must agree)
+  require(leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (l, r) =>
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        l.dataType, r.dataType, ignoreNullability = true) },
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time column types must match: " +
+      s"${leftTime.dataType} vs ${rightTime.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

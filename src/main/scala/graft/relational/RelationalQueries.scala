@@ -2699,10 +2699,11 @@ object RelationalQueries {
     // single O(n+m) forward-merge per co-partition; no window
     // materialization, no join-back (the window formulation shuffles the
     // whole events table TWICE). Left-outer: errors with no preceding
-    // purchase keep nulls. Tie-break inside a microsecond: the composite
-    // (ts, event_id) sort time picks the highest event_id, mirrored by
-    // the oracle's max_by. The left's sentinel pairs ts with Long.MAX so
-    // every same-instant purchase sorts ≤ it.
+    // purchase keep nulls. Tie-break inside a microsecond: the left's
+    // sentinel pairs ts with Long.MAX so EVERY same-instant purchase
+    // sorts ≤ it regardless of event_id; the oracle's id-insensitive
+    // RANGE frame (ordered by ts alone, as q216's) matches that, and
+    // max_by picks the same highest-event_id purchase on both sides.
     Q("q212_asof_native",
       (s, d) => {
         import s.implicits._
@@ -2725,8 +2726,8 @@ object RelationalQueries {
       Some("""WITH wl AS (
              |  SELECT event_id, ts, user_id, event_type, value,
              |    max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
-             |      PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pts
+             |      PARTITION BY user_id ORDER BY ts
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pts
              |  FROM events),
              |err AS (
              |  SELECT event_id AS err_id, user_id, ts AS err_ts, last_pts

@@ -30,8 +30,12 @@ object TwsTimers {
       val newLast = if (lastSeen.exists()) math.max(lastSeen.get(), batchMax)
         else batchMax
       lastSeen.update(newLast)
-      // re-arm: exactly one live timer per key
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // re-arm: exactly one live timer per key. Materialize the timer list
+      // before deleting — mutating timer state under a live state-store
+      // iterator has provider-dependent semantics (RocksDB snapshots vs
+      // HDFS-backed in-place maps).
+      getHandle.listTimers().map(_.asInstanceOf[Long]).toSeq
+        .foreach(getHandle.deleteTimer)
       getHandle.registerTimer(newLast / 1000L + gapMs)
       Iterator.empty
     }
