@@ -52,6 +52,124 @@ object Tare {
     out
   }
 
+  /** Oracle-expressible variant of [[calibrateKmers]]: the same
+    * OLS-residual recalibration (reference Tare.scala:110-136), but the
+    * fit is an EXPLICIT normal-equation solve instead of spark.ml — the
+    * 16×16 Gram matrix of raw integer dinucleotide counts is one
+    * aggregation pass (exact BIGINT entries; Xᵀy rounded to 6 dp so both
+    * engines solve from bit-identical inputs), then a driver-side
+    * no-pivot symmetric Gaussian elimination whose operation tree is
+    * mirrored term-for-term by [[exactSolveSql]], so a DuckDB oracle can
+    * hash-match the result.
+    *
+    * Fit equivalence with calibrateKmers: every k-mer has exactly k−1
+    * valid dinucleotide contexts here (DNA-alphabet input), so
+    * Σ_b count_b = k−1 — the constant vector lies in the span of the raw
+    * count columns, which means the no-intercept fit on integer counts
+    * produces the SAME predictions as spark.ml's fitIntercept=true fit on
+    * the normalized histogram (same column space), without the exact
+    * collinearity an explicit intercept column would introduce. Output is
+    * the calibrated abundance rounded to 6 dp (a double, not the long
+    * cast — floor sits on an integer lattice, which cross-engine ulp
+    * noise could straddle; TareSuite pins the two variants against each
+    * other).
+    *
+    * @param kmers DataFrame(kmer, count), DNA-alphabet kmers of length k
+    */
+  def calibrateKmersExact(kmers: DataFrame, k: Int): DataFrame = {
+    val d = 16
+    val feat = kmers.select(
+      (col("kmer") :: col("count") ::
+        dinucs.zipWithIndex.map { case (dn, b) =>
+          (1 until k).map(p =>
+            when(col("kmer").substr(p, 2) === dn, 1).otherwise(0))
+            .reduce(_ + _).as(s"c$b")
+        }.toList): _*)
+      .cache()
+
+    val gramExprs =
+      (for { i <- 0 until d; j <- i until d }
+        yield sum(col(s"c$i") * col(s"c$j")).as(s"a${i}_$j")) ++
+      (0 until d).map(i =>
+        round(sum(col(s"c$i") * log(col("count").cast("double"))), 6).as(s"b$i")) ++
+      Seq(sum(col("count")).as("total"), count(lit(1)).as("n"))
+    val row = feat.agg(gramExprs.head, gramExprs.tail: _*).head()
+
+    val a = Array.ofDim[Double](d, d) // upper triangle (j >= i) only
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) { a(i)(j) = row.getLong(idx).toDouble; idx += 1 }
+    val bv = Array.tabulate(d)(i => row.getDouble(idx + i))
+    val total = row.getLong(idx + d)
+    val n = row.getLong(idx + d + 1)
+
+    // forward elimination without pivoting (the Gram of a full-column-rank
+    // design is SPD, so every pivot is positive); each update is written as
+    // x - (p / q) * y, the exact shape exactSolveSql emits
+    for (kk <- 0 until d - 1; i <- kk + 1 until d) {
+      for (j <- i until d)
+        a(i)(j) = a(i)(j) - (a(kk)(i) / a(kk)(kk)) * a(kk)(j)
+      bv(i) = bv(i) - (a(kk)(i) / a(kk)(kk)) * bv(kk)
+    }
+    // back substitution, subtracted terms in ascending-j order
+    val w = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = bv(i)
+      for (j <- i + 1 until d) s = s - a(i)(j) * w(j)
+      w(i) = s / a(i)(i)
+    }
+
+    val mean = math.log(total.toDouble / n)
+    val pred = (0 until d).map(i => lit(w(i)) * col(s"c$i")).reduce(_ + _)
+    val out = feat.select(col("kmer"),
+      round(exp(lit(mean) + log(col("count").cast("double")) - pred), 6)
+        .as("cal_count"))
+    feat.unpersist()
+    out
+  }
+
+  /** ACGT-ordered dinucleotides — index b = 4·idx(first) + idx(second),
+    * the same ordering Kmers.dinucFeatures bins into. */
+  val dinucs: Seq[String] = for (x <- "ACGT"; y <- "ACGT") yield s"$x$y"
+
+  /** The DuckDB mirror of [[calibrateKmersExact]]'s solve: CTEs from a
+    * relation `f(kmer, cnt, c0..c15)` to the final calibrated SELECT.
+    * Every elimination/back-substitution term is generated with the same
+    * association order as the Scala loops, so the double arithmetic is
+    * bit-identical given identical inputs (exact integer Gram, 6-dp
+    * rounded Xᵀy). */
+  def exactSolveSql(d: Int = 16): String = {
+    val gram =
+      (for { i <- 0 until d; j <- i until d }
+        yield s"CAST(sum(c$i*c$j) AS DOUBLE) AS a${i}_$j") ++
+      (0 until d).map(i => s"round(sum(c$i * ln(cnt)), 6) AS b$i") ++
+      Seq("CAST(sum(cnt) AS BIGINT) AS total", "count(*) AS n")
+    val g = s"g AS (SELECT\n    ${gram.mkString(",\n    ")}\n  FROM f)"
+    val steps = (0 until d - 1).map { kk =>
+      val src = if (kk == 0) "g" else s"e${kk - 1}"
+      val cols = scala.collection.mutable.Buffer[String]()
+      for (p <- 0 to kk; q <- p until d) cols += s"a${p}_$q"
+      for (p <- 0 to kk) cols += s"b$p"
+      for (i <- kk + 1 until d) {
+        for (j <- i until d)
+          cols += s"a${i}_$j - (a${kk}_$i / a${kk}_$kk) * a${kk}_$j AS a${i}_$j"
+        cols += s"b$i - (a${kk}_$i / a${kk}_$kk) * b$kk AS b$i"
+      }
+      cols += "total"; cols += "n"
+      s"e$kk AS (SELECT ${cols.mkString(", ")} FROM $src)"
+    }
+    val ws = (d - 1 to 0 by -1).map { i =>
+      val src = if (i == d - 1) s"e${d - 2}" else s"w${i + 1}"
+      val terms = (i + 1 until d).map(j => s" - a${i}_$j * w$j").mkString
+      s"w$i AS (SELECT *, (b$i$terms) / a${i}_$i AS w$i FROM $src)"
+    }
+    val predTerms = (0 until d).map(i => s"m.w$i*f.c$i").mkString(" + ")
+    (Seq(g) ++ steps ++ ws).mkString(",\n") + s"""
+      |SELECT f.kmer,
+      |  round(exp(ln(m.total * 1.0 / m.n) + ln(f.cnt) - ($predTerms)), 6)
+      |    AS cal_count
+      |FROM f, w0 m ORDER BY f.kmer""".stripMargin
+  }
+
   /** Recalibrate transcript abundances for length bias
     * (Tare.scala:150-193). As-built semantics preserved exactly, including
     * the quirk that the fitted line is applied to the abundance µ̂ itself,

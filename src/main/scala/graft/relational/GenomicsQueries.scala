@@ -77,6 +77,28 @@ object GenomicsQueries {
       |FROM mus$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** q26's oracle: the md5→DNA corpus slice, 4-mer counting, integer
+    * dinucleotide featurization, then Tare.exactSolveSql's mirrored
+    * normal-equation solve. */
+  private def q26OracleSql: String = {
+    val cs = graft.calibrate.Tare.dinucs.zipWithIndex.map { case (dn, b) =>
+      (1 to 3).map(p => s"CASE WHEN substr(kmer, $p, 2) = '$dn' THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") AS c$b")
+    }
+    s"""WITH dna AS (
+       |  SELECT translate(md5(text), '0123456789abcdef', 'ACGTACGTACGTACGT') AS seq
+       |  FROM documents WHERE doc_id < 200),
+       |km4 AS (
+       |  SELECT substr(seq, i, 4) AS kmer
+       |  FROM (SELECT seq, unnest(generate_series(1, length(seq) - 3)) AS i FROM dna)),
+       |kc AS MATERIALIZED (SELECT kmer, count(*) AS cnt FROM km4 GROUP BY kmer),
+       |f AS MATERIALIZED (
+       |  SELECT kmer, cnt,
+       |    ${cs.mkString(",\n    ")}
+       |  FROM kc),
+       |${graft.calibrate.Tare.exactSolveSql()}""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     // A3/F1: corpus-wide k-mer histogram through Quantify.countKmers.
     Q("q20_kmer_histogram",
@@ -208,14 +230,16 @@ object GenomicsQueries {
     // quirk — the fitted line applied to µ̂ itself, not log-length
     // (reference Tare.scala:187) — plus the Σ=1 renormalization
     // (Tare.scala:189-192) are both in the SQL.
-    // I3: the sequence-context (GC) bias regression — Tare.calibrateKmers
-    // (reference Tare.scala:110-136): regress log(count) on the 16-dim
-    // dinucleotide-context histogram via spark.ml LinearRegression, keep the
-    // residual, rescale to the mean. A 16-feature OLS has no ANSI-SQL
-    // equivalent, so this query carries no oracleSql — the driver records
-    // the weaker rows-only check — but it puts the calibrateKmers code path
-    // under the gate on a deterministic corpus slice (fixed input, fixed
-    // partitioning ⇒ reproducible fit); TareSuite value-pins the math on
+    // I3: the sequence-context (GC) bias regression (reference
+    // Tare.scala:110-136): regress log(count) on the 16-dim
+    // dinucleotide-context features, keep the residual, rescale to the
+    // mean. Runs through Tare.calibrateKmersExact — the explicit
+    // normal-equation form of the fit (exact integer Gram + 6-dp-rounded
+    // Xᵀy, driver-side no-pivot elimination mirrored term-for-term by
+    // Tare.exactSolveSql) — so the FULL 16-feature OLS is hash-checked
+    // against DuckDB. TareSuite pins calibrateKmersExact against the
+    // spark.ml calibrateKmers fit (same predictions: the raw-count column
+    // space contains the intercept), and value-pins the math on
     // hand-computed fixtures.
     Q("q26_kmer_calibration",
       (s, d) => {
@@ -229,11 +253,10 @@ object GenomicsQueries {
           .select(translate(md5($"text"),
             "0123456789abcdef", "ACGTACGTACGTACGT").as("sequence"))
         val kmers = Quantify.countKmers(dna, 4)
-        graft.calibrate.Tare.calibrateKmers(kmers)
-          .select($"kmer", $"count".as("cal_count"))
+        graft.calibrate.Tare.calibrateKmersExact(kmers, 4)
           .orderBy($"kmer")
       },
-      None),
+      Some(q26OracleSql)),
 
     Q("q25_length_calibration",
       (s, d) => {

@@ -63,6 +63,31 @@ class TareSuite extends SparkSuite {
     assert(origMin < newMin)
   }
 
+  test("calibrateKmersExact matches the spark.ml fit's predictions") {
+    // all 256 DNA 4-mers with a GC-biased count — the explicit
+    // normal-equation solve (raw integer dinuc counts, no intercept) must
+    // reproduce spark.ml LinearRegression's predictions (normalized
+    // features + intercept): the two designs span the same column space,
+    // so the OLS projections coincide. calibrateKmers floors to Long;
+    // the exact variant keeps the 6-dp double, hence the <1.01 bound.
+    val bases = "ACGT"
+    val kmers4 = for (a <- bases; b <- bases; c <- bases; d <- bases)
+      yield s"$a$b$c$d"
+    val fixture = kmers4.map { s =>
+      val gc = s.count(ch => ch == 'C' || ch == 'G').toDouble / 4.0
+      (s, (100.0 * exp(2.0 + 1.0 * (gc - 0.5))).toLong)
+    }.toDF("kmer", "count")
+    val ml = Tare.calibrateKmers(fixture)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tare.calibrateKmersExact(fixture, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.size === 256)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - ml(k)) < 1.01,
+        s"$k: exact=$v vs ml-floored=${ml(k)}")
+    }
+  }
+
   test("calibrateTxLenBias for 4 hand-picked values") { // TareSuite.scala:96-118
     val muHat = Seq(("a", 0.28), ("b", 0.17), ("c", 0.31), ("d", 0.24)).toDF("tid", "muHat")
     val tLen = Seq(("a", 28L), ("b", 17L), ("c", 31L), ("d", 24L)).toDF("tid", "len")
