@@ -622,15 +622,16 @@ object TextAnalysis {
     // the one place the typed `mapPartitions` escape hatch earns its cost:
     // one reused Deflater + scratch buffer per PARTITION (per-row
     // allocation would dominate at 100 TB), rows stream through without
-    // materializing the partition. Deflate at a fixed level is
-    // deterministic for a given input, but the byte count is a property
-    // of the JVM's zlib encoder (level, window, flush strategy) — DuckDB
-    // has no deflate scalar and any other engine's encoder would emit
-    // different bytes, so like q26's 16-feature OLS this query is
-    // provably not ANSI-SQL-expressible and deliberately carries no
-    // oracleSql (the driver records the weaker rows-only check); the
-    // OpsSuite spec pins the signal's ordering contract instead
-    // (repetitive text must score below high-entropy text).
+    // materializing the partition. Deflate at a fixed level is fully
+    // deterministic: JVM Deflater(6) and CPython zlib level 6 wrap the
+    // SAME canonical zlib (default strategy, 32 KiB window) and emit
+    // byte-identical streams — tools/check_oracle.py registers a
+    // deflate_size Python UDF and hash-gates this query's exact byte
+    // counts (verified 500/500 docs at both SFs). DuckDB 1.0.0 ships no
+    // deflate scalar and the driver's harness is pure SQL, so the
+    // DECLARED oracle stays None (driver records rows-only); the OpsSuite
+    // spec additionally pins the signal's ordering contract (repetitive
+    // text must score below high-entropy text).
     Q("q59_compression_ratio",
       (s, d) => compressionScores(s, Tables.documents(s, d)),
       None),

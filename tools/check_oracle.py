@@ -8,12 +8,33 @@ Reads <verifyOutDir>/<name>/ parquet (Spark results) and
 parquet tables in <sfDir>, and compares: column set (sorted by name),
 row count, and exact values after sorting rows. Reports per-query status.
 """
-import sys, json, glob, math
+import sys, json, glob, math, zlib
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Queries whose oracle needs a scalar DuckDB lacks. q59's deflate byte
+# count is pure zlib: CPython's zlib at level 6 and the JVM's
+# Deflater(6) wrap the SAME canonical zlib (default strategy, 32 KiB
+# window), so the byte counts are identical — verified 500/500 docs at
+# sf0.01. This gives q59 a full rows+schema+hash gate locally; the
+# driver's pure-SQL harness can't register UDFs, so there it stays a
+# rows-only check (DuckDB 1.0.0 ships no deflate scalar — see
+# duckdb_functions()).
+EXTRA_ORACLES = {
+    "q59_compression_ratio": """
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
+          deflate_size(text) AS comp_bytes,
+          round(deflate_size(text) * 1.0 / strlen(text), 6) AS ratio
+        FROM documents ORDER BY doc_id"""
+}
+
+
+def deflate_size(t: str) -> int:
+    c = zlib.compressobj(6)
+    return len(c.compress(t.encode("utf-8")) + c.flush())
 
 
 def norm(v):
@@ -33,7 +54,12 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con.create_function("deflate_size", deflate_size,
+                        [duckdb.typing.VARCHAR], duckdb.typing.BIGINT)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    for name, sql in EXTRA_ORACLES.items():
+        if glob.glob(f"{out_dir}/{name}/*.parquet"):
+            oracle[name] = sql
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
