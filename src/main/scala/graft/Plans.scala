@@ -2,53 +2,106 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.SparkSession
+
 /** Dumps the formatted physical plan of each declared query —
   * `runMain graft.Plans <sfDir> <outFile>`. Used to audit that filters
   * reach the parquet scans (PushedFilters), small dims broadcast, and
   * whole-stage codegen spans stay wide.
+  *
+  * The scan itself lives in [[audit]] so PlanAuditSuite can run the
+  * exact same code path and assert the per-query single-partition
+  * counts against [[PlanAudit.singlePartitionAllowlist]] — PLANS.md's
+  * headline numbers and the committed allowlist can only come from
+  * here, never from a hand-grep of the text dump.
   */
 object Plans {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("/tmp/plans.txt")
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    val sb = new StringBuilder
-    // same local-iteration filter as Verify: SPARK_GRAFT_ONLY=q194,q200
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+
+  final case class Audit(
+      perQuery: Map[String, PlanAudit.Counts],
+      errors: Map[String, String],
+      text: String) {
+    def total: PlanAudit.Counts =
+      perQuery.values.foldLeft(PlanAudit.Counts.zero)(_ + _)
+    def singlePartitionPerQuery: Map[String, Int] =
+      perQuery.collect {
+        case (n, c) if c.singlePartitionExchanges > 0 =>
+          n -> c.singlePartitionExchanges
+      }
+  }
+
+  /** Build every declared query's DataFrame against `sfDir`, scan its
+    * `explain("formatted")` output with [[PlanAudit.scan]], and return
+    * per-query counts plus per-query PLANNING ERRORS. Errors are a
+    * first-class output: a query that throws during plan construction
+    * silently shrinking the audited surface is exactly how a headline
+    * count drifts from reality (ADVICE r7). `only` mirrors Verify's
+    * SPARK_GRAFT_ONLY prefix filter. */
+  def audit(spark: SparkSession, sfDir: String,
+            only: Option[Seq[String]] = None,
+            collectText: Boolean = true): Audit = {
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    val sb = new StringBuilder
     val perQuery = scala.collection.mutable.LinkedHashMap[String, PlanAudit.Counts]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (q <- SparkEntry.allQueries
          if q.name != "q70_stream_hourly" && keep(q.name)) {
-      sb.append(s"\n========== ${q.name} ==========\n")
+      if (collectText) sb.append(s"\n========== ${q.name} ==========\n")
       try {
         val df = q.fn(spark, sfDir)
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         perQuery(q.name) = PlanAudit.scan(formatted)
-        sb.append(formatted)
-      } catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
+        if (collectText) sb.append(formatted)
+      } catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          if (collectText) sb.append(s"ERROR: ${e.getMessage}\n")
+      }
     }
+    Audit(perQuery.toMap, errors.toMap, sb.toString)
+  }
+
+  def summaryLine(a: Audit): String = {
+    val tot = a.total
+    val spQueries = a.singlePartitionPerQuery.size
+    s"queries=${a.perQuery.size} errors=${a.errors.size} " +
+      s"exchanges=${tot.exchanges} " +
+      s"singlePartitionExchanges=${tot.singlePartitionExchanges} " +
+      s"(in $spQueries queries) sortMergeJoins=${tot.sortMergeJoins} " +
+      s"broadcastHashJoins=${tot.broadcastHashJoins} " +
+      s"broadcastNestedLoopJoins=${tot.broadcastNestedLoopJoins} " +
+      s"cartesianProducts=${tot.cartesianProducts}"
+  }
+
+  def spJson(a: Audit): String =
+    a.singlePartitionPerQuery.toSeq.sortBy(_._1)
+      .map { case (n, c) => s""""$n": $c""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("/tmp/plans.txt")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    // same local-iteration filter as Verify: SPARK_GRAFT_ONLY=q194,q200
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val a = audit(spark, sfDir, only)
+    val sb = new StringBuilder(a.text)
     // machine summary — the ONLY legitimate source for PLANS.md's headline
     // numbers (counted per detail-header node + per-node Arguments line,
     // never by grepping the raw text; see PlanAudit's scaladoc)
-    val tot = perQuery.values.foldLeft(PlanAudit.Counts.zero)(_ + _)
-    val sp = perQuery.filter(_._2.singlePartitionExchanges > 0)
     sb.append("\n========== SUMMARY ==========\n")
-    sb.append(s"queries=${perQuery.size} exchanges=${tot.exchanges} " +
-      s"singlePartitionExchanges=${tot.singlePartitionExchanges} " +
-      s"(in ${sp.size} queries) sortMergeJoins=${tot.sortMergeJoins} " +
-      s"broadcastHashJoins=${tot.broadcastHashJoins} " +
-      s"broadcastNestedLoopJoins=${tot.broadcastNestedLoopJoins} " +
-      s"cartesianProducts=${tot.cartesianProducts}\n")
-    val spJson = sp.toSeq.sortBy(_._1)
-      .map { case (n, c) => s""""$n": ${c.singlePartitionExchanges}""" }
-      .mkString("{\n  ", ",\n  ", "\n}")
-    sb.append(s"singlePartition per query:\n$spJson\n")
+    sb.append(summaryLine(a)).append('\n')
+    if (a.errors.nonEmpty) {
+      sb.append("errors per query:\n")
+      a.errors.foreach { case (n, m) => sb.append(s"  $n: $m\n") }
+    }
+    sb.append(s"singlePartition per query:\n${spJson(a)}\n")
     Files.writeString(Paths.get(out), sb.toString)
-    Files.writeString(Paths.get(out + ".sp.json"), spJson + "\n")
-    println(s"[plans] wrote $out; summary: queries=${perQuery.size} " +
-      s"SP=${tot.singlePartitionExchanges}/${sp.size}q SMJ=${tot.sortMergeJoins} " +
-      s"BHJ=${tot.broadcastHashJoins} BNLJ=${tot.broadcastNestedLoopJoins} " +
-      s"CP=${tot.cartesianProducts}")
+    Files.writeString(Paths.get(out + ".sp.json"), spJson(a) + "\n")
+    println(s"[plans] wrote $out; summary: ${summaryLine(a)}")
+    if (a.errors.nonEmpty)
+      println(s"[plans] PLANNING ERRORS (${a.errors.size}): " +
+        a.errors.keys.mkString(", "))
   }
 }

@@ -48,4 +48,29 @@ class PlanAuditSuite extends SparkSuite {
   test("q215: boundary sampling is TakeOrdered, not a global sort") {
     assert(plan("q215_uncertainty_sample").contains("TakeOrderedAndProject"))
   }
+
+  test("surface-wide audit: SP exchanges match the allowlist, 0 cartesian, 0 errors") {
+    // The whole-surface gate the earlier tests sample: run the SAME
+    // scanner Plans.main uses over every declared query and require
+    //  (a) no query throws during planning — a planning error silently
+    //      shrinking the audited surface is how headline counts drift;
+    //  (b) zero CartesianProduct anywhere;
+    //  (c) per-query Exchange-SinglePartition counts EQUAL the audited
+    //      allowlist — so a new data-sized single-partition shuffle (the
+    //      100 TB serialization hazard) fails the build and must be fixed
+    //      or consciously allowlisted with its boundedness argument.
+    val a = Plans.audit(spark, sf, collectText = false)
+    assert(a.errors.isEmpty, s"planning errors: ${a.errors}")
+    assert(a.total.cartesianProducts == 0,
+      "CartesianProduct appeared in the batch surface")
+    val got = a.singlePartitionPerQuery
+    val want = PlanAudit.singlePartitionAllowlist
+    val extra = got.toSet.diff(want.toSet)
+    val missing = want.toSet.diff(got.toSet)
+    assert(extra.isEmpty && missing.isEmpty,
+      s"single-partition exchange drift — not in allowlist: $extra; " +
+        s"allowlisted but absent: $missing. If the new exchange is a " +
+        "bounded scalar combine, regenerate via `runMain graft.Plans` " +
+        "and update PlanAudit.singlePartitionAllowlist with the argument.")
+  }
 }
