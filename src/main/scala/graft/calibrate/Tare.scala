@@ -57,7 +57,7 @@ object Tare {
     * fit is an EXPLICIT normal-equation solve instead of spark.ml — the
     * 16×16 Gram matrix of raw integer dinucleotide counts is one
     * aggregation pass (exact BIGINT entries; Xᵀy rounded to 6 dp so both
-    * engines solve from bit-identical inputs), then a driver-side
+    * engines solve from matching inputs), then a driver-side
     * no-pivot symmetric Gaussian elimination whose operation tree is
     * mirrored term-for-term by [[exactSolveSql]], so a DuckDB oracle can
     * hash-match the result.
@@ -136,7 +136,20 @@ object Tare {
     * Every elimination/back-substitution term is generated with the same
     * association order as the Scala loops, so the double arithmetic is
     * bit-identical given identical inputs (exact integer Gram, 6-dp
-    * rounded Xᵀy). */
+    * rounded Xᵀy).
+    *
+    * Residual boundary risk (documented, not eliminated): the Gram
+    * entries are exact integers, but the Xᵀy inputs are
+    * round(Σ cᵢ·ln(count), 6) — the PRE-round sum's FP value depends on
+    * addition order (Spark partial aggregation vs DuckDB scan order),
+    * JVM Math.log and DuckDB's libm ln can differ by 1 ulp, and Spark
+    * rounds through BigDecimal HALF_UP while DuckDB rounds the double
+    * directly. A sum landing within ~1e-13 of a 0.5·10⁻⁶ boundary could
+    * therefore round differently per engine and flip the q26 hash. The
+    * gate is probabilistically stable (the summands are transcendental,
+    * so boundary hits have measure ~0 and none occur at the driver SFs),
+    * not provably bit-identical end-to-end; if a data refresh ever
+    * flakes q26, suspect this boundary before the solve. */
   def exactSolveSql(d: Int = 16): String = {
     val gram =
       (for { i <- 0 until d; j <- i until d }

@@ -10,10 +10,14 @@ import graft.quantify.Quantify
   * (rice-cli/.../RiceMain.scala:29-64, cli/Index.scala:41-93,
   * cli/Quantify.scala:32-108 — SURVEY §3.1-3.2).
   *
-  * index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT
+  * index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT [-avro_compat]
   *   → writes OUTPUT_kmers (kmer, ec) and OUTPUT_classes (ec, kmers)
   *     parquet — the same two-table index layout as the reference
   *     (cli/Index.scala:83,92, SURVEY S6), plus OUTPUT_tx (ec, tid).
+  *     With -avro_compat the two side tables use the reference's
+  *     on-disk record field names (KmerToClass/ClassContents,
+  *     rice.avdl:21-33) so ADAM tooling can read them; quantify
+  *     auto-detects either layout (io.IndexSchema).
   *
   * quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
   *         [-max_iterations N] [-disable_kmer_calibration]
@@ -24,8 +28,10 @@ import graft.quantify.Quantify
 object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "index" :: genome :: gtf :: k :: out :: Nil =>
-      runIndex(genome, gtf, k.toInt, out)
+    case "index" :: genome :: gtf :: k :: out :: rest
+        if rest.forall(_ == "-avro_compat") =>
+      runIndex(genome, gtf, k.toInt, out,
+        avroCompat = rest.contains("-avro_compat"))
     case "quantify" :: reads :: index :: gtf :: k :: out :: rest =>
       val maxIter = rest.sliding(2).collectFirst {
         case "-max_iterations" :: n :: Nil => n.toInt
@@ -38,7 +44,7 @@ object Main {
     case _ =>
       System.err.println(
         """usage:
-          |  index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT
+          |  index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT [-avro_compat]
           |  quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
           |           [-max_iterations N] [-disable_kmer_calibration]
           |           [-disable_length_calibration]
@@ -76,7 +82,8 @@ object Main {
     }
   }
 
-  private def runIndex(genomePath: String, gtfPath: String, k: Int, out: String): Unit = {
+  private def runIndex(genomePath: String, gtfPath: String, k: Int, out: String,
+      avroCompat: Boolean = false): Unit = {
     import graft.util.Timers
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // driver-side genome load + broadcast, as the reference does
@@ -95,8 +102,13 @@ object Main {
     val seqs = transcripts.select(col("id"), extract(col("exons")).as("sequence"))
     val idx = Timers.time("buildIndex") { Indexer(seqs, k) }
     Timers.time("writeIndex") {
-      idx.kmerToEc.write.mode("overwrite").parquet(out + "_kmers")
-      idx.ecToKmers.write.mode("overwrite").parquet(out + "_classes")
+      val (km, cl) =
+        if (avroCompat)
+          (graft.io.IndexSchema.kmersToAvroCompat(idx.kmerToEc),
+            graft.io.IndexSchema.classesToAvroCompat(idx.ecToKmers))
+        else (idx.kmerToEc, idx.ecToKmers)
+      km.write.mode("overwrite").parquet(out + "_kmers")
+      cl.write.mode("overwrite").parquet(out + "_classes")
       idx.ecToTx.write.mode("overwrite").parquet(out + "_tx")
     }
     printTimers()
@@ -110,7 +122,8 @@ object Main {
     // extension dispatch as the reference's loadAlignments (SURVEY S1):
     // parquet or FASTQ text
     val reads = graft.io.Fastq.loadReads(spark, readsPath).as[Read]
-    val kmerToEc = spark.read.parquet(indexPath + "_kmers")
+    // accepts graft (kmer, ec) AND reference KmerToClass layouts
+    val kmerToEc = graft.io.IndexSchema.readNormalized(spark, indexPath + "_kmers")
     val ecToTx = spark.read.parquet(indexPath + "_tx")
     val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)
       .as[graft.model.Transcript]

@@ -219,8 +219,7 @@ object Audits {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val comp = Dedup.connectedComponents(
-          Dedup.minhashPairs(docs).select($"a", $"b"))
+        val comp = Dedup.documentComponents(s, d)
         val labeled = docs
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .withColumn("cluster", coalesce($"component", $"doc_id"))

@@ -414,4 +414,47 @@ class IoSuite extends SparkSuite {
         "countKmers", "writeAbundances"))
       assert(snap.contains(stage), s"missing timer for $stage")
   }
+
+  test("-avro_compat index round-trips through the reference's avdl field names") {
+    // the interop contract: rice.avdl:21-33 record field names on disk
+    // (KmerToClass{kmer, equivalenceClass}, ClassContents{equivalenceClass,
+    // kmers}), and quantify accepts that layout unchanged
+    val fa = write("genome_ac", ">chr1\nCAATCCTTCGCCGCAGTGCA\n")
+    val gtf = write("ann_ac",
+      """chr1	t	exon	1	10	.	+	.	gene_id "g1"; transcript_id "transcript1";
+        |chr1	t	exon	12	20	.	+	.	gene_id "g1"; transcript_id "transcript2";
+        |""".stripMargin)
+    val out = Files.createTempDirectory("graft_cli_avro").toString
+    graft.cli.Main.main(Array("index", fa, gtf, "5", s"$out/idx", "-avro_compat"))
+
+    // on-disk layout carries the avdl record field names, in order
+    val kmers = spark.read.parquet(s"$out/idx_kmers")
+    assert(kmers.columns.toSeq === Seq("kmer", "equivalenceClass"))
+    val classes = spark.read.parquet(s"$out/idx_classes")
+    assert(classes.columns.toSeq === Seq("equivalenceClass", "kmers"))
+    // avdl array<string>: element type is the contract; Spark's parquet
+    // writer marks list elements optional on disk, so containsNull is a
+    // writer detail, not part of the interop surface
+    assert(classes.schema("kmers").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.StringType)
+
+    // the two side tables agree: exploding ClassContents reproduces
+    // KmerToClass exactly (same contract the reference's writer satisfies)
+    val exploded = classes
+      .select($"equivalenceClass",
+        org.apache.spark.sql.functions.explode($"kmers").as("kmer"))
+      .select($"kmer", $"equivalenceClass")
+    assert(exploded.exceptAll(kmers).isEmpty && kmers.exceptAll(exploded).isEmpty)
+
+    // and quantify consumes the avro-compat index without a conversion pass
+    Seq("CAATCCTTCG", "CGCAGTGCA", "CAATCCTTCG")
+      .toDF("sequence").write.mode("overwrite").parquet(s"$out/reads")
+    graft.cli.Main.main(Array("quantify", s"$out/reads", s"$out/idx", gtf, "5",
+      s"$out/abundances", "-max_iterations", "5",
+      "-disable_kmer_calibration", "-disable_length_calibration"))
+    val lines = spark.read.text(s"$out/abundances").collect().map(_.getString(0))
+    assert(lines.length === 2)
+    assert(lines.forall(_.contains(", ")))
+  }
 }

@@ -59,6 +59,10 @@ class PlanAuditSuite extends SparkSuite {
     //      allowlist — so a new data-sized single-partition shuffle (the
     //      100 TB serialization hazard) fails the build and must be fixed
     //      or consciously allowlisted with its boundedness argument.
+    // Suites share one session; a frame another suite left cached gets
+    // substituted into matching plans (InMemoryTableScan) and shifts
+    // exchange counts — audit the cold-session plans Plans.main audits.
+    spark.catalog.clearCache()
     val a = Plans.audit(spark, sf, collectText = false)
     assert(a.errors.isEmpty, s"planning errors: ${a.errors}")
     assert(a.total.cartesianProducts == 0,
@@ -72,5 +76,29 @@ class PlanAuditSuite extends SparkSuite {
         s"allowlisted but absent: $missing. If the new exchange is a " +
         "bounded scalar combine, regenerate via `runMain graft.Plans` " +
         "and update PlanAudit.singlePartitionAllowlist with the argument.")
+
+    // PLANS.md's fenced headline block must equal the fresh audit —
+    // round 6/7's failure mode was exactly a committed doc drifting from
+    // the tool's output. Parse the first code fence and compare every
+    // key=value to the live totals.
+    val plansMd = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")))
+    val fence = "(?s)```\n(.*?)```".r.findFirstMatchIn(plansMd)
+      .map(_.group(1)).getOrElse(fail("PLANS.md has no fenced SUMMARY block"))
+    val kv = "(\\w+)=(\\d+)".r.findAllMatchIn(fence)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    val tot = a.total
+    val live = Map(
+      "queries" -> a.perQuery.size, "errors" -> a.errors.size,
+      "exchanges" -> tot.exchanges,
+      "singlePartitionExchanges" -> tot.singlePartitionExchanges,
+      "sortMergeJoins" -> tot.sortMergeJoins,
+      "broadcastHashJoins" -> tot.broadcastHashJoins,
+      "broadcastNestedLoopJoins" -> tot.broadcastNestedLoopJoins,
+      "cartesianProducts" -> tot.cartesianProducts)
+    for ((k, v) <- live)
+      assert(kv.get(k).contains(v),
+        s"PLANS.md headline '$k=${kv.getOrElse(k, "?")}' != live audit " +
+          s"'$k=$v' — regenerate the fenced block from `runMain graft.Plans`")
   }
 }

