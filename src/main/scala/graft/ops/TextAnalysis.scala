@@ -886,14 +886,9 @@ object TextAnalysis {
     Q("q105_trigram_novelty",
       (s, d) => {
         import s.implicits._
-        val tri = Tables.documents(s, d)
-          .select($"doc_id", split($"text", " ").as("w"))
-          .select($"doc_id", explode(expr(
-            """case when size(w) < 3 then cast(array() as array<string>)
-              |else transform(sequence(1, size(w) - 2),
-              |  i -> concat_ws(' ', slice(w, i, 3))) end""".stripMargin)).as("tg"))
-          .distinct()
-          .cache() // read twice: first-holder agg + join back
+        // the shared materialized shingle table (Dedup.wordTrigrams) —
+        // read twice here: first-holder agg + join back
+        val tri = Dedup.wordTrigrams(s, d).withColumnRenamed("s", "tg")
         val first = tri.groupBy($"tg").agg(min($"doc_id").as("fd"))
         tri.join(first, "tg")
           .groupBy($"doc_id")

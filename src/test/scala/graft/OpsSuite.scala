@@ -824,4 +824,30 @@ class OpsSuite extends SparkSuite {
     assert(spark.sql("SELECT hilbert_value(0, 0) AS h").collect()
       .head.getLong(0) === 0L)
   }
+
+  test("shared-stage memos equal a fresh computation exactly") {
+    import org.apache.spark.sql.functions._
+    // The documentPairs/documentComponents/wordTrigrams memos are output-
+    // invisible by contract (eleven consumers + their independent oracles
+    // rely on it); pin memo == fresh on every table so a memo-layer bug
+    // (stale key, wrong materialization, dropped column) fails here and
+    // not as an opaque oracle hash mismatch.
+    val docs = Tables.documents(spark, sf)
+    def sameRows(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val freshPairs = ops.Dedup.minhashPairs(docs)
+    assert(sameRows(ops.Dedup.documentPairs(spark, sf), freshPairs))
+    val freshComp = ops.Dedup.connectedComponents(
+      freshPairs.select(col("a"), col("b")))
+    assert(sameRows(ops.Dedup.documentComponents(spark, sf), freshComp))
+    val freshTri = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """case when size(w) < 3 then cast(array() as array<string>)
+          |else transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws(' ', slice(w, i, 3))) end""".stripMargin)).as("s"))
+      .distinct()
+    assert(sameRows(ops.Dedup.wordTrigrams(spark, sf), freshTri))
+  }
 }
