@@ -136,6 +136,9 @@ object PlanAudit {
     "q22_em_init_round" -> 1,
     "q234_budget_apportion" -> 1,
     "q240_out_of_order" -> 1,
+    // two broadcast scalar combines (corpus total, temperature
+    // normalizer) + the 5-row output sort
+    "q242_lang_temperature" -> 3,
     "q24_em_full" -> 1,
     "q25_length_calibration" -> 3,
     "q28_set_ops" -> 5,

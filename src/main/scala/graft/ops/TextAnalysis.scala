@@ -2206,7 +2206,123 @@ object TextAnalysis {
              |    AND b.pos - a.pos BETWEEN 1 AND 3)
              |SELECT x, y, count(*) AS n, CAST(sum(6 // dist) AS BIGINT) AS w6
              |FROM p GROUP BY x, y HAVING count(*) >= 30
-             |ORDER BY w6 DESC, x, y LIMIT 25""".stripMargin))
+             |ORDER BY w6 DESC, x, y LIMIT 25""".stripMargin)),
+
+    // Differentially-private statistics release — the governance gate for
+    // publishing corpus composition (per-source doc and token counts)
+    // without leaking individual membership. Laplace mechanism with a
+    // DETERMINISTIC noise draw: u ∈ [0,1) comes from 52 md5 bits of the
+    // (stat, source) key — reproducible across runs and engines, so the
+    // release is oracle-checkable while keeping the mechanism's exact
+    // inverse-CDF shape (u is uniform and key-unpredictable; a production
+    // release would swap in a sealed random seed, nothing else changes).
+    // Token counts use bounded contribution (per-doc clamp at 100), the
+    // standard trick that fixes sensitivity at the clamp instead of the
+    // unbounded longest document. ε = 0.5 per stat, sequential
+    // composition ε_total = 1.0. One partial+final aggregate, then
+    // per-row expressions: the release costs one shuffle at any corpus
+    // size.
+    Q("q241_dp_release",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("nd"),
+            sum(least(size(split($"text", " ")), lit(100))).as("nt"))
+        val melted = base.select($"source", explode(array(
+            struct(lit("n_docs").as("stat"), $"nd".cast("double").as("v"),
+              lit(2.0).as("b")),
+            struct(lit("n_tokens").as("stat"), $"nt".cast("double").as("v"),
+              lit(200.0).as("b")))).as("r"))
+          .select($"source", $"r.stat", $"r.v", $"r.b")
+        melted
+          .withColumn("u",
+            expr("cast(conv(substring(md5(concat('dp:', stat, ':', source)), 1, 13), 16, 10) as bigint)")
+              / lit(4503599627370496.0))
+          .select($"source", $"stat",
+            lit(0.5).as("epsilon"), $"b".as("scale_b"),
+            round($"v" + (-$"b" * signum($"u" - 0.5) *
+              log(lit(1.0) - lit(2.0) * abs($"u" - 0.5))), 4).as("released"))
+          .orderBy($"source", $"stat")
+      },
+      Some("""WITH base AS (
+             |  SELECT source, count(*) AS nd,
+             |    sum(least(len(string_split(text, ' ')), 100)) AS nt
+             |  FROM documents GROUP BY source),
+             |m AS (
+             |  SELECT source, 'n_docs' AS stat, CAST(nd AS DOUBLE) AS v,
+             |    CAST(2.0 AS DOUBLE) AS b FROM base
+             |  UNION ALL
+             |  SELECT source, 'n_tokens', CAST(nt AS DOUBLE),
+             |    CAST(200.0 AS DOUBLE) FROM base),
+             |n AS (
+             |  SELECT *, ('0x' || substr(md5('dp:' || stat || ':' || source), 1, 13))::BIGINT
+             |    / 4503599627370496.0 AS u
+             |  FROM m)
+             |SELECT source, stat, CAST(0.5 AS DOUBLE) AS epsilon,
+             |  b AS scale_b,
+             |  round(v + (-b * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 4)
+             |    AS released
+             |FROM n ORDER BY source, stat""".stripMargin)),
+
+    // Temperature-scaled language sampling weights — the multilingual
+    // mixture design step (mT5/XLM-R style): raw language shares p_l are
+    // flattened to q_l ∝ p_l^α (α = 0.3), boosting low-resource languages
+    // without letting any language dominate. Output is the sampling table
+    // a data loader consumes: share, temperature weight, boost factor.
+    // One 5-group aggregate plus two broadcast scalars — free at any
+    // corpus size.
+    Q("q242_lang_temperature",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.documents(s, d)
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum($"n").as("tt"))
+        val pw = c.crossJoin(broadcast(tot))
+          .select($"lang", $"n",
+            ($"n" / $"tt").as("p"), pow($"n" / $"tt", 0.3).as("pa"))
+        val z = pw.agg(sum($"pa").as("z"))
+        pw.crossJoin(broadcast(z))
+          .select($"lang", $"n".as("n_docs"),
+            round($"p", 6).as("p"),
+            round($"pa" / $"z", 6).as("q"),
+            round(($"pa" / $"z") / $"p", 4).as("boost"))
+          .orderBy($"lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c),
+             |pw AS (
+             |  SELECT lang, n, n * 1.0 / tt AS p, pow(n * 1.0 / tt, 0.3) AS pa
+             |  FROM c, t),
+             |z AS (SELECT sum(pa) AS z FROM pw)
+             |SELECT lang, n AS n_docs, round(p, 6) AS p,
+             |  round(pa / z, 6) AS q, round((pa / z) / p, 4) AS boost
+             |FROM pw, z ORDER BY lang""".stripMargin)),
+
+    // Tokenizer fertility audit — BPE tokens per word by language, the
+    // standard check that a tokenizer doesn't tax some languages with
+    // far more tokens per word than others (fertility spread drives both
+    // cost and quality imbalance in multilingual training). Reuses the
+    // q90-trained merge table via the bpeLoop memo: the audit itself is
+    // one broadcast join of the Heaps-bounded word→token-count table
+    // onto the word-instance stream plus a per-language aggregate.
+    Q("q243_bpe_fertility",
+      (s, d) => {
+        import s.implicits._
+        val (_, words, fin) = bpeLoop(s, d)
+        val perWord = fin.groupBy($"w").agg(count(lit(1)).as("n_tok_w"))
+        val langs = Tables.documents(s, d).select($"doc_id", $"lang")
+        words.join(broadcast(perWord), "w").join(langs, "doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_tok_w").as("n_bpe_tok"),
+            sum(length($"w")).as("n_chars"))
+          .select($"lang", $"n_words", $"n_bpe_tok",
+            round($"n_bpe_tok".cast("double") / $"n_words", 6).as("fertility"),
+            round($"n_chars".cast("double") / $"n_bpe_tok", 6).as("chars_per_tok"))
+          .orderBy($"lang")
+      },
+      Some(TextAnalysisOracles.bpeFertilitySql))
   )
 
   /** Per-document add-one-smoothed bigram perplexity, shared by q124 and
@@ -2272,7 +2388,17 @@ object TextAnalysis {
     *
     * @return (merge table, word-instance frame (doc_id, word_id, w),
     *         final per-distinct-word BPE token frame (w, n_w, pos, tok)) */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame, DataFrame)]()
+
+  /** Memoized: q90 (train), q91 (apply), and q243 (fertility) all need
+    * the same trained merge table — one training loop per (session, dir)
+    * instead of one per query. */
   private def bpeLoop(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) =
+    bpeMemo.computeIfAbsent((s, d), _ => bpeLoopImpl(s, d))
+
+  private def bpeLoopImpl(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2280,7 +2406,11 @@ object TextAnalysis {
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("word_id", "w")))
       .filter($"word_id" < 20 && length($"w") > 0)
       .select($"doc_id", $"word_id", $"w")
-      .cache() // read twice: the frequency table here, the q91 join-back
+      // read twice (frequency table here, the q91/q243 join-back) and
+      // shared across sessions-long memo lifetime: localCheckpoint, not
+      // cache() — no CacheManager entry to be substituted into other
+      // plans (the q157 history-dependence lesson)
+      .localCheckpoint()
     val byWord = Window.partitionBy($"w").orderBy($"pos")
     val init = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
       .select($"w", $"n_w", posexplode(expr(
@@ -2395,5 +2525,26 @@ private[ops] object TextAnalysisOracles {
        |JOIN (SELECT doc_id, count(*) AS n_bpe_tok FROM t7 GROUP BY 1) a
        |  USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** q243: the same unrolled training chain, aggregated per language —
+    * word instances and characters from the pre-training frame w0, BPE
+    * tokens from the final frame t7. */
+  val bpeFertilitySql: String = {
+    val rounds = (1 to 6).map(bpeRound).mkString(",\n")
+    s"""WITH $bpePrefix,
+       |$rounds,
+       |wd AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(length(w)) AS BIGINT) AS n_chars
+       |  FROM w0 GROUP BY 1),
+       |bt AS (SELECT doc_id, count(*) AS n_bpe FROM t7 GROUP BY 1)
+       |SELECT d.lang,
+       |  CAST(sum(wd.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(bt.n_bpe) AS BIGINT) AS n_bpe_tok,
+       |  round(sum(bt.n_bpe) * 1.0 / sum(wd.n_words), 6) AS fertility,
+       |  round(sum(wd.n_chars) * 1.0 / sum(bt.n_bpe), 6) AS chars_per_tok
+       |FROM wd JOIN bt USING (doc_id) JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 }
