@@ -1826,6 +1826,68 @@ object Dedup {
              |  CAST(sum(d_c * d_c) AS BIGINT) AS sum_d2,
              |  round(1.0 - sum(d_c * d_c) / (4.0 * m.m * m.m), 6) AS modularity
              |FROM dc, m
-             |GROUP BY m.m""".stripMargin))
+             |GROUP BY m.m""".stripMargin)),
+
+    // Near-duplicate cluster-size distribution — the first diagnostic a
+    // dedup paper reports (and the sizing input for keeper election):
+    // how many clusters of each size did LSH+CC find, and what fraction
+    // of the corpus sits in them. Heavy-tailed cluster sizes are the
+    // signature of template/boilerplate families; a single giant
+    // component usually means the banding threshold is too loose.
+    // Reads the memoized components table, so the whole query is two
+    // tiny aggregates plus one broadcast scalar — the corpus-sized work
+    // happened once in the shared retrieval stage. Singletons (docs in
+    // no candidate pair) are restored as size-1 clusters so the
+    // distribution partitions the full corpus.
+    Q("q245_cluster_sizes",
+      (s, d) => {
+        import s.implicits._
+        val comp = documentComponents(s, d)
+        val dist = comp.groupBy($"component")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy($"cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum($"cluster_size").as("n_docs"))
+        val tot = Tables.documents(s, d).agg(count(lit(1)).as("tt"))
+        val inComp = comp.agg(count(lit(1)).as("ic"))
+        val singles = tot.crossJoin(inComp)
+          .select(lit(1L).as("cluster_size"),
+            ($"tt" - $"ic").as("n_clusters"), ($"tt" - $"ic").as("n_docs"))
+        dist.unionAll(singles)
+          .groupBy($"cluster_size")
+          .agg(sum($"n_clusters").as("n_clusters"), sum($"n_docs").as("n_docs"))
+          .crossJoin(broadcast(tot))
+          .select($"cluster_size", $"n_clusters", $"n_docs",
+            round($"n_docs" / $"tt".cast("double"), 6).as("frac_docs"))
+          .orderBy($"cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+             |sym AS (SELECT a AS src, b AS dst FROM pairs
+             |        UNION ALL SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM sym
+             |  UNION
+             |  SELECT x.id, e.dst FROM reach x JOIN sym e ON e.src = x.r),
+             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             |dist AS (
+             |  SELECT cluster_size, count(*) AS n_clusters,
+             |    CAST(sum(cluster_size) AS BIGINT) AS n_docs
+             |  FROM (SELECT count(*) AS cluster_size FROM comp GROUP BY component)
+             |  GROUP BY 1),
+             |tot AS (SELECT count(*) AS tt FROM documents),
+             |ic AS (SELECT count(*) AS ic FROM comp),
+             |uni AS (
+             |  SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |    CAST(n_clusters AS BIGINT) AS n_clusters, n_docs FROM dist
+             |  UNION ALL
+             |  SELECT 1, tt - ic, tt - ic FROM tot, ic)
+             |SELECT cluster_size,
+             |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+             |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |  round(CAST(sum(n_docs) AS BIGINT) / CAST(tt AS DOUBLE), 6)
+             |    AS frac_docs
+             |FROM uni, tot
+             |GROUP BY cluster_size, tt
+             |ORDER BY cluster_size""".stripMargin))
   )
 }
