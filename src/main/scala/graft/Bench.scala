@@ -47,6 +47,15 @@ object Bench {
     }
     SparkEntry.queries.get("q06_forecast_revenue").foreach(_(spark, sfDir).count())
 
+    // context canary, first leg: a cheap streaming query timed against a
+    // fresh session (its pair runs after the full surface, below)
+    val canaryName = "q70_stream_hourly"
+    val canaryFirst = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(canaryName)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -79,10 +88,35 @@ object Bench {
     val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // per-family subtotals: a run-context drift that taxes one family
+    // (round 8: pinned memo blocks made the streaming family ~2× its
+    // isolated cost) should be legible in the JSON, not require a
+    // per-query diff against the previous round
+    val fams = SparkEntry.familyOf
+    val famTotals = ok.groupBy { case (n, _, _) => fams.getOrElse(n, "other") }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val famJson = famTotals.map { case (f, t) => jstr(f) + ":" + t }
+      .mkString("{", ",", "}")
+    // context canary: the same cheap query timed immediately after
+    // warm-up (done above, canaryFirst) and again after the whole
+    // surface has run. ratio >> 1 means the measuring context degraded
+    // over the run — the per-query numbers tell you WHAT got slow, the
+    // canary tells you whether to believe it was the code.
+    val canaryLast = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(canaryName)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryJson = s"""{"query":${jstr(canaryName)},"first":$canaryFirst,""" +
+      s""""last":$canaryLast,"ratio":${canaryLast / canaryFirst}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""families":$famJson,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
+    // exercise the memo eviction hook (long-lived-session hygiene): all
+    // shared-stage temp-parquet memos are dropped before shutdown
+    ops.Memo.evictAll()
     spark.stop()
     if (failed.nonEmpty) {
       failed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }

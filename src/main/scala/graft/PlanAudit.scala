@@ -85,8 +85,9 @@ object PlanAudit {
     * added here with its boundedness argument.
     *
     * Regenerate with `runMain graft.Plans <sfDir> <out>` and paste
-    * `<out>.sp.json` here (last regenerated from /tmp/plans_001.txt,
-    * sf0.001, round 8).
+    * `<out>.sp.json` here (last regenerated from /tmp/plans9.txt,
+    * sf0.001, round 9 — identical to round 8's fresh audit plus the
+    * q245 entry; the round-9 memo→parquet switch moved no SP counts).
     */
   val singlePartitionAllowlist: Map[String, Int] = Map(
     "q06_forecast_revenue" -> 1,
@@ -139,6 +140,10 @@ object PlanAudit {
     // two broadcast scalar combines (corpus total, temperature
     // normalizer) + the 5-row output sort
     "q242_lang_temperature" -> 3,
+    // two 1-row scalar final combines (n_docs total, n_components
+    // total) + the final sort over the cluster-SIZE histogram, whose
+    // row count is bounded by max cluster size, not corpus size
+    "q245_cluster_sizes" -> 3,
     "q24_em_full" -> 1,
     "q25_length_calibration" -> 3,
     "q28_set_ops" -> 5,

@@ -103,5 +103,36 @@ object Plans {
     if (a.errors.nonEmpty)
       println(s"[plans] PLANNING ERRORS (${a.errors.size}): " +
         a.errors.keys.mkString(", "))
+    rewritePlansMd(a, sfDir, only)
+  }
+
+  /** Rewrite PLANS.md's fenced SUMMARY block in place from this audit.
+    * Rounds 6, 7, AND 8 each shipped a hand-copied headline that had
+    * drifted from the tool's output; the committed doc must come from
+    * the tool itself. Only a FULL-surface audit at the suite's SF
+    * (sf0.001 — what PlanAuditSuite compares against) may rewrite;
+    * filtered or other-SF runs print a notice instead. */
+  private def rewritePlansMd(a: Audit, sfDir: String,
+      only: Option[Seq[String]]): Unit = {
+    val md = Paths.get("PLANS.md")
+    if (only.nonEmpty || !sfDir.stripSuffix("/").endsWith("sf0.001")) {
+      println("[plans] PLANS.md fence NOT rewritten (needs a full-surface " +
+        "run at sf0.001, the SF PlanAuditSuite asserts against)")
+    } else if (Files.exists(md)) {
+      val text = Files.readString(md)
+      val fence = "(?s)```\n.*?```".r
+      fence.findFirstIn(text) match {
+        case Some(_) =>
+          val replacement = "```\n" + summaryLine(a) + "\n```"
+          val updated = fence.replaceFirstIn(
+            text, java.util.regex.Matcher.quoteReplacement(replacement))
+          if (updated != text) {
+            Files.writeString(md, updated)
+            println("[plans] PLANS.md fenced headline rewritten")
+          } else println("[plans] PLANS.md fenced headline already current")
+        case None =>
+          println("[plans] PLANS.md has no fenced block to rewrite")
+      }
+    }
   }
 }

@@ -10,18 +10,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Registration sources, named — the names double as the benchmark's
+    * per-family subtotal keys (Bench emits a `families` object so a
+    * run-context drift that taxes one family, as the round-8 memo
+    * residency taxed streaming, is visible in the JSON itself). */
+  private def sources: Seq[(String, Seq[Q])] = Seq(
+    "relational" -> relational.RelationalQueries.all,
+    "genomics" -> relational.GenomicsQueries.queries,
+    "text" -> ops.TextAnalysis.queries,
+    "dedup" -> ops.Dedup.queries,
+    "similarity" -> ops.Similarity.queries,
+    "multimodal" -> ops.Multimodal.queries,
+    "audits" -> ops.Audits.queries,
+    "metrics" -> ops.Metrics.queries,
+    "learn" -> ops.Learn.queries,
+    "streaming" -> streaming.StreamingQueries.queries)
+
   /** All declared queries, in registration order. */
-  def allQueries: Seq[Q] =
-    relational.RelationalQueries.all ++
-      relational.GenomicsQueries.queries ++
-      ops.TextAnalysis.queries ++
-      ops.Dedup.queries ++
-      ops.Similarity.queries ++
-      ops.Multimodal.queries ++
-      ops.Audits.queries ++
-      ops.Metrics.queries ++
-      ops.Learn.queries ++
-      streaming.StreamingQueries.queries
+  def allQueries: Seq[Q] = sources.flatMap(_._2)
+
+  /** Query name → declaring family (see [[sources]]). */
+  def familyOf: Map[String, String] =
+    sources.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

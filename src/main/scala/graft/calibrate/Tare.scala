@@ -91,6 +91,16 @@ object Tare {
       (for { i <- 0 until d; j <- i until d }
         yield sum(col(s"c$i") * col(s"c$j")).as(s"a${i}_$j")) ++
       (0 until d).map(i =>
+        // FP-boundary note (q26 oracle): this rounds a float SUM, whose
+        // value is addition-order dependent, so a summand set landing
+        // exactly on a 0.5·1e-6 rounding boundary could hash-flake
+        // between Spark and DuckDB. It has never flaked because
+        // Σ cᵢ·ln(count) is a sum of transcendentals (ln of integer
+        // counts ≥ 2 is irrational), which cannot sit on a decimal
+        // lattice point — the same argument that keeps every log-domain
+        // oracle in Learn.scala stable. If count==1 rows ever dominate a
+        // dinucleotide bucket (ln 1 = 0 exactly), revisit with an
+        // integer surrogate (×1e6-scaled ln) before trusting the hash.
         round(sum(col(s"c$i") * log(col("count").cast("double"))), 6).as(s"b$i")) ++
       Seq(sum(col("count")).as("total"), count(lit(1)).as("n"))
     val row = feat.agg(gramExprs.head, gramExprs.tail: _*).head()

@@ -38,7 +38,8 @@ object Main {
       }.getOrElse(50) // reference default, cli/Quantify.scala:57-58
       runQuantify(reads, index, gtf, k.toInt, out, maxIter,
         calibrateKmers = !rest.contains("-disable_kmer_calibration"),
-        calibrateLength = !rest.contains("-disable_length_calibration"))
+        calibrateLength = !rest.contains("-disable_length_calibration"),
+        classesAsTx = rest.contains("-classes_as_tx"))
     case "query" :: name :: sfDir :: rest =>
       runQuery(name, sfDir, rest.headOption.map(_.toInt).getOrElse(20))
     case _ =>
@@ -47,7 +48,7 @@ object Main {
           |  index GENOME.fa ANNOTATION.gtf KMER_LENGTH OUTPUT [-avro_compat]
           |  quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
           |           [-max_iterations N] [-disable_kmer_calibration]
-          |           [-disable_length_calibration]
+          |           [-disable_length_calibration] [-classes_as_tx]
           |  query QUERY_NAME SF_DIR [N_ROWS]""".stripMargin)
       sys.exit(1)
   }
@@ -116,7 +117,8 @@ object Main {
 
   private def runQuantify(readsPath: String, indexPath: String, gtfPath: String,
       k: Int, out: String, maxIterations: Int,
-      calibrateKmers: Boolean, calibrateLength: Boolean): Unit = {
+      calibrateKmers: Boolean, calibrateLength: Boolean,
+      classesAsTx: Boolean = false): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     import spark.implicits._
     // extension dispatch as the reference's loadAlignments (SURVEY S1):
@@ -124,7 +126,9 @@ object Main {
     val reads = graft.io.Fastq.loadReads(spark, readsPath).as[Read]
     // accepts graft (kmer, ec) AND reference KmerToClass layouts
     val kmerToEc = graft.io.IndexSchema.readNormalized(spark, indexPath + "_kmers")
-    val ecToTx = spark.read.parquet(indexPath + "_tx")
+    // graft _tx if present; a reference-layout index gets a clear error
+    // (or, with -classes_as_tx, the reference CLI's own wiring)
+    val ecToTx = graft.io.IndexSchema.readEcToTx(spark, indexPath, classesAsTx)
     val transcripts = graft.io.Gtf.transcripts(spark, gtfPath)
       .as[graft.model.Transcript]
     val abundances = Quantify(reads, kmerToEc, ecToTx, transcripts, k,

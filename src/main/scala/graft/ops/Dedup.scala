@@ -56,19 +56,23 @@ object Dedup {
     * self-contained and the memo is provably output-invisible.
     * At 100 TB this is the same discipline a production pipeline uses —
     * run candidate retrieval ONCE, persist it, fan the consumers out
-    * from the persisted table. */
+    * from the persisted table — which is also literally how the memo is
+    * stored: [[Memo.materialize]] writes temp parquet, so nothing stays
+    * pinned in the block manager and consumers plan against a stats-
+    * bearing parquet scan (broadcastable when small). */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val compMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def materializeShared(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  private def materializeShared(df: DataFrame): DataFrame = Memo.materialize(df)
 
   private val trigramMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  Memo.registerClearHook { () =>
+    pairsMemo.clear(); compMemo.clear(); trigramMemo.clear()
+  }
 
   /** Memoized distinct word-trigram sets over `documents` —
     * DataFrame(doc_id, s), one row per (document, distinct trigram),
@@ -837,8 +841,13 @@ object Dedup {
     Q("q98_triangles",
       (s, d) => {
         import s.implicits._
+        // no .cache(): the memo is parquet-backed, so the three reads
+        // below are cheap file re-scans — and a CacheManager entry here
+        // would be substituted into every later query planning the same
+        // pairs subtree (q100/q115/q117/q162/q221), making their
+        // physical plans depend on whether q98 ran first (ADVICE r8)
         val e = documentPairs(s, d)
-          .select($"a", $"b").cache()
+          .select($"a", $"b")
         val wedges = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
           .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
         val tri = wedges.join(e.as("e3"),

@@ -1,0 +1,66 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization backend for the per-session shared-stage memos
+  * (LSH pairs, connected components, word trigrams, the BPE training
+  * frames).
+  *
+  * Round 8 materialized these through `localCheckpoint`, which pins the
+  * result as RDD blocks in the block manager for the lifetime of the
+  * memo entry — storage `spark.catalog.clearCache()` cannot see. In a
+  * long benchmark run every query AFTER the first memo build then pays
+  * the pinned blocks in storage/GC pressure (the round-8 streaming
+  * family ran ~2× its isolated cost from exactly this).
+  *
+  * Temp-parquet materialization is the local analogue of what the memo
+  * IS at production scale — a persisted table the consumers fan out
+  * from: nothing stays pinned in executor memory (the OS page cache
+  * serves re-reads), every consumer's plan is a plain parquet scan
+  * (history-independent by construction, no CacheManager substitution),
+  * and the scan carries FILE STATISTICS, so joins against a memoized
+  * table plan size-aware (broadcast when small) instead of defaulting
+  * to conservative sort-merge as the stats-free checkpoint RDDs did.
+  */
+object Memo {
+
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Owners of memo maps register how to drop their entries so
+    * [[evictAll]] can clear every memo without reverse dependencies. */
+  def registerClearHook(f: () => Unit): Unit = clearHooks.add(f)
+
+  /** Write `df` once to a session-temp parquet dir and return a reader
+    * over it. The returned frame's plan is a parquet scan with file
+    * statistics; the write is the one-time cost the memo exists to pay. */
+  def materialize(df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-memo-")
+    dirs.add(dir)
+    val path = dir.toString
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Drop every memo entry and delete the backing temp-parquet dirs —
+    * the eviction hook for long-lived sessions that touch many data
+    * dirs (unbounded (session, dir)-keyed growth otherwise). Callers
+    * must not hold DataFrames read from a memo across an evict: their
+    * backing files are gone. */
+  def evictAll(): Unit = {
+    clearHooks.forEach(h => h())
+    dirs.forEach { d =>
+      if (Files.exists(d)) {
+        val walk = Files.walk(d)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    dirs.clear()
+  }
+}

@@ -2240,6 +2240,12 @@ object TextAnalysis {
             expr("cast(conv(substring(md5(concat('dp:', stat, ':', source)), 1, 13), 16, 10) as bigint)")
               / lit(4503599627370496.0))
           .select($"source", $"stat",
+            // the mechanism label is part of the released row, not a code
+            // comment: this demo's "noise" is a deterministic function of
+            // the public (stat, source) key (so the oracle can re-derive
+            // it), which provides ZERO privacy — a real release swaps in
+            // a sealed random seed and relabels itself
+            lit("deterministic-demo").as("mechanism"),
             lit(0.5).as("epsilon"), $"b".as("scale_b"),
             round($"v" + (-$"b" * signum($"u" - 0.5) *
               log(lit(1.0) - lit(2.0) * abs($"u" - 0.5))), 4).as("released"))
@@ -2259,7 +2265,8 @@ object TextAnalysis {
              |  SELECT *, ('0x' || substr(md5('dp:' || stat || ':' || source), 1, 13))::BIGINT
              |    / 4503599627370496.0 AS u
              |  FROM m)
-             |SELECT source, stat, CAST(0.5 AS DOUBLE) AS epsilon,
+             |SELECT source, stat, 'deterministic-demo' AS mechanism,
+             |  CAST(0.5 AS DOUBLE) AS epsilon,
              |  b AS scale_b,
              |  round(v + (-b * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 4)
              |    AS released
@@ -2391,6 +2398,8 @@ object TextAnalysis {
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame, DataFrame)]()
 
+  Memo.registerClearHook(() => bpeMemo.clear())
+
   /** Memoized: q90 (train), q91 (apply), and q243 (fertility) all need
     * the same trained merge table — one training loop per (session, dir)
     * instead of one per query. */
@@ -2402,15 +2411,15 @@ object TextAnalysis {
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.documents(s, d)
+    // read twice (frequency table here, the q91/q243 join-back) and held
+    // for the sessions-long memo lifetime: temp-parquet materialization
+    // (Memo), so nothing stays pinned in the block manager and no
+    // CacheManager entry can be substituted into other queries' plans
+    // (the q157 history-dependence lesson)
+    val words = Memo.materialize(Tables.documents(s, d)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("word_id", "w")))
       .filter($"word_id" < 20 && length($"w") > 0)
-      .select($"doc_id", $"word_id", $"w")
-      // read twice (frequency table here, the q91/q243 join-back) and
-      // shared across sessions-long memo lifetime: localCheckpoint, not
-      // cache() — no CacheManager entry to be substituted into other
-      // plans (the q157 history-dependence lesson)
-      .localCheckpoint()
+      .select($"doc_id", $"word_id", $"w"))
     val byWord = Window.partitionBy($"w").orderBy($"pos")
     val init = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
       .select($"w", $"n_w", posexplode(expr(
@@ -2448,7 +2457,10 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    (merges.toSeq, words, toks)
+    // the per-round localCheckpoints above are loop-transient (reclaimed
+    // by the ContextCleaner once unreferenced); only the memoized outputs
+    // are re-materialized to parquet so the memo pins no RDD blocks
+    (merges.toSeq, words, Memo.materialize(toks))
   }
 }
 

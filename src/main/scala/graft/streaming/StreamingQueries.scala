@@ -82,33 +82,38 @@ object StreamingQueries {
     // matched to purchases within ±300 s of event time, both sides live
     // streams. Spark requires an EQUALITY predicate in stream-stream
     // joins, and the q18 bin-bucketing trick supplies exactly that: the
-    // probe side explodes into the ≤3 window-sized time bins its interval
-    // can touch, the build side keys by its own bin, and the join becomes
-    // bin-equality plus the exact range re-check — which also gives the
-    // state store a shard key whose density is bounded by arrival rate.
-    // Watermarks on BOTH sides plus the two-sided time bound make the
-    // buffered state PRUNABLE (each side holds only rows younger than
-    // watermark − 300 s), the requirement for a join that runs for months
-    // on a real cluster. A purchase owns exactly one bin, so each matched
-    // pair is emitted exactly once in append mode; the emitted pair SET
-    // is deterministic, so the query oracles as the batch θ-join.
+    // probe side explodes into the time bins its interval can touch, the
+    // build side keys by its own bin, and the join becomes bin-equality
+    // plus the exact range re-check — which also gives the state store a
+    // shard key whose density is bounded by arrival rate. Bin width is
+    // 2×window (600 s): an interval of length 2w spans AT MOST TWO bins
+    // of width 2w, so each error stores ≤2 state rows instead of the 3
+    // a w-wide binning costs — 33% less probe-side state and shuffle for
+    // the same per-bin candidate bound. Watermarks on BOTH sides plus
+    // the two-sided time bound make the buffered state PRUNABLE (each
+    // side holds only rows younger than watermark − 300 s), the
+    // requirement for a join that runs for months on a real cluster. A
+    // purchase owns exactly one bin, so each matched pair is emitted
+    // exactly once in append mode; the emitted pair SET is
+    // deterministic, so the query oracles as the batch θ-join.
     Q("q72_stream_join",
       (s, d) => {
         import s.implicits._
         val winUs = 300L * 1000000L
+        val binUs = 2L * winUs
         val staticDf = s.read.parquet(s"$d/events.parquet")
         val dir = Staging.stageTable(d, "events")
         def src() = graft.Tables.normalizeTs(
           s.readStream.schema(staticDf.schema).parquet(dir))
         val errs = src().filter($"event_type" === "error")
           .select($"event_id".as("err_id"), $"ts".as("err_ts"))
-          .withColumn("bin", explode(sequence(
-            floor((unix_micros($"err_ts") - winUs) / winUs).cast("long"),
-            floor((unix_micros($"err_ts") + winUs) / winUs).cast("long"))))
+          .withColumn("bin", explode(array_distinct(array(
+            floor((unix_micros($"err_ts") - winUs) / binUs).cast("long"),
+            floor((unix_micros($"err_ts") + winUs) / binUs).cast("long")))))
           .withWatermark("err_ts", "10 minutes")
         val purch = src().filter($"event_type" === "purchase")
           .select($"event_id".as("p_id"), $"ts".as("p_ts"),
-            floor(unix_micros($"ts") / winUs).cast("long").as("p_bin"))
+            floor(unix_micros($"ts") / binUs).cast("long").as("p_bin"))
           .withWatermark("p_ts", "10 minutes")
         val joined = errs.join(purch,
           $"bin" === $"p_bin" &&

@@ -457,4 +457,42 @@ class IoSuite extends SparkSuite {
     assert(lines.length === 2)
     assert(lines.forall(_.contains(", ")))
   }
+
+  test("reference-layout index (no _tx): clear failure; -classes_as_tx mirrors the reference CLI") {
+    // a REFERENCE-written index has only _kmers and _classes (rice-cli
+    // Index.scala:83,92) — simulate one by building a graft index and
+    // dropping the _tx side table
+    val fa = write("genome_rt", ">chr1\nCAATCCTTCGCCGCAGTGCA\n")
+    val gtf = write("ann_rt",
+      """chr1	t	exon	1	10	.	+	.	gene_id "g1"; transcript_id "transcript1";
+        |chr1	t	exon	12	20	.	+	.	gene_id "g1"; transcript_id "transcript2";
+        |""".stripMargin)
+    val out = Files.createTempDirectory("graft_cli_reftx").toString
+    graft.cli.Main.main(Array("index", fa, gtf, "5", s"$out/idx", "-avro_compat"))
+    val txDir = java.nio.file.Paths.get(s"$out/idx_tx")
+    Files.walk(txDir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+
+    // default: a clear error that names the missing _tx table and why —
+    // not a bare missing-path failure deep inside a parquet scan
+    val e = intercept[IllegalArgumentException] {
+      graft.io.IndexSchema.readEcToTx(spark, s"$out/idx")
+    }
+    assert(e.getMessage.contains("_tx") && e.getMessage.contains("-classes_as_tx"))
+
+    // opt-in: reproduce the reference CLI's own wiring (the ClassContents
+    // strings handed to Quantify as transcript ids, Quantify.scala:90-99)
+    val derived = graft.io.IndexSchema.readEcToTx(spark, s"$out/idx",
+      classesAsTx = true)
+    assert(derived.columns.toSeq === Seq("ec", "tid"))
+    val classes = spark.read.parquet(s"$out/idx_classes")
+    val contents = classes.select($"equivalenceClass".as("ec"),
+      org.apache.spark.sql.functions.explode($"kmers").as("tid"))
+    assert(derived.exceptAll(contents).isEmpty && contents.exceptAll(derived).isEmpty)
+
+    // graft-written index (with _tx) is unaffected
+    graft.cli.Main.main(Array("index", fa, gtf, "5", s"$out/idx2"))
+    val tx = graft.io.IndexSchema.readEcToTx(spark, s"$out/idx2")
+    assert(tx.columns.toSeq === Seq("ec", "tid") && tx.count() > 0)
+  }
 }

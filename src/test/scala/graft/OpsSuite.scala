@@ -850,4 +850,23 @@ class OpsSuite extends SparkSuite {
       .distinct()
     assert(sameRows(ops.Dedup.wordTrigrams(spark, sf), freshTri))
   }
+
+  test("Memo.evictAll drops every shared-stage memo and rebuilds cleanly") {
+    // the long-lived-session hygiene hook (ADVICE r8): (session, dir)
+    // memo entries and their temp-parquet dirs must be evictable, and a
+    // post-evict call must rebuild from scratch with identical results
+    val before = ops.Dedup.documentPairs(spark, sf)
+    val nBefore = before.count()
+    val triBefore = ops.Dedup.wordTrigrams(spark, sf).count()
+    ops.Memo.evictAll()
+    val after = ops.Dedup.documentPairs(spark, sf)
+    assert(after.count() === nBefore)
+    assert(ops.Dedup.wordTrigrams(spark, sf).count() === triBefore)
+    // the rebuilt memo is a NEW materialization, not the evicted one
+    val pathOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.logical.collectLeaves().mkString
+    assert(pathOf(after) !== pathOf(before),
+      "evictAll must invalidate the memo entry, not return the old frame")
+    ops.Memo.evictAll()
+  }
 }
