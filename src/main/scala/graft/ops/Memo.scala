@@ -31,6 +31,11 @@ object Memo {
   private val clearHooks =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 
+  // temp dirs are JVM-scratch: reclaim them at exit so repeated
+  // Verify/Bench/test runs don't accumulate parquet junk under /tmp
+  Runtime.getRuntime.addShutdownHook(new Thread(() => evictAll(),
+    "graft-memo-cleanup"))
+
   /** Owners of memo maps register how to drop their entries so
     * [[evictAll]] can clear every memo without reverse dependencies. */
   def registerClearHook(f: () => Unit): Unit = clearHooks.add(f)
