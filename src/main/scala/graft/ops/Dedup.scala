@@ -1620,10 +1620,17 @@ object Dedup {
         var auth = edges.select($"c").distinct().withColumn("a", lit(1.0))
         var hub = edges.select($"s").distinct().withColumn("h", lit(1.0))
         for (_ <- 1 to 2) {
-          val hraw = edges.join(auth, "c").groupBy($"s").agg(sum($"a").as("hr"))
+          // checkpoint the RAW aggregate first: the max-normalizer's
+          // broadcast subtree and the normalized frame both read the
+          // materialized result, so the edge join executes ONCE per
+          // half-round — un-materialized, the crossJoin(broadcast(agg))
+          // shape re-evaluates the join inside the broadcast stage
+          val hraw = edges.join(auth, "c").groupBy($"s")
+            .agg(sum($"a").as("hr")).localCheckpoint()
           hub = hraw.crossJoin(broadcast(hraw.agg(max($"hr").as("mx"))))
             .select($"s", round($"hr" / $"mx", 6).as("h")).localCheckpoint()
-          val araw = edges.join(hub, "s").groupBy($"c").agg(sum($"h").as("ar"))
+          val araw = edges.join(hub, "s").groupBy($"c")
+            .agg(sum($"h").as("ar")).localCheckpoint()
           auth = araw.crossJoin(broadcast(araw.agg(max($"ar").as("mx"))))
             .select($"c", round($"ar" / $"mx", 6).as("a")).localCheckpoint()
         }
