@@ -48,6 +48,24 @@ class PropertySuite extends SparkSuite {
     })
   }
 
+  test("q72 2-bin cover: |p − t| ≤ w ⟹ p's 2w-bin is one of t's two") {
+    // the completeness lemma the round-9 stream-join binning rests on: an
+    // interval of length 2w spans at most TWO bins of width 2w, so the
+    // probe side may store exactly {bin(t−w), bin(t+w)} instead of three
+    // w-wide bins. Checked under the SAME semantics Spark executes —
+    // floor of bigint/bigint DOUBLE division (exact here: unix_micros
+    // magnitudes sit below 2^53) — over the plausible timestamp range.
+    val w = 300L * 1000000L
+    val W = 2 * w
+    def bin(x: Long): Long = math.floor(x.toDouble / W).toLong
+    check("cover", Prop.forAll(
+      Gen.choose(1500000000000000L, 1800000000000000L),
+      Gen.choose(-w, w)) { (t, d) =>
+      val pb = bin(t + d)
+      pb == bin(t - w) || pb == bin(t + w)
+    })
+  }
+
   test("top-k aggregator: any split-and-merge equals sort-take") {
     import graft.functions.{ScoredId, TopKAggregator, TopKState}
     val agg = new TopKAggregator(5)
