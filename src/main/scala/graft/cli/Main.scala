@@ -17,7 +17,10 @@ import graft.quantify.Quantify
   *     With -avro_compat the two side tables use the reference's
   *     on-disk record field names (KmerToClass/ClassContents,
   *     rice.avdl:21-33) so ADAM tooling can read them; quantify
-  *     auto-detects either layout (io.IndexSchema).
+  *     auto-detects either layout (io.IndexSchema). A REFERENCE-written
+  *     index carries no _tx table — quantify then fails with a pointed
+  *     message unless -classes_as_tx opts into the reference CLI's own
+  *     wiring (io.IndexSchema.readEcToTx).
   *
   * quantify READS.parquet INDEX ANNOTATION.gtf KMER_LENGTH OUTPUT
   *         [-max_iterations N] [-disable_kmer_calibration]
