@@ -118,12 +118,20 @@ object Plans {
     if (only.nonEmpty || !sfDir.stripSuffix("/").endsWith("sf0.001")) {
       println("[plans] PLANS.md fence NOT rewritten (needs a full-surface " +
         "run at sf0.001, the SF PlanAuditSuite asserts against)")
-    } else if (Files.exists(md)) {
+    } else if (!Files.exists(md)) {
+      // silent no-op here would look like success from the wrong CWD
+      println(s"[plans] PLANS.md NOT FOUND at ${md.toAbsolutePath} — " +
+        "fenced headline NOT rewritten (run from the repo root)")
+    } else {
       val text = Files.readString(md)
-      val fence = "(?s)```\n.*?```".r
+      // the summary fence is the one anchored by an explicit marker, not
+      // positionally the first ``` in the doc (inserting an earlier fenced
+      // example must not redirect the rewrite)
+      val fence = "(?s)<!-- plans-summary-fence -->\n```\n.*?```".r
       fence.findFirstIn(text) match {
         case Some(_) =>
-          val replacement = "```\n" + summaryLine(a) + "\n```"
+          val replacement =
+            "<!-- plans-summary-fence -->\n```\n" + summaryLine(a) + "\n```"
           val updated = fence.replaceFirstIn(
             text, java.util.regex.Matcher.quoteReplacement(replacement))
           if (updated != text) {
@@ -131,7 +139,8 @@ object Plans {
             println("[plans] PLANS.md fenced headline rewritten")
           } else println("[plans] PLANS.md fenced headline already current")
         case None =>
-          println("[plans] PLANS.md has no fenced block to rewrite")
+          println("[plans] PLANS.md has no <!-- plans-summary-fence --> " +
+            "anchored block to rewrite")
       }
     }
   }

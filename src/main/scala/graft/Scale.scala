@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: turns the 100 TB posture from an argued property into a
+  * measured one (round-9 verdict, next-round item #1).
+  *
+  * Two subcommands:
+  *
+  * `synth <srcDir> <dstDir> <copies>` — synthesize an N× corpus from an
+  * existing SF dir by unioning N re-keyed copies of every fact table
+  * (dims `region`/`nation` stay single, as TPC-H scaling does). Keys are
+  * interleaved (`key·N + copy`) so FK joins stay consistent within a
+  * copy and key ranges/density scale uniformly. Copy 0 is byte-identical
+  * to the source; the transforms that keep copies>0 from being
+  * DEGENERATE duplicates (which would turn the dedup/LSH family's
+  * group sizes quadratic — a data pathology, not an engine cost) are:
+  *
+  *  - `documents.text`: deterministic per-copy word shuffle — word at
+  *    position p sorts to rank xxhash64(copy, p). Token histograms (and
+  *    so language-ID, quality, vocab, BPE statistics) are EXACTLY
+  *    preserved per copy, while word-trigram shingle sets across copies
+  *    are near-disjoint, so MinHash/LSH group sizes stay realistic.
+  *    Because the permutation depends only on (copy, position), a
+  *    generator-planted near-dup pair stays a near-dup pair within every
+  *    copy — the shared positions order identically.
+  *  - `embeddings.embedding`: rotate the 64-dim vector by `copy`
+  *    positions — norms and within-copy geometry are exactly preserved,
+  *    cross-copy vectors decorrelate (no 10× exact-duplicate ANN hits).
+  *  - `events.ts` is kept as-is: N× events per hour window is precisely
+  *    the traffic-growth shape the streaming state design must absorb.
+  *
+  * `time <dirA> <dirB> <q1,q2,...> <outJson>` — time the named queries
+  * at both dirs under the Bench methodology (byte-level page-cache
+  * warm-up, best-of-2, clearCache+GC between queries, memo eviction
+  * between dirs) and emit one JSON line with per-query seconds and the
+  * B/A wall-time ratio. With dirB = 10× dirA, `ratio` ≫ 10 (the verdict
+  * set the flag at >13, leaving headroom for fixed per-query overhead)
+  * means the query's cost curve is super-linear in data — the exact
+  * failure the 100 TB claims must exclude.
+  *
+  * Plan-shape invariance at the synthesized SF is checked with the
+  * existing tool (`runMain graft.Plans <dstDir> <out>`) — Scale does not
+  * duplicate the audit. Findings land in SCALE.md.
+  */
+object Scale {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "synth" :: src :: dst :: copies :: Nil =>
+      synth(src, dst, copies.toInt)
+    case "time" :: dirA :: dirB :: names :: out :: Nil =>
+      time(dirA, dirB, names.split(',').toSeq, out)
+    case _ =>
+      System.err.println(
+        "usage: graft.Scale synth <srcDir> <dstDir> <copies>\n" +
+        "       graft.Scale time <dirA> <dirB> <q1,q2,...> <outJson>")
+      sys.exit(2)
+  }
+
+  /** key·copies + copy: interleaved re-keying, FK-consistent per copy. */
+  private def rekey(c: Column, copies: Int, copy: Column): Column =
+    c * copies + copy
+
+  def synth(src: String, dst: String, copies: Int): Unit = {
+    require(copies >= 2, "copies must be >= 2")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    new java.io.File(dst).mkdirs()
+
+    // dims: single copy, verbatim
+    Seq("region", "nation").foreach { t =>
+      Tables.load(spark, src, t).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+    }
+
+    /** fan a table to `copies` copies (column `c` = copy index), apply
+      * per-copy column rewrites, write. */
+    def fan(t: String, base: DataFrame)(rewrites: (String, Column)*): Unit = {
+      val fanned = base
+        .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      val out = rewrites.foldLeft(fanned) { case (df, (name, e)) =>
+        df.withColumn(name, e)
+      }.drop("c")
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scale] $t: ${base.count()} x $copies rows -> $dst")
+    }
+
+    val cp = col("c")
+    fan("customer", Tables.customer(spark, src))(
+      "c_custkey" -> rekey(col("c_custkey"), copies, cp))
+    fan("supplier", Tables.supplier(spark, src))(
+      "s_suppkey" -> rekey(col("s_suppkey"), copies, cp))
+    fan("part", Tables.part(spark, src))(
+      "p_partkey" -> rekey(col("p_partkey"), copies, cp))
+    fan("orders", Tables.orders(spark, src))(
+      "o_orderkey" -> rekey(col("o_orderkey"), copies, cp),
+      "o_custkey" -> rekey(col("o_custkey"), copies, cp))
+    fan("lineitem", Tables.lineitem(spark, src))(
+      "l_orderkey" -> rekey(col("l_orderkey"), copies, cp),
+      "l_partkey" -> rekey(col("l_partkey"), copies, cp),
+      "l_suppkey" -> rekey(col("l_suppkey"), copies, cp))
+    // events: N× the users and N× the per-window traffic (ts unchanged)
+    fan("events", Tables.events(spark, src))(
+      "event_id" -> rekey(col("event_id"), copies, cp),
+      "user_id" -> rekey(col("user_id"), copies, cp))
+
+    // documents: per-copy deterministic word shuffle (see scaladoc)
+    val shuffledText = when(cp === 0, col("text")).otherwise(concat_ws(" ",
+      transform(
+        array_sort(transform(split(col("text"), " "),
+          (w, p) => struct(xxhash64(cp, p).as("k"), w.as("v")))),
+        s => s.getField("v"))))
+    fan("documents", Tables.documents(spark, src))(
+      "doc_id" -> rekey(col("doc_id"), copies, cp),
+      "text" -> shuffledText,
+      // the shuffle is length-preserving (same words, single spaces),
+      // but recompute rather than assume
+      "n_chars" -> length(shuffledText).cast("long"))
+
+    // embeddings: rotate dims by the copy index (copies << 64 dims)
+    val emb = col("embedding")
+    fan("embeddings", Tables.embeddings(spark, src))(
+      "vec_id" -> rekey(col("vec_id"), copies, cp),
+      "embedding" -> when(cp === 0, emb).otherwise(
+        concat(slice(emb, cp + 1, size(emb) - cp), slice(emb, lit(1), cp))))
+
+    spark.stop()
+  }
+
+  // --- timing -------------------------------------------------------------
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Bench-methodology warm-up for one dir: pull table bytes through the
+    * page cache, run one cheap query for codegen/JIT. */
+  private def warm(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val p = Paths.get(s"$dir/$t.parquet")
+      val files =
+        if (Files.isRegularFile(p)) Seq(p)
+        else if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          finally s.close()
+        } else Seq.empty
+      files.filter(Files.isRegularFile(_)).foreach { f =>
+        val in = Files.newInputStream(f)
+        try { val buf = new Array[Byte](1 << 20); while (in.read(buf) >= 0) () }
+        finally in.close()
+      }
+      Tables.load(spark, dir, t).count()
+    }
+    SparkEntry.queries("q06_forecast_revenue")(spark, dir).count()
+  }
+
+  /** best-of-2 seconds for one query at one dir (Bench methodology). */
+  private def bestOf2(spark: SparkSession, dir: String, name: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t = math.min(once(), once())
+    spark.catalog.clearCache()
+    System.gc()
+    t
+  }
+
+  def time(dirA: String, dirB: String, names: Seq[String], out: String): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+
+    warm(spark, dirA)
+    val a = names.map(n => n -> bestOf2(spark, dirA, n)).toMap
+    // memos are keyed per (session, dir); evict so dirB's runs build their
+    // own at dirB's scale instead of inheriting dirA residue
+    ops.Memo.evictAll()
+    spark.catalog.clearCache()
+    warm(spark, dirB)
+    val b = names.map(n => n -> bestOf2(spark, dirB, n)).toMap
+    ops.Memo.evictAll()
+
+    val rows = names.map { n =>
+      val ratio = b(n) / a(n)
+      f"${jstr(n)}:{" + f""""a":${a(n)}%.3f,"b":${b(n)}%.3f,"ratio":$ratio%.2f}"""
+    }
+    val totalA = names.map(a).sum
+    val totalB = names.map(b).sum
+    val line =
+      s"""{"dirA":${jstr(dirA)},"dirB":${jstr(dirB)},""" +
+      f""""totalA":$totalA%.3f,"totalB":$totalB%.3f,""" +
+      f""""totalRatio":${totalB / totalA}%.2f,""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    Files.writeString(Paths.get(out), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

@@ -38,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // drop the shared-stage temp-parquet memos: a both-SF Verify in one
+    // JVM (sbt runMain twice) would otherwise hold two SFs' worth until
+    // the shutdown hook fires
+    ops.Memo.evictAll()
     spark.stop()
   }
 }

@@ -91,17 +91,12 @@ object Tare {
       (for { i <- 0 until d; j <- i until d }
         yield sum(col(s"c$i") * col(s"c$j")).as(s"a${i}_$j")) ++
       (0 until d).map(i =>
-        // FP-boundary note (q26 oracle): this rounds a float SUM, whose
-        // value is addition-order dependent, so a summand set landing
-        // exactly on a 0.5·1e-6 rounding boundary could hash-flake
-        // between Spark and DuckDB. It has never flaked because
-        // Σ cᵢ·ln(count) is a sum of transcendentals (ln of integer
-        // counts ≥ 2 is irrational), which cannot sit on a decimal
-        // lattice point — the same argument that keeps every log-domain
-        // oracle in Learn.scala stable. If count==1 rows ever dominate a
-        // dinucleotide bucket (ln 1 = 0 exactly), revisit with an
-        // integer surrogate (×1e6-scaled ln) before trusting the hash.
-        round(sum(col(s"c$i") * log(col("count").cast("double"))), 6).as(s"b$i")) ++
+        // Xᵀy as exact integers: ln(count) quantized per row to a ×1e6
+        // BIGINT (floor — unambiguous across engines), so the sum is
+        // addition-order independent and the cross-engine value identical
+        // by construction, not by a transcendental-boundary argument.
+        (sum(col(s"c$i") * floor(log(col("count").cast("double")) * 1e6))
+          .cast("double") / 1e6).as(s"b$i")) ++
       Seq(sum(col("count")).as("total"), count(lit(1)).as("n"))
     val row = feat.agg(gramExprs.head, gramExprs.tail: _*).head()
 
@@ -145,26 +140,15 @@ object Tare {
     * relation `f(kmer, cnt, c0..c15)` to the final calibrated SELECT.
     * Every elimination/back-substitution term is generated with the same
     * association order as the Scala loops, so the double arithmetic is
-    * bit-identical given identical inputs (exact integer Gram, 6-dp
-    * rounded Xᵀy).
-    *
-    * Residual boundary risk (documented, not eliminated): the Gram
-    * entries are exact integers, but the Xᵀy inputs are
-    * round(Σ cᵢ·ln(count), 6) — the PRE-round sum's FP value depends on
-    * addition order (Spark partial aggregation vs DuckDB scan order),
-    * JVM Math.log and DuckDB's libm ln can differ by 1 ulp, and Spark
-    * rounds through BigDecimal HALF_UP while DuckDB rounds the double
-    * directly. A sum landing within ~1e-13 of a 0.5·10⁻⁶ boundary could
-    * therefore round differently per engine and flip the q26 hash. The
-    * gate is probabilistically stable (the summands are transcendental,
-    * so boundary hits have measure ~0 and none occur at the driver SFs),
-    * not provably bit-identical end-to-end; if a data refresh ever
-    * flakes q26, suspect this boundary before the solve. */
+    * bit-identical given identical inputs: exact integer Gram, and Xᵀy
+    * summed as exact ×1e6-scaled BIGINTs (per-row floor-quantized ln —
+    * addition-order independent, so no FP-boundary caveat survives). */
   def exactSolveSql(d: Int = 16): String = {
     val gram =
       (for { i <- 0 until d; j <- i until d }
         yield s"CAST(sum(c$i*c$j) AS DOUBLE) AS a${i}_$j") ++
-      (0 until d).map(i => s"round(sum(c$i * ln(cnt)), 6) AS b$i") ++
+      (0 until d).map(i =>
+        s"sum(c$i * CAST(floor(ln(cnt) * 1e6) AS BIGINT)) / 1e6 AS b$i") ++
       Seq("CAST(sum(cnt) AS BIGINT) AS total", "count(*) AS n")
     val g = s"g AS (SELECT\n    ${gram.mkString(",\n    ")}\n  FROM f)"
     val steps = (0 until d - 1).map { kk =>

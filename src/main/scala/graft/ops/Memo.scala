@@ -55,10 +55,19 @@ object Memo {
     * the eviction hook for long-lived sessions that touch many data
     * dirs (unbounded (session, dir)-keyed growth otherwise). Callers
     * must not hold DataFrames read from a memo across an evict: their
-    * backing files are gone. */
+    * backing files are gone.
+    *
+    * The dir set is SNAPSHOTTED-AND-DRAINED before any deletion: a memo
+    * rebuilt concurrently with the evict materializes into a new dir
+    * that is either in the snapshot (drained, deleted — the rebuilder's
+    * map entry was already cleared by the hooks) or added after the
+    * drain (kept, tracked for the next evict) — never deleted out from
+    * under a live reader while still registered. */
   def evictAll(): Unit = {
     clearHooks.forEach(h => h())
-    dirs.forEach { d =>
+    val snapshot = new java.util.ArrayList[Path]()
+    dirs.forEach { d => if (dirs.remove(d)) snapshot.add(d) }
+    snapshot.forEach { d =>
       if (Files.exists(d)) {
         val walk = Files.walk(d)
         try walk.sorted(Comparator.reverseOrder[Path]())
@@ -66,6 +75,5 @@ object Memo {
         finally walk.close()
       }
     }
-    dirs.clear()
   }
 }

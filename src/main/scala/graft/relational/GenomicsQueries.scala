@@ -234,8 +234,8 @@ object GenomicsQueries {
     // Tare.scala:110-136): regress log(count) on the 16-dim
     // dinucleotide-context features, keep the residual, rescale to the
     // mean. Runs through Tare.calibrateKmersExact — the explicit
-    // normal-equation form of the fit (exact integer Gram + 6-dp-rounded
-    // Xᵀy, driver-side no-pivot elimination mirrored term-for-term by
+    // normal-equation form of the fit (exact integer Gram + integer
+    // ×1e6-quantized Xᵀy, driver-side no-pivot elimination mirrored term-for-term by
     // Tare.exactSolveSql) — so the FULL 16-feature OLS is hash-checked
     // against DuckDB. TareSuite pins calibrateKmersExact against the
     // spark.ml calibrateKmers fit (same predictions: the raw-count column

@@ -79,12 +79,15 @@ class PlanAuditSuite extends SparkSuite {
 
     // PLANS.md's fenced headline block must equal the fresh audit —
     // round 6/7's failure mode was exactly a committed doc drifting from
-    // the tool's output. Parse the first code fence and compare every
-    // key=value to the live totals.
+    // the tool's output. Parse the marker-anchored fence (same anchor
+    // Plans.rewritePlansMd targets) and compare every key=value to the
+    // live totals.
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")))
-    val fence = "(?s)```\n(.*?)```".r.findFirstMatchIn(plansMd)
-      .map(_.group(1)).getOrElse(fail("PLANS.md has no fenced SUMMARY block"))
+    val fence =
+      "(?s)<!-- plans-summary-fence -->\n```\n(.*?)```".r
+        .findFirstMatchIn(plansMd).map(_.group(1))
+        .getOrElse(fail("PLANS.md has no marker-anchored SUMMARY fence"))
     val kv = "(\\w+)=(\\d+)".r.findAllMatchIn(fence)
       .map(m => m.group(1) -> m.group(2).toInt).toMap
     val tot = a.total
