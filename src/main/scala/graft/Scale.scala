@@ -161,14 +161,27 @@ object Scale {
     SparkEntry.queries("q06_forecast_revenue")(spark, dir).count()
   }
 
-  /** best-of-2 seconds for one query at one dir (Bench methodology). */
-  private def bestOf2(spark: SparkSession, dir: String, name: String): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+  /** best-of-2 seconds for one query at one dir (Bench methodology);
+    * Left(error) instead of dying so one scale-broken query (e.g. a
+    * driver-collected sink outgrowing maxResultSize) doesn't void the
+    * rest of the probe. */
+  private def bestOf2(spark: SparkSession, dir: String,
+      name: String): Either[String, Double] = {
+    def once(): Either[String, Double] =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    val t = once() match {
+      case Right(t1) => once() match {
+        case Right(t2) => Right(math.min(t1, t2))
+        case l => l
+      }
+      case l => l
     }
-    val t = math.min(once(), once())
     spark.catalog.clearCache()
     System.gc()
     t
@@ -190,11 +203,18 @@ object Scale {
     ops.Memo.evictAll()
 
     val rows = names.map { n =>
-      val ratio = b(n) / a(n)
-      f"${jstr(n)}:{" + f""""a":${a(n)}%.3f,"b":${b(n)}%.3f,"ratio":$ratio%.2f}"""
+      (a(n), b(n)) match {
+        case (Right(ta), Right(tb)) =>
+          f"${jstr(n)}:{" + f""""a":$ta%.3f,"b":$tb%.3f,"ratio":${tb / ta}%.2f}"""
+        case (ea, eb) =>
+          val msg = Seq(ea.left.toOption.map("A: " + _),
+            eb.left.toOption.map("B: " + _)).flatten.mkString("; ")
+          s"${jstr(n)}:{" + s""""error":${jstr(msg)}}"""
+      }
     }
-    val totalA = names.map(a).sum
-    val totalB = names.map(b).sum
+    val okBoth = names.filter(n => a(n).isRight && b(n).isRight)
+    val totalA = okBoth.map(n => a(n).toOption.get).sum
+    val totalB = okBoth.map(n => b(n).toOption.get).sum
     val line =
       s"""{"dirA":${jstr(dirA)},"dirB":${jstr(dirB)},""" +
       f""""totalA":$totalA%.3f,"totalB":$totalB%.3f,""" +

@@ -1250,15 +1250,20 @@ object Dedup {
             lit(1) + least($"ma" - $"pa", $"mb" - $"pb")
               >= ceil(($"ma" + $"mb") * 0.375))
           .select($"a", $"b").distinct()
-        val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
-        val inter = cand
-          .join(tok.toDF("a", "ta"), "a")
-          .join(tok.toDF("b", "tb"), "b")
-          .filter($"ta" === $"tb")
-          .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(broadcast(sizes.toDF("a", "ma")), "a")
-          .join(broadcast(sizes.toDF("b", "mb")), "b")
+        // verify via per-doc token ARRAYS, not an exploded token join: the
+        // exploded form shuffles |cand|·m̄ rows (measured 510M at the sf1
+        // scale probe — the dominant cost), while this shape shuffles only
+        // the token table once into arrays and then intersects per pair,
+        // so the verify traffic is bounded by |cand| itself. The doc→array
+        // side is join-key-equality on doc id; AQE broadcasts it at small
+        // SF and falls back to SMJ when corpus-sized — both correct.
+        val docTok = tok.groupBy($"doc_id").agg(collect_list($"t").as("arr"))
+        cand
+          .join(docTok.toDF("a", "arr_a"), "a")
+          .join(docTok.toDF("b", "arr_b"), "b")
+          .select($"a", $"b",
+            size(array_intersect($"arr_a", $"arr_b")).cast("long").as("inter"),
+            size($"arr_a").as("ma"), size($"arr_b").as("mb"))
           .withColumn("jaccard",
             round($"inter".cast("double") / ($"ma" + $"mb" - $"inter"), 6))
           .filter($"jaccard" >= 0.6)
@@ -1284,20 +1289,19 @@ object Dedup {
              |  FROM pref x JOIN pref y ON x.t = y.t AND x.doc_id < y.doc_id
              |  WHERE 1 + least(x.m - x.pos, y.m - y.pos)
              |    >= ceil((x.m + y.m) * 0.375)),
-             |sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
+             |dt AS (SELECT doc_id, list(t) AS arr FROM tok GROUP BY doc_id),
              |iv AS (
-             |  SELECT c.a, c.b, count(*) AS inter
+             |  SELECT c.a, c.b,
+             |    CAST(len(list_intersect(xa.arr, xb.arr)) AS BIGINT) AS inter,
+             |    len(xa.arr) AS ma, len(xb.arr) AS mb
              |  FROM cand c
-             |  JOIN tok xa ON xa.doc_id = c.a
-             |  JOIN tok xb ON xb.doc_id = c.b AND xb.t = xa.t
-             |  GROUP BY c.a, c.b)
-             |SELECT iv.a, iv.b, iv.inter,
-             |  round(iv.inter * 1.0 / (sa.m + sb.m - iv.inter), 6) AS jaccard
+             |  JOIN dt xa ON xa.doc_id = c.a
+             |  JOIN dt xb ON xb.doc_id = c.b)
+             |SELECT a, b, inter,
+             |  round(inter * 1.0 / (ma + mb - inter), 6) AS jaccard
              |FROM iv
-             |JOIN sz sa ON sa.doc_id = iv.a
-             |JOIN sz sb ON sb.doc_id = iv.b
-             |WHERE round(iv.inter * 1.0 / (sa.m + sb.m - iv.inter), 6) >= 0.6
-             |ORDER BY iv.a, iv.b""".stripMargin)),
+             |WHERE round(inter * 1.0 / (ma + mb - inter), 6) >= 0.6
+             |ORDER BY a, b""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup:
     // cluster the embedding space with the shared deterministic k-means
