@@ -24,7 +24,12 @@ object SparkEntry {
     "audits" -> ops.Audits.queries,
     "metrics" -> ops.Metrics.queries,
     "learn" -> ops.Learn.queries,
-    "streaming" -> streaming.StreamingQueries.queries)
+    // the streaming family runs inside withStatePartitions: state
+    // partition count is a deployment knob pinned at stream start, sized
+    // here to the harness corpus (see StreamTuning's scaladoc + A/B)
+    "streaming" -> streaming.StreamingQueries.queries.map(q => q.copy(
+      fn = (s, d) =>
+        streaming.StreamTuning.withStatePartitions(s)(q.fn(s, d)))))
 
   /** All declared queries, in registration order. */
   def allQueries: Seq[Q] = sources.flatMap(_._2)
