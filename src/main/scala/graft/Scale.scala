@@ -50,7 +50,8 @@ object Scale {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "synth" :: src :: dst :: copies :: Nil =>
-      synth(src, dst, copies.toInt)
+      val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      try synth(spark, src, dst, copies.toInt) finally spark.stop()
     case "time" :: dirA :: dirB :: names :: out :: Nil =>
       time(dirA, dirB, names.split(',').toSeq, out)
     case _ =>
@@ -64,9 +65,9 @@ object Scale {
   private def rekey(c: Column, copies: Int, copy: Column): Column =
     c * copies + copy
 
-  def synth(src: String, dst: String, copies: Int): Unit = {
+  def synth(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
     require(copies >= 2, "copies must be >= 2")
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(dst).mkdirs()
 
     // dims: single copy, verbatim
@@ -125,8 +126,6 @@ object Scale {
       "vec_id" -> rekey(col("vec_id"), copies, cp),
       "embedding" -> when(cp === 0, emb).otherwise(
         concat(slice(emb, cp + 1, size(emb) - cp), slice(emb, lit(1), cp))))
-
-    spark.stop()
   }
 
   // --- timing -------------------------------------------------------------

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft.Scale synth invariants (SCALE.md §1) — the scale probe's
+  * corpus is only evidence if the synthesis itself is verified: copies
+  * must be re-keyed consistently, copy 0 byte-identical, and the
+  * anti-degeneracy transforms (word shuffle, embedding rotation) must
+  * preserve exactly the statistics they claim to. */
+class ScaleSuite extends SparkSuite {
+  private val src = "/root/testdata/sf0.001"
+  private lazy val dst = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-spec")
+    dir.toFile.deleteOnExit()
+    Scale.synth(spark, src, dir.toString, 2)
+    dir.toString
+  }
+
+  test("fact tables fan to N copies, dims stay single") {
+    for (t <- Seq("lineitem", "orders", "customer", "documents",
+        "embeddings", "events"))
+      assert(Tables.load(spark, dst, t).count() ===
+        2 * Tables.load(spark, src, t).count(), t)
+    for (t <- Seq("region", "nation"))
+      assert(Tables.load(spark, dst, t).count() ===
+        Tables.load(spark, src, t).count(), t)
+  }
+
+  test("copy 0 documents are byte-identical to the source") {
+    import spark.implicits._
+    val drift = Tables.documents(spark, dst).as("a")
+      .join(Tables.documents(spark, src).as("b"),
+        $"a.doc_id" === $"b.doc_id" * 2)
+      .filter($"a.text" =!= $"b.text" || $"a.n_chars" =!= $"b.n_chars")
+      .count()
+    assert(drift === 0L)
+  }
+
+  test("word shuffle preserves the per-copy token histogram exactly") {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dst)
+      .select(($"doc_id" % 2).as("copy"), explode(split($"text", " ")).as("w"))
+      .groupBy($"copy", $"w").count()
+    val copies = hist.groupBy($"w")
+      .agg(countDistinct($"copy").as("nc"), countDistinct($"count").as("nv"))
+    // every word appears in both copies with the same count
+    assert(copies.filter($"nc" =!= 2 || $"nv" =!= 1).count() === 0L)
+    // and copy 1 is actually shuffled, not copied
+    val unshuffled = Tables.documents(spark, dst).as("a")
+      .join(Tables.documents(spark, src).as("b"),
+        $"a.doc_id" === $"b.doc_id" * 2 + 1)
+      .filter($"a.text" === $"b.text").count()
+    val total = Tables.documents(spark, src).count()
+    assert(unshuffled < total / 10,
+      s"$unshuffled of $total copy-1 docs identical — shuffle inert")
+  }
+
+  test("embedding rotation preserves norms and decorrelates copies") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dst)
+      .select($"vec_id", aggregate($"embedding", lit(0.0d),
+        (acc, x) => acc + x * x).as("n2"))
+    val drift = e.as("a").join(e.as("b"), $"a.vec_id" + 1 === $"b.vec_id")
+      .filter($"a.vec_id" % 2 === 0)
+      .filter(abs($"a.n2" - $"b.n2") > 1e-3).count()
+    assert(drift === 0L)
+    val identical = Tables.embeddings(spark, dst).as("a")
+      .join(Tables.embeddings(spark, src).as("b"),
+        $"a.vec_id" === $"b.vec_id" * 2 + 1)
+      .filter($"a.embedding" === $"b.embedding").count()
+    assert(identical === 0L)
+  }
+
+  test("re-keying keeps lineitem->orders FK closure") {
+    import spark.implicits._
+    val dangling = Tables.lineitem(spark, dst).select($"l_orderkey")
+      .distinct()
+      .join(Tables.orders(spark, dst).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .count()
+    assert(dangling === 0L)
+  }
+
+  test("events traffic density doubles per hour window") {
+    import spark.implicits._
+    val a = Tables.events(spark, dst)
+      .groupBy(date_trunc("hour", $"ts").as("h")).count()
+    val b = Tables.events(spark, src)
+      .groupBy(date_trunc("hour", $"ts").as("h")).count()
+    val off = a.join(b.withColumnRenamed("count", "c0"), "h")
+      .filter($"count" =!= $"c0" * 2).count()
+    assert(off === 0L)
+  }
+}
