@@ -120,12 +120,24 @@ object Scale {
       // but recompute rather than assume
       "n_chars" -> length(shuffledText).cast("long"))
 
-    // embeddings: rotate dims by the copy index (copies << 64 dims)
+    // embeddings: rotate dims by copy % dims, then flip signs by a
+    // per-copy deterministic ±1 pattern. Both are orthogonal transforms
+    // (a cyclic permutation and a diagonal reflection), so norms AND
+    // within-copy dot products are preserved EXACTLY, while every pair
+    // of copies decorrelates — pure rotation alone collides with period
+    // = dims (copy 64 of a 64-dim vector would duplicate copy 0, which
+    // is exactly the ANN-group pathology the transform exists to avoid),
+    // so the sign pattern carries the copy identity for any copy count.
     val emb = col("embedding")
+    val dims = size(emb)
+    val rot = cp % dims
+    val rotated = when(rot === 0, emb).otherwise(
+      concat(slice(emb, rot + 1, dims - rot), slice(emb, lit(1), rot)))
     fan("embeddings", Tables.embeddings(spark, src))(
       "vec_id" -> rekey(col("vec_id"), copies, cp),
       "embedding" -> when(cp === 0, emb).otherwise(
-        concat(slice(emb, cp + 1, size(emb) - cp), slice(emb, lit(1), cp))))
+        zip_with(rotated, sequence(lit(0), dims - 1),
+          (x, i) => when(xxhash64(cp, i) % 2 === 0, x).otherwise(-x))))
   }
 
   // --- timing -------------------------------------------------------------

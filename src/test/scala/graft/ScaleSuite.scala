@@ -71,6 +71,32 @@ class ScaleSuite extends SparkSuite {
     assert(identical === 0L)
   }
 
+  test("embedding transform survives copies > dims (100x synth shape)") {
+    // copies=70 > 64 dims: pure rotation would throw (negative slice
+    // length) and, at exactly copy 64, silently duplicate copy 0's
+    // vectors — the sign-flip half of the transform must carry the copy
+    // identity instead. Verified on the real synth path.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-70")
+    dir.toFile.deleteOnExit()
+    Scale.synth(spark, src, dir.toString, 70)
+    val out = Tables.embeddings(spark, dir.toString)
+    assert(out.count() === 70 * Tables.embeddings(spark, src).count())
+    // norms exactly preserved across every copy of the same source vector
+    val n2 = out.select(($"vec_id" / 70).cast("long").as("orig"),
+      aggregate($"embedding", lit(0.0d), (acc, x) => acc + x * x).as("n2"))
+    val drift = n2.groupBy($"orig")
+      .agg((max($"n2") - min($"n2")).as("spread"))
+      .filter($"spread" > 1e-9).count()
+    assert(drift === 0L)
+    // copy 64 (rotation 0 again) must NOT duplicate copy 0
+    val dup64 = out.as("a").join(out.as("b"),
+        $"a.vec_id" === ($"b.vec_id" - 64) && $"b.vec_id" % 70 === 64)
+      .filter($"a.vec_id" % 70 === 0)
+      .filter($"a.embedding" === $"b.embedding").count()
+    assert(dup64 === 0L)
+  }
+
   test("re-keying keeps lineitem->orders FK closure") {
     import spark.implicits._
     val dangling = Tables.lineitem(spark, dst).select($"l_orderkey")
