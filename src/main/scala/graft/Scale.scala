@@ -107,18 +107,45 @@ object Scale {
       "event_id" -> rekey(col("event_id"), copies, cp),
       "user_id" -> rekey(col("user_id"), copies, cp))
 
-    // documents: per-copy deterministic word shuffle (see scaladoc)
-    val shuffledText = when(cp === 0, col("text")).otherwise(concat_ws(" ",
-      transform(
-        array_sort(transform(split(col("text"), " "),
-          (w, p) => struct(xxhash64(cp, p).as("k"), w.as("v")))),
-        s => s.getField("v"))))
+    // documents: per-copy ALPHABET PERMUTATION — copy c>0 maps every
+    // letter through a copy-seeded permutation of a–z (ranked by
+    // xxhash64(c, letterIndex); case preserved via the uppercase twin).
+    // A character bijection maps every 12-char window bijectively, so
+    // within each copy the shingle-set RELATIONSHIPS between documents
+    // are exactly the source's (planted near-dups stay near-dups, LSH
+    // pair structure is isomorphic), while copies with different
+    // permutations share essentially no shingle strings. Three designs
+    // were measured before this one, each failing the anti-degeneracy
+    // goal a different way (ScaleSuite now pins the outcome):
+    //  - word-position SHUFFLE: word-trigram sets decorrelate but the
+    //    CHARACTER-shingle sets (what MinHash/SimHash actually hash) stay
+    //    ~fully shared — every doc's N copies formed a real near-dup
+    //    clique; pair graph quadratic in N (q87 exhausted 78 GB of spill
+    //    at copies=100);
+    //  - per-copy VOCABULARY permutation: surface strings change but all
+    //    copies still draw from the same closed 31-word universe —
+    //    coincidental cross-copy collisions kept growth super-linear
+    //    (3.9x pairs at 2 copies);
+    //  - per-copy word SUFFIX: cross-copy sets disjoint, but longer words
+    //    mean each 12-char window spans fewer words, inflating WITHIN-copy
+    //    window sharing (4.1x pairs at 2 copies, est_j~0.9 cluster).
+    // The alphabet permutation is length-preserving, so neither failure
+    // mode exists: token count-multisets, doc lengths, and within-copy
+    // similarity structure are all exactly preserved.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val permSql =
+      s"""concat_ws('', transform(
+         |  array_sort(transform(sequence(0, 25),
+         |    i -> struct(xxhash64(c, i) AS k, substring('$alpha', i + 1, 1) AS v))),
+         |  s -> s.v))""".stripMargin
+    val substText = expr(
+      s"CASE WHEN c = 0 THEN text ELSE translate(text, " +
+        s"'$alpha${alpha.toUpperCase}', concat($permSql, upper($permSql))) END")
     fan("documents", Tables.documents(spark, src))(
       "doc_id" -> rekey(col("doc_id"), copies, cp),
-      "text" -> shuffledText,
-      // the shuffle is length-preserving (same words, single spaces),
-      // but recompute rather than assume
-      "n_chars" -> length(shuffledText).cast("long"))
+      "text" -> substText,
+      // the permutation is length-preserving; recompute rather than assume
+      "n_chars" -> length(substText).cast("long"))
 
     // embeddings: rotate dims by copy % dims, then flip signs by a
     // per-copy deterministic ±1 pattern. Both are orthogonal transforms

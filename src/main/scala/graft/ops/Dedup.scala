@@ -114,19 +114,50 @@ object Dedup {
       graft.kmer.Kmers.kmerExplode(col("text"), k).as("s"))
       .distinct()
 
-  /** MinHash signatures via Kirsch-Mitzenmacher double hashing: ONE md5
-    * per shingle yields both base hashes — a from hex chars 1-14, b from
-    * chars 15-28 (each 56-bit, so a + 15·b stays in a signed long) — and
-    * h_i = a + i·b. The 16 minima are computed as ONE wide aggregate — no
-    * per-hash-function explode, so the shuffle input is |shingles| rows,
-    * not 16×, and the dominant cost is a single digest per shingle.
-    * DataFrame(doc_id, mh0..mh{h-1}).
+  /** Fixed constants for the 16 MinHash permutations: h_i(x) =
+    * (A(i)·x + B(i)) mod P over the md5-derived 56-bit element hash x
+    * reduced mod P (P = 2^31 − 1; A(i)·x < 2^62, so the arithmetic is
+    * exact in a signed 64-bit integer on BOTH engines). Drawn once from
+    * a fixed seed and frozen here so Spark and the DuckDB oracle compute
+    * identical signatures. */
+  private[ops] val MinhashP = 2147483647L
+  private[ops] val MinhashA = Vector(
+    188173298L, 62257559L, 1614569235L, 1541888526L, 1123302577L,
+    1183693762L, 941201756L, 612741584L, 1915815023L, 145743896L,
+    1042332867L, 1469431004L, 1586907769L, 1724705302L, 1367643000L,
+    567634414L)
+  private[ops] val MinhashB = Vector(
+    1182429424L, 1450717929L, 1840887319L, 92282879L, 2033346062L,
+    1574816040L, 1426551801L, 1173352586L, 2087082878L, 168846213L,
+    1825997515L, 891168106L, 124724674L, 334069097L, 1102350414L,
+    1146895919L)
+
+  /** MinHash signatures: ONE md5 per shingle yields the element hash x;
+    * the 16 permutations are independent universal hashes
+    * h_i(x) = (A(i)·x + B(i)) mod P, and the 16 minima are computed as
+    * ONE wide aggregate — no per-hash-function explode, so the shuffle
+    * input is |shingles| rows, not 16×, and the dominant cost is a
+    * single digest per shingle. DataFrame(doc_id, mh0..mh{h-1}).
+    *
+    * NOT Kirsch-Mitzenmacher double hashing (h_i = a + i·b), which this
+    * replaced: that family is LINEAR in i, so an element minimal at both
+    * i=0 and i=h−1 is minimal at every i — one corpus-common shingle
+    * drawing a globally small (a, b) gives every document containing it
+    * an IDENTICAL signature. Measured on a 2-copy probe corpus: pairs
+    * with true Jaccard 0.01 reported est_j = 1.0, tripling the pair
+    * count; at 100 TB the event is near-certain somewhere in the corpus
+    * and its est_j=1.0 cliques grow quadratically. The mod-P wrap with
+    * per-i multipliers decorrelates the 16 orderings, which is the
+    * property the banded LSH actually needs.
     */
   def minhashWide(docs: DataFrame, k: Int, h: Int): DataFrame = {
+    require(h <= MinhashA.length, s"at most ${MinhashA.length} permutations")
     val hx = shingles(docs, k).select(col("doc_id"),
-      expr("cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)").as("a"),
-      expr("cast(conv(substring(md5(s), 15, 14), 16, 10) as bigint)").as("b"))
-    val mins = (0 until h).map(i => min(col("a") + lit(i.toLong) * col("b")).as(s"mh$i"))
+      expr(s"cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint) % $MinhashP")
+        .as("x"))
+    val mins = (0 until h).map(i =>
+      min((col("x") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))
+        .as(s"mh$i"))
     hx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -167,12 +198,13 @@ object Dedup {
 
   /** The q41/q46 pair retrieval as shared oracle WITH-blocks ending in
     * `pairs(a, b, est_j)` — the SQL mirror of [[minhashPairs]]. */
-  private[ops] def minhashPairsSql: String = {
-    val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
-    val bandCases = (0 until 8)
-      .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
-    val eqSum = (0 until 16)
-      .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+  /** The sh → hx → mh CTE prefix shared by every minhash oracle — kept in
+    * ONE place so the hash family (constants included) can never drift
+    * between the Scala path and an oracle. */
+  private[ops] def minhashMhSql: String = {
+    val mhCols = (0 until 16)
+      .map(i => s"min((x * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
     s"""sh AS (
        |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
        |  FROM (SELECT doc_id, text,
@@ -180,10 +212,17 @@ object Dedup {
        |        FROM documents)),
        |hx AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
-       |    ('0x' || substr(md5(s), 15, 14))::BIGINT AS b
+       |    (('0x' || substr(md5(s), 1, 14))::BIGINT % $MinhashP) AS x
        |  FROM sh),
-       |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id)""".stripMargin
+  }
+
+  private[ops] def minhashPairsSql: String = {
+    val bandCases = (0 until 8)
+      .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
+    val eqSum = (0 until 16)
+      .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$minhashMhSql,
        |bands AS (
        |  SELECT doc_id, t.i AS band, CASE t.i $bandCases END AS bucket
        |  FROM mh, generate_series(0, 7) AS t(i)),
@@ -1505,22 +1544,11 @@ object Dedup {
           .orderBy($"source")
       },
       Some {
-        val mhCols = (0 until 16).map(i => s"min(a + $i * b) AS mh$i").mkString(", ")
         val bandCases = (0 until 8)
           .map(j => s"WHEN $j THEN md5(mh${2 * j} || '|' || mh${2 * j + 1})").mkString(" ")
         val eqSum = (0 until 16)
           .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-        s"""WITH sh AS (
-           |  SELECT DISTINCT doc_id, substr(text, i, 12) AS s
-           |  FROM (SELECT doc_id, text,
-           |          unnest(generate_series(1, length(text) - 11)) AS i
-           |        FROM documents)),
-           |hx AS (
-           |  SELECT doc_id,
-           |    ('0x' || substr(md5(s), 1, 14))::BIGINT AS a,
-           |    ('0x' || substr(md5(s), 15, 14))::BIGINT AS b
-           |  FROM sh),
-           |mh AS (SELECT doc_id, $mhCols FROM hx GROUP BY doc_id),
+        s"""WITH $minhashMhSql,
            |mhs AS (SELECT mh.*, d.source FROM mh JOIN documents d USING (doc_id)),
            |bands AS (
            |  SELECT doc_id, source, t.i AS band, CASE t.i $bandCases END AS bucket

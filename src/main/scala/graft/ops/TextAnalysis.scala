@@ -93,21 +93,28 @@ object TextAnalysis {
     Q("q32_lang_id",
       (s, d) => {
         import s.implicits._
+        // NOT cached: the trigram explode is one row per CHARACTER of the
+        // corpus — deserialized-cached that is ~100 bytes/char, a
+        // corpus-dwarfing footprint that measured 75+ GB of spill at the
+        // 100x probe SF — while re-running the explode is a cheap
+        // codegen'd re-scan. Two passes over the scan beat one pass
+        // through a corpus-sized cache at every SF.
         val tri = Tables.documents(s, d)
           .select($"doc_id", $"lang",
             graft.kmer.Kmers.kmerExplode($"text", 3).as("g"))
-          // cached: the profile build and the doc-side distinct both read
-          // the trigram stream — uncached the explode runs twice
-          .cache()
         val prof = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")))
           .filter($"rn" <= 20)
           .select($"lang".as("cand"), $"g")
-        val docTri = tri.select($"doc_id", $"lang".as("actual"), $"g").distinct()
-        val scores = docTri.join(broadcast(prof), "g")
-          .groupBy($"doc_id", $"actual", $"cand")
-          .agg(count(lit(1)).as("score"))
+        // join the raw trigram stream to the broadcast profile FIRST, then
+        // dedup inside the aggregate: countDistinct partial-aggregates
+        // map-side, so the shuffle carries only each doc's DISTINCT
+        // profile-gram hits (<= 20 x |langs| rows per doc) instead of the
+        // corpus-sized distinct of every (doc, trigram) the old plan paid
+        val scores = tri.join(broadcast(prof), "g")
+          .groupBy($"doc_id", $"lang".as("actual"), $"cand")
+          .agg(countDistinct($"g").as("score"))
         val pred = scores
           .withColumn("rn", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
@@ -1807,8 +1814,10 @@ object TextAnalysis {
     // source-vocabulary Jaccard that q113 computes with a full inverted-
     // index join. The audit carries both numbers plus the error: 20
     // signatures of 16 longs replace the all-pairs token join wherever the
-    // ±1/√16 resolution suffices. Hashing is the Kirsch–Mitzenmacher md5
-    // construction — every signature engine-identical.
+    // ±1/√16 resolution suffices. Hashing is the same universal-hash
+    // family as q41 (Dedup.MinhashA/B mod MinhashP over one md5) — every
+    // signature engine-identical, and the linear-in-i Kirsch–Mitzenmacher
+    // degeneracy (see Dedup.minhashWide) can't collapse the 16 minima.
     Q("q175_minhash_source_jaccard",
       (s, d) => {
         import s.implicits._
@@ -1816,10 +1825,11 @@ object TextAnalysis {
           .select($"source", explode(tokens($"text")).as("t"))
           .distinct()
         val hx = st.select($"source",
-          expr("cast(conv(substring(md5(concat('su:', t)), 1, 14), 16, 10) as bigint)").as("a"),
-          expr("cast(conv(substring(md5(concat('su:', t)), 15, 14), 16, 10) as bigint)").as("b"))
+          expr("cast(conv(substring(md5(concat('su:', t)), 1, 14), 16, 10) as bigint)" +
+            s" % ${Dedup.MinhashP}").as("x"))
         val mins = (0 until 16).map(i =>
-          min($"a" + lit(i.toLong) * $"b").as(s"mh$i"))
+          min(($"x" * lit(Dedup.MinhashA(i)) + lit(Dedup.MinhashB(i)))
+            % lit(Dedup.MinhashP)).as(s"mh$i"))
         val sig = hx.groupBy($"source").agg(mins.head, mins.tail: _*).cache()
         val xa = sig.select($"source".as("src_a") +:
           (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -1845,25 +1855,22 @@ object TextAnalysis {
             round(abs($"est_j" - coalesce($"jaccard", lit(0.0))), 4).as("abs_err"))
           .orderBy($"src_a", $"src_b")
       },
-      Some("""WITH st AS (
+      Some {
+        val sigCols = (0 until 16).map(i =>
+          s"min((x * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % " +
+            s"${Dedup.MinhashP}) AS mh$i").mkString(",\n             |    ")
+        s"""WITH st AS (
              |  SELECT DISTINCT source, t FROM (
              |    SELECT source, unnest(string_split(text, ' ')) AS t
              |    FROM documents)),
              |hx AS (
              |  SELECT source,
-             |    ('0x' || substr(md5('su:' || t), 1, 14))::BIGINT AS a,
-             |    ('0x' || substr(md5('su:' || t), 15, 14))::BIGINT AS b
+             |    (('0x' || substr(md5('su:' || t), 1, 14))::BIGINT
+             |      % ${Dedup.MinhashP}) AS x
              |  FROM st),
              |sig AS (
              |  SELECT source,
-             |    min(a + 0 * b) AS mh0, min(a + 1 * b) AS mh1,
-             |    min(a + 2 * b) AS mh2, min(a + 3 * b) AS mh3,
-             |    min(a + 4 * b) AS mh4, min(a + 5 * b) AS mh5,
-             |    min(a + 6 * b) AS mh6, min(a + 7 * b) AS mh7,
-             |    min(a + 8 * b) AS mh8, min(a + 9 * b) AS mh9,
-             |    min(a + 10 * b) AS mh10, min(a + 11 * b) AS mh11,
-             |    min(a + 12 * b) AS mh12, min(a + 13 * b) AS mh13,
-             |    min(a + 14 * b) AS mh14, min(a + 15 * b) AS mh15
+             |    $sigCols
              |  FROM hx GROUP BY source),
              |est AS (
              |  SELECT x.source AS src_a, y.source AS src_b,
@@ -1898,7 +1905,8 @@ object TextAnalysis {
              |LEFT JOIN ex ON ex.src_a = est.src_a AND ex.src_b = est.src_b
              |JOIN sizes sa ON sa.source = est.src_a
              |JOIN sizes sb ON sb.source = est.src_b
-             |ORDER BY est.src_a, est.src_b""".stripMargin)),
+             |ORDER BY est.src_a, est.src_b""".stripMargin
+      }),
 
     // HyperLogLog SET ALGEBRA — the mergeability that makes HLL (q152) a
     // fleet-wide primitive: two register grids (vocabulary of sources

@@ -36,23 +36,47 @@ class ScaleSuite extends SparkSuite {
     assert(drift === 0L)
   }
 
-  test("word shuffle preserves the per-copy token histogram exactly") {
+  test("vocab substitution is bijective and preserves the count multiset") {
     import spark.implicits._
     val hist = Tables.documents(spark, dst)
       .select(($"doc_id" % 2).as("copy"), explode(split($"text", " ")).as("w"))
       .groupBy($"copy", $"w").count()
-    val copies = hist.groupBy($"w")
-      .agg(countDistinct($"copy").as("nc"), countDistinct($"count").as("nv"))
-    // every word appears in both copies with the same count
-    assert(copies.filter($"nc" =!= 2 || $"nv" =!= 1).count() === 0L)
-    // and copy 1 is actually shuffled, not copied
-    val unshuffled = Tables.documents(spark, dst).as("a")
+    // bijective: both copies carry the same number of distinct words
+    val vocabSizes = hist.groupBy($"copy")
+      .agg(countDistinct($"w").as("v")).select($"v").distinct()
+    assert(vocabSizes.count() === 1L, "per-copy vocabulary sizes differ")
+    // count multiset preserved: for every frequency value, both copies
+    // have the same number of words at that frequency (the permutation
+    // rotates which word carries each count, never the counts)
+    val spectrum = hist.groupBy($"copy", $"count").agg(count(lit(1)).as("nw"))
+    val off = spectrum.groupBy($"count")
+      .agg(countDistinct($"copy").as("nc"), countDistinct($"nw").as("nv"))
+      .filter($"nc" =!= 2 || $"nv" =!= 1).count()
+    assert(off === 0L, "frequency spectrum differs between copies")
+    // and copy 1 is actually substituted, not copied
+    val unsubst = Tables.documents(spark, dst).as("a")
       .join(Tables.documents(spark, src).as("b"),
         $"a.doc_id" === $"b.doc_id" * 2 + 1)
       .filter($"a.text" === $"b.text").count()
     val total = Tables.documents(spark, src).count()
-    assert(unshuffled < total / 10,
-      s"$unshuffled of $total copy-1 docs identical — shuffle inert")
+    assert(unsubst < total / 10,
+      s"$unsubst of $total copy-1 docs identical — substitution inert")
+  }
+
+  test("LSH pair growth stays linear in copies (no cross-copy cliques)") {
+    // the regression that broke the 100x probe: a word-position shuffle
+    // left CHARACTER-12-shingle sets (what MinHash/SimHash hash) almost
+    // fully shared across copies, so every doc's N copies were a genuine
+    // near-dup clique and the LSH pair graph grew QUADRATICALLY in N
+    // (q87 exhausted 78 GB of spill at copies=100). The corpus is only
+    // honest scale evidence if the pair graph grows ~linearly: each copy
+    // contributes its own (substitution-isomorphic) pair structure and
+    // cross-copy pairs are rare coincidences, not twin cliques.
+    val srcPairs = ops.Dedup.minhashPairs(Tables.documents(spark, src)).count()
+    val dstPairs = ops.Dedup.minhashPairs(Tables.documents(spark, dst)).count()
+    assert(dstPairs <= (2.5 * srcPairs + 8).toLong,
+      s"2-copy corpus has $dstPairs LSH pairs vs $srcPairs in the source " +
+        "- cross-copy near-dup cliques are back")
   }
 
   test("embedding rotation preserves norms and decorrelates copies") {
