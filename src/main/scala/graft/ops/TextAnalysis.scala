@@ -1581,7 +1581,12 @@ object TextAnalysis {
         val ns = h.groupBy($"source").agg(sum($"c").as("n"))
         val nt = g.agg(sum($"cg").as("n"))
         val grid = h.select($"source").distinct()
-          .crossJoin(gc.select($"x", $"cumg"))
+          // broadcast: the percentile grid is bounded by construction, but
+          // its PRE-aggregation stats scale with the corpus — at the 100x
+          // probe SF the planner's estimate overflowed the auto-broadcast
+          // threshold and fell to CartesianProduct; the hint encodes the
+          // boundedness the optimizer can't see
+          .crossJoin(broadcast(gc.select($"x", $"cumg")))
           .join(h, Seq("source", "x"), "left")
           .select($"source", $"x", $"cumg", coalesce($"c", lit(0L)).as("cs"))
         grid
@@ -1838,7 +1843,10 @@ object TextAnalysis {
         val matches = (0 until 16)
           .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
           .reduce(_ + _)
-        val est = xa.crossJoin(xb).filter($"src_a" < $"src_b")
+        // broadcast xb: 20 source signatures, but the planner estimates the
+        // agg output from the corpus scan — false-stat CartesianProduct at
+        // large SF without the hint
+        val est = xa.crossJoin(broadcast(xb)).filter($"src_a" < $"src_b")
           .select($"src_a", $"src_b", (matches / lit(16.0)).as("est_j"))
         val sizes = st.groupBy($"source").agg(count(lit(1)).as("nv"))
         val exact = st.toDF("src_a", "t").join(st.toDF("src_b", "t"), "t")
@@ -2113,7 +2121,9 @@ object TextAnalysis {
         val prior = trainDocs.groupBy($"source".as("cls")).agg(count(lit(1)).as("nd"))
           .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("nd_all"))))
           .select($"cls", log($"nd" / $"nd_all").as("lp"))
-        val matrix = vocab.crossJoin(ct)
+        // broadcast ct: bounded by #classes, but estimated from the corpus
+        // scan — same false-stat CartesianProduct at large SF as q138
+        val matrix = vocab.crossJoin(broadcast(ct))
           .join(cw, Seq("cls", "w"), "left")
           .crossJoin(broadcast(v))
           .select($"cls", $"w",
