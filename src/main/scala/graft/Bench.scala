@@ -61,16 +61,24 @@ object Bench {
     // fresh session (its pair runs after the full surface, below). The
     // query runs once UNTIMED first: its first-ever execution pays
     // one-time streaming machinery (state-store init, staging dir,
-    // codegen), which made round 9's ratio read 0.39 on a healthy run —
-    // a baseline only calibrates "ratio >> 1 means degradation" if both
-    // legs measure a warm query.
+    // codegen), which made round 9's ratio read 0.39 on a healthy run.
+    // Each leg is then timed BEST-OF-2 — the bench's own per-query
+    // methodology — because one warm-up execution doesn't fully warm the
+    // first leg (round 10 still read first=1.41/last=1.08, ratio 0.77,
+    // under which a mild mid-run degradation could hide). A baseline only
+    // calibrates "ratio >> 1 means degradation" if both legs measure a
+    // steady warm query: steady-context runs should now read ≈ 1.0.
     val canaryName = "q70_stream_hourly"
-    SparkEntry.queries(canaryName)(spark, sfDir).count()
-    val canaryFirst = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(canaryName)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+    def canaryLeg(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(canaryName)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
     }
+    SparkEntry.queries(canaryName)(spark, sfDir).count()
+    val canaryFirst = canaryLeg()
 
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val results = SparkEntry.queries.toSeq.filter(t => keep(t._1))
@@ -120,11 +128,7 @@ object Bench {
     // surface has run. ratio >> 1 means the measuring context degraded
     // over the run — the per-query numbers tell you WHAT got slow, the
     // canary tells you whether to believe it was the code.
-    val canaryLast = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(canaryName)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    val canaryLast = canaryLeg()
     val canaryJson = s"""{"query":${jstr(canaryName)},"first":$canaryFirst,""" +
       s""""last":$canaryLast,"ratio":${canaryLast / canaryFirst}}"""
     val onlyField =

@@ -119,7 +119,18 @@ object Dedup {
     * reduced mod P (P = 2^31 − 1; A(i)·x < 2^62, so the arithmetic is
     * exact in a signed 64-bit integer on BOTH engines). Drawn once from
     * a fixed seed and frozen here so Spark and the DuckDB oracle compute
-    * identical signatures. */
+    * identical signatures.
+    *
+    * The mod-P reduction narrows the element fingerprint from 56 to 31
+    * bits BEFORE all 16 permutations, so two distinct shingles colliding
+    * mod P merge under EVERY hash function — a small upward est_j bias of
+    * ~|doc shingles| / 2³¹ per document pair (≈ 2×10⁻⁴ for a 1 MB doc),
+    * growing with corpus vocabulary (birthday-certain somewhere beyond
+    * ~65k distinct shingles, but still negligible per pair). This is the
+    * standard single-fingerprint MinHash trade-off, accepted deliberately:
+    * keeping 56 bits through the permutations would force either
+    * 128-bit/modular arithmetic the DuckDB oracle cannot mirror exactly
+    * or a second digest per shingle (doubling the dominant cost). */
   private[ops] val MinhashP = 2147483647L
   private[ops] val MinhashA = Vector(
     188173298L, 62257559L, 1614569235L, 1541888526L, 1123302577L,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 
@@ -11,6 +12,56 @@ import graft.Q
   * sink and the batch-complete drive becomes a continuous trigger.
   */
 object StreamingQueries {
+
+  /** q72's stream-stream θ-join (errors ⋈ purchases within ±300 s), shared
+    * by the correctness query (memory sink, below) and the Scale probe's
+    * counting sink ([[q72CountRows]]): bin-bucketed equality key (width
+    * 2×window so each error stores ≤2 state rows), watermarks on BOTH
+    * sides so buffered state is prunable. See the q72 registration comment
+    * for the full design argument. */
+  def q72Joined(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val winUs = 300L * 1000000L
+    val binUs = 2L * winUs
+    val staticDf = s.read.parquet(s"$d/events.parquet")
+    val dir = Staging.stageTable(d, "events")
+    def src() = graft.Tables.normalizeTs(
+      s.readStream.schema(staticDf.schema).parquet(dir))
+    val errs = src().filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"ts".as("err_ts"))
+      .withColumn("bin", explode(array_distinct(array(
+        floor((unix_micros($"err_ts") - winUs) / binUs).cast("long"),
+        floor((unix_micros($"err_ts") + winUs) / binUs).cast("long")))))
+      .withWatermark("err_ts", "10 minutes")
+    val purch = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"),
+        floor(unix_micros($"ts") / binUs).cast("long").as("p_bin"))
+      .withWatermark("p_ts", "10 minutes")
+    errs.join(purch,
+      $"bin" === $"p_bin" &&
+        $"p_ts" >= $"err_ts" - expr("INTERVAL 300 SECONDS") &&
+        $"p_ts" <= $"err_ts" + expr("INTERVAL 300 SECONDS"))
+  }
+
+  /** Drive [[q72Joined]] to completion through a row-counting foreachBatch
+    * sink and return the matched-pair count. The probe's harness for q72:
+    * the join's OUTPUT is quadratic in per-window traffic density by its
+    * own semantics, so a memory sink measures the driver's
+    * materialization ceiling, not the join — counting inside each
+    * micro-batch keeps the output distributed (production's files/Kafka
+    * shape) while still exercising the full bin-keyed state machinery. */
+  def q72CountRows(s: SparkSession, d: String): Long = {
+    val acc = s.sparkContext.longAccumulator("q72_pairs")
+    val query = q72Joined(s, d).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        acc.add(batch.count())
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    acc.value
+  }
 
   val queries: Seq[Q] = Seq(
     Q("q70_stream_hourly",
@@ -99,26 +150,7 @@ object StreamingQueries {
     Q("q72_stream_join",
       (s, d) => {
         import s.implicits._
-        val winUs = 300L * 1000000L
-        val binUs = 2L * winUs
-        val staticDf = s.read.parquet(s"$d/events.parquet")
-        val dir = Staging.stageTable(d, "events")
-        def src() = graft.Tables.normalizeTs(
-          s.readStream.schema(staticDf.schema).parquet(dir))
-        val errs = src().filter($"event_type" === "error")
-          .select($"event_id".as("err_id"), $"ts".as("err_ts"))
-          .withColumn("bin", explode(array_distinct(array(
-            floor((unix_micros($"err_ts") - winUs) / binUs).cast("long"),
-            floor((unix_micros($"err_ts") + winUs) / binUs).cast("long")))))
-          .withWatermark("err_ts", "10 minutes")
-        val purch = src().filter($"event_type" === "purchase")
-          .select($"event_id".as("p_id"), $"ts".as("p_ts"),
-            floor(unix_micros($"ts") / binUs).cast("long").as("p_bin"))
-          .withWatermark("p_ts", "10 minutes")
-        val joined = errs.join(purch,
-          $"bin" === $"p_bin" &&
-            $"p_ts" >= $"err_ts" - expr("INTERVAL 300 SECONDS") &&
-            $"p_ts" <= $"err_ts" + expr("INTERVAL 300 SECONDS"))
+        val joined = q72Joined(s, d)
 
         val name = "q72_stream_join_sink"
         val query = joined.writeStream

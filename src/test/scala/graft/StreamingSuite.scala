@@ -130,6 +130,12 @@ class StreamingSuite extends SparkSuite {
     assert(got.length === got.toSet.size)
     assert(got.toSet === expected)
     assert(got.nonEmpty)
+    // the Scale probe's counting foreachBatch sink drives the SAME join
+    // (q72Joined) and must see the same pair count — pins that the probe
+    // harness measures the real operator, not a divergent variant
+    val counted = streaming.StreamTuning.withStatePartitions(spark)(
+      streaming.StreamingQueries.q72CountRows(spark, sf))
+    assert(counted === expected.size.toLong)
   }
 
   test("foreachBatch mview: retried batch overwrites its partition, not appends") {
