@@ -57,32 +57,56 @@ object Bench {
     }
     SparkEntry.queries.get("q06_forecast_revenue").foreach(_(spark, sfDir).count())
 
-    // context canary, first leg: a cheap streaming query timed against a
-    // fresh session (its pair runs after the full surface, below). The
-    // query runs once UNTIMED first: its first-ever execution pays
-    // one-time streaming machinery (state-store init, staging dir,
-    // codegen), which made round 9's ratio read 0.39 on a healthy run.
-    // Each leg is then timed BEST-OF-2 — the bench's own per-query
-    // methodology — because one warm-up execution doesn't fully warm the
-    // first leg (round 10 still read first=1.41/last=1.08, ratio 0.77,
-    // under which a mild mid-run degradation could hide). A baseline only
-    // calibrates "ratio >> 1 means degradation" if both legs measure a
-    // steady warm query: steady-context runs should now read ≈ 1.0.
-    val canaryName = "q70_stream_hourly"
-    def canaryLeg(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(canaryName)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
+    // context canaries: two cheap queries timed at three points each —
+    // right after warm-up (first), after half the surface (mid), and
+    // after the whole surface (last); each leg is best-of-3 (a floor
+    // estimate — the canary's job is LOW variance, and min-of-3 damps
+    // the jitter min-of-2 does not). The degradation signal is
+    // last/mid: both legs measure a fully-warm query, so ratio >> 1
+    // unambiguously means the measuring context degraded across the
+    // back half (the per-query numbers then say WHAT got slow; the
+    // canary says whether to believe it was the code). Two instruments
+    // because sensitivity and calibration pull apart, measured r9–r11:
+    //  - q70 (streaming) is the SENSITIVE probe — state-store/micro-
+    //    batch machinery is what historically degraded (r8 memo
+    //    residency) — but a ~1 s streaming query carries ±15%
+    //    micro-batch scheduling jitter and keeps warming all run long
+    //    (healthy-run last/mid measured 0.82–1.17), so its healthy band
+    //    is wide: flag only >1.3.
+    //  - q03 (batch, scan→join→agg→topk) is the CALIBRATED instrument:
+    //    no micro-batch quanta, fully warm by mid-run — healthy runs
+    //    read ≈ 1.0 and [0.9, 1.1] is a real acceptance band.
+    // The first legs are reported but are NOT the signal: canary-only
+    // warming (one untimed run in r9/r10; a warm-until-settled loop
+    // tried in r11) reliably plateaus q70 near 1.2 s while the full
+    // surface pushes it to ~0.9 s — shared JIT/buffer warming a canary
+    // cannot self-induce, which kept last/first near 0.77 on healthy
+    // runs and would have hidden a mild real degradation.
+    val canaryNames = Seq("q70_stream_hourly", "q03_shipping_priority")
+    def canaryOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
     }
-    SparkEntry.queries(canaryName)(spark, sfDir).count()
+    // median-of-5 per leg: min-of-N estimates a floor that itself drifts
+    // with the warming plateau (measured legs 0.46 vs 0.53 on a healthy
+    // run — a phantom 1.14), while the median both rejects stragglers
+    // and averages scheduling jitter; ~15 s of total overhead across all
+    // six legs buys the instrument its calibration
+    def canaryLeg(): Seq[Double] =
+      canaryNames.map { n =>
+        val ts = Seq.fill(5)(canaryOnce(n)).sorted
+        ts(2)
+      }
+    canaryNames.foreach(canaryOnce) // one-time machinery (state-store, staging)
     val canaryFirst = canaryLeg()
+    var canaryMid = canaryFirst // overwritten at the halfway mark below
 
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
-    val results = SparkEntry.queries.toSeq.filter(t => keep(t._1))
-      .sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.filter(t => keep(t._1)).sortBy(_._1)
+    val midAt = timed.size / 2
+    val results = timed.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midAt) canaryMid = canaryLeg()
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -123,19 +147,23 @@ object Bench {
       .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     val famJson = famTotals.map { case (f, t) => jstr(f) + ":" + t }
       .mkString("{", ",", "}")
-    // context canary: the same cheap query timed immediately after
-    // warm-up (done above, canaryFirst) and again after the whole
-    // surface has run. ratio >> 1 means the measuring context degraded
-    // over the run — the per-query numbers tell you WHAT got slow, the
-    // canary tells you whether to believe it was the code.
+    // context canaries, last legs (first and mid were timed inline above);
+    // "canary" stays the streaming probe (cross-round comparability),
+    // "canaryBatch" is the calibrated instrument — see the block above.
     val canaryLast = canaryLeg()
-    val canaryJson = s"""{"query":${jstr(canaryName)},"first":$canaryFirst,""" +
-      s""""last":$canaryLast,"ratio":${canaryLast / canaryFirst}}"""
+    def canaryJsonFor(i: Int): String =
+      s"""{"query":${jstr(canaryNames(i))},"first":${canaryFirst(i)},""" +
+      s""""mid":${canaryMid(i)},"last":${canaryLast(i)},""" +
+      s""""ratio":${canaryLast(i) / canaryMid(i)},""" +
+      s""""ratioVsFirst":${canaryLast(i) / canaryFirst(i)}}"""
+    val canaryJson = canaryJsonFor(0)
+    val canaryBatchJson = canaryJsonFor(1)
     val onlyField =
       only.map(o => s""""only":${jstr(o.mkString(","))},""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",$onlyField"queries":$qs,""" +
-      s""""families":$famJson,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir"}"""
+      s""""families":$famJson,"canary":$canaryJson,""" +
+      s""""canaryBatch":$canaryBatchJson,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
     // exercise the memo eviction hook (long-lived-session hygiene): all

@@ -85,7 +85,22 @@ object Plans {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     // same local-iteration filter as Verify: SPARK_GRAFT_ONLY=q194,q200
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val a = audit(spark, sfDir, only)
+    // SPARK_GRAFT_SKIP=q72_stream_join — prefix EXCLUSION for scale-SF
+    // audits only. Streaming queries run their stream during plan
+    // construction (the audit explains the batch tail); q72's memory-sink
+    // output is quadratic in traffic density (SCALE.md §4.3), and past
+    // sf1 the accumulating sink kills the whole JVM with a driver OOM the
+    // per-query try/catch cannot contain — taking the other 242 audit
+    // rows down with it. Never set for fence runs: the skip disables the
+    // PLANS.md rewrite below, so the fence cannot be produced by a
+    // filtered audit.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(',').toSeq)
+    val skipOnly = skip.map(sk =>
+      SparkEntry.allQueries.map(_.name)
+        .filterNot(n => sk.exists(n.startsWith))
+        .filter(n => only.forall(_.exists(n.startsWith))))
+      .orElse(only)
+    val a = audit(spark, sfDir, skipOnly)
     val sb = new StringBuilder(a.text)
     // machine summary — the ONLY legitimate source for PLANS.md's headline
     // numbers (counted per detail-header node + per-node Arguments line,
@@ -103,7 +118,7 @@ object Plans {
     if (a.errors.nonEmpty)
       println(s"[plans] PLANNING ERRORS (${a.errors.size}): " +
         a.errors.keys.mkString(", "))
-    rewritePlansMd(a, sfDir, only)
+    rewritePlansMd(a, sfDir, skipOnly)
   }
 
   /** Rewrite PLANS.md's fenced SUMMARY block in place from this audit.
