@@ -59,9 +59,9 @@ object Bench {
 
     // context canaries: two cheap queries timed at three points each —
     // right after warm-up (first), after half the surface (mid), and
-    // after the whole surface (last); each leg is best-of-3 (a floor
-    // estimate — the canary's job is LOW variance, and min-of-3 damps
-    // the jitter min-of-2 does not). The degradation signal is
+    // after the whole surface (last); each leg is median-of-5 (see the
+    // canaryLeg comment — min-of-N estimates a floor that drifts with
+    // the warming plateau). The degradation signal is
     // last/mid: both legs measure a fully-warm query, so ratio >> 1
     // unambiguously means the measuring context degraded across the
     // back half (the per-query numbers then say WHAT got slow; the
@@ -88,25 +88,67 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // in-artifact context attribution (round-11 verdict #1): r11's 1.06×
+    // headline regression was adjudicated as external VM contention, but
+    // proving it needed out-of-artifact forensics (the quiet-run band +
+    // a per-query diff). Each canary leg now records the host 1-min load
+    // average plus this JVM's process-CPU and GC time spent DURING the
+    // leg, so the artifact itself separates the three degradation modes:
+    // external contention (loadavg ≫ allotted cores while the leg's
+    // cpu/wall ratio drops), GC pressure (gc/wall rises), and a real
+    // code regression (neither moves, the ratio still does).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    def procCpuSec: Double = osBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0 // not the HotSpot bean; field reads -1 rather than lying
+    }
+    def gcSec: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.toDouble).sum / 1e3
+    }
+    final case class LegAttr(wall: Double, cpu: Double, gc: Double, load: Double) {
+      def json: String =
+        f"""{"wallSec":$wall%.3f,"cpuSec":$cpu%.3f,"gcSec":$gc%.3f,""" +
+        f""""cpuPerWall":${if (wall > 0) cpu / wall else 0.0}%.2f,"loadAvg":$load%.2f}"""
+    }
     // median-of-5 per leg: min-of-N estimates a floor that itself drifts
     // with the warming plateau (measured legs 0.46 vs 0.53 on a healthy
     // run — a phantom 1.14), while the median both rejects stragglers
     // and averages scheduling jitter; ~15 s of total overhead across all
     // six legs buys the instrument its calibration
-    def canaryLeg(): Seq[Double] =
-      canaryNames.map { n =>
-        val ts = Seq.fill(5)(canaryOnce(n)).sorted
-        ts(2)
+    def canaryLeg(): (Seq[Double], LegAttr) = {
+      val w0 = System.nanoTime(); val c0 = procCpuSec; val g0 = gcSec
+      val ts = canaryNames.map { n =>
+        val runs = Seq.fill(5)(canaryOnce(n)).sorted
+        runs(2)
       }
+      val attr = LegAttr((System.nanoTime() - w0) / 1e9,
+        procCpuSec - c0, gcSec - g0, loadAvg)
+      // inter-leg hygiene (ADVICE r11): the canaries cache/stage
+      // internally like any query; without this the query timed right
+      // after a leg is measured against canary residue, unlike the
+      // other 243. Done AFTER the attribution snapshot so the explicit
+      // System.gc doesn't pollute the leg's own gcSec.
+      spark.catalog.clearCache()
+      System.gc()
+      (ts, attr)
+    }
     canaryNames.foreach(canaryOnce) // one-time machinery (state-store, staging)
-    val canaryFirst = canaryLeg()
+    val (canaryFirst, attrFirst) = canaryLeg()
     var canaryMid = canaryFirst // overwritten at the halfway mark below
+    var attrMid = attrFirst
 
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val timed = SparkEntry.queries.toSeq.filter(t => keep(t._1)).sortBy(_._1)
     val midAt = timed.size / 2
     val results = timed.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == midAt) canaryMid = canaryLeg()
+      if (qi == midAt) {
+        val (ts, attr) = canaryLeg()
+        canaryMid = ts
+        attrMid = attr
+      }
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -150,22 +192,46 @@ object Bench {
     // context canaries, last legs (first and mid were timed inline above);
     // "canary" stays the streaming probe (cross-round comparability),
     // "canaryBatch" is the calibrated instrument — see the block above.
-    val canaryLast = canaryLeg()
+    // "ratioDef" is written into the artifact because the key's meaning
+    // changed in round 11 (rounds ≤10 wrote last/first): cross-round
+    // tooling must not compare the two silently (ADVICE r11).
+    val (canaryLast, attrLast) = canaryLeg()
     def canaryJsonFor(i: Int): String =
       s"""{"query":${jstr(canaryNames(i))},"first":${canaryFirst(i)},""" +
       s""""mid":${canaryMid(i)},"last":${canaryLast(i)},""" +
       s""""ratio":${canaryLast(i) / canaryMid(i)},""" +
+      s""""ratioDef":"last/mid (since r11; rounds <=10 wrote last/first)",""" +
       s""""ratioVsFirst":${canaryLast(i) / canaryFirst(i)}}"""
     val canaryJson = canaryJsonFor(0)
     val canaryBatchJson = canaryJsonFor(1)
+    val attrJson =
+      s"""{"first":${attrFirst.json},"mid":${attrMid.json},"last":${attrLast.json},""" +
+      s""""cpus":${jstr(cpus)}}"""
+    // auto-verdict (round-11 verdict #1): the artifact states whether its
+    // own measuring context held, so adjudicating a round-over-round
+    // delta never needs repo folklore. Thresholds are the calibrated
+    // bands from the canary block above.
+    val streamRatio = canaryLast(0) / canaryMid(0)
+    val batchRatio = canaryLast(1) / canaryMid(1)
+    val trips = Seq(
+      Option.when(streamRatio > 1.3)(f"q70 last/mid $streamRatio%.2f > 1.3"),
+      Option.when(batchRatio < 0.9 || batchRatio > 1.1)(
+        f"q03 last/mid $batchRatio%.2f outside [0.9, 1.1]")).flatten
+    val contextVerdict =
+      if (trips.isEmpty) "ok: both canaries in-band"
+      else "degraded (" + trips.mkString("; ") +
+        "): context shifted across the run - believe per-query deltas " +
+        "with suspicion; see contextAttr for contention vs GC"
     val onlyField =
       only.map(o => s""""only":${jstr(o.mkString(","))},""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",$onlyField"queries":$qs,""" +
       s""""families":$famJson,"canary":$canaryJson,""" +
-      s""""canaryBatch":$canaryBatchJson,"errors":$errs,"sf":"$sfDir"}"""
+      s""""canaryBatch":$canaryBatchJson,"contextAttr":$attrJson,""" +
+      s""""contextVerdict":${jstr(contextVerdict)},"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
+    println(s"[bench] context verdict: $contextVerdict")
     // exercise the memo eviction hook (long-lived-session hygiene): all
     // shared-stage temp-parquet memos are dropped before shutdown
     ops.Memo.evictAll()

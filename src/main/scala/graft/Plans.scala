@@ -44,6 +44,17 @@ object Plans {
     val sb = new StringBuilder
     val perQuery = scala.collection.mutable.LinkedHashMap[String, PlanAudit.Counts]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // q70 is excluded (the reason the fence headline reads queries=243
+    // on a 244-query surface): a streaming query's fn runs its stream to
+    // completion during plan construction, and what the audit would then
+    // explain is only the batch TAIL — for q70 a bare memory-table scan
+    // plus its output sort, no parquet scans and no joins — an audit row
+    // with nothing join- or pushdown-shaped to check, bought at the cost
+    // of a full stream execution. Excluded
+    // since the tool's first commit (round 6), so every fence in the
+    // round series counts the same 243-query surface. q70 is also the
+    // bench's streaming context canary; its runtime behavior is measured
+    // there, not here.
     for (q <- SparkEntry.allQueries
          if q.name != "q70_stream_hourly" && keep(q.name)) {
       if (collectText) sb.append(s"\n========== ${q.name} ==========\n")

@@ -52,10 +52,15 @@ object StreamingQueries {
     * shape) while still exercising the full bin-keyed state machinery. */
   def q72CountRows(s: SparkSession, d: String): Long = {
     val acc = s.sparkContext.longAccumulator("q72_pairs")
+    // foreachBatch is at-least-once: a retried micro-batch re-invokes the
+    // function with the SAME batchId, so a bare accumulator would
+    // double-count exactly the pairs StreamingSuite pins equal to the
+    // memory sink. Same batch-id idempotence the q206 mview sink uses.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
     val query = q72Joined(s, d).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        acc.add(batch.count())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (seen.add(batchId)) acc.add(batch.count())
       }
       .start()
     try query.processAllAvailable()
