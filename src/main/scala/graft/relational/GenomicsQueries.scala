@@ -24,6 +24,39 @@ object GenomicsQueries {
   private def docSeqs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id").as("id"), col("text").as("sequence"))
 
+  /** q178's interval-overlap join with the GENOME SIZE as a parameter: the
+    * synthetic intervals spread over `contigs` contigs of 20 kb. The
+    * registered query fixes contigs = 64 (the oracle mirrors the literal);
+    * the Scale probe calls this with contigs proportional to corpus size —
+    * real genomics growth adds contigs/samples rather than densifying a
+    * fixed genome, and on the fixed genome the join's semantic OUTPUT grows
+    * quadratically (SCALE.md §4.3), which measures data geometry, not the
+    * engine. Everything else — bin width 256, the first-bin-of-intersection
+    * dedup rule, the (contig, bin) equi-join — is identical at any size. */
+  def regionJoinFrame(s: SparkSession, d: String, contigs: Long): DataFrame = {
+    import s.implicits._
+    val exons = Tables.documents(s, d)
+      .select($"doc_id".as("exon_id"), ($"doc_id" % contigs).as("contig"),
+        (($"doc_id" * 37) % 20000).as("x_start"),
+        (($"doc_id" * 37) % 20000 + 50 + $"n_chars" % 150).as("x_end"))
+    val reads = Tables.events(s, d)
+      .select($"event_id".as("read_id"), ($"event_id" % contigs).as("contig"),
+        (($"event_id" * 13) % 20000).as("r_start"))
+      .withColumn("r_end", $"r_start" + 80)
+    val rb = reads.withColumn("bin",
+      explode(sequence(expr("r_start div 256"), expr("r_end div 256"))))
+    val xb = exons.withColumn("bin",
+      explode(sequence(expr("x_start div 256"), expr("x_end div 256"))))
+    rb.join(xb, Seq("contig", "bin"))
+      .filter($"r_start" <= $"x_end" && $"x_start" <= $"r_end" &&
+        $"bin" === expr("greatest(r_start, x_start) div 256"))
+      .groupBy($"exon_id")
+      .agg(count(lit(1)).as("n_reads"),
+        sum(least($"r_end", $"x_end") - greatest($"r_start", $"x_start") + 1)
+          .as("overlap_bp"))
+      .orderBy($"exon_id")
+  }
+
   private val kmSql =
     """km AS (
       |  SELECT doc_id, substr(text, i, 8) AS kmer
@@ -301,30 +334,7 @@ object GenomicsQueries {
     // exactly. Intervals are derived deterministically from the corpus:
     // documents play exons, events play reads, 64 contigs of 20 kb.
     Q("q178_region_join",
-      (s, d) => {
-        import s.implicits._
-        val W = 256
-        val exons = Tables.documents(s, d)
-          .select($"doc_id".as("exon_id"), ($"doc_id" % 64).as("contig"),
-            (($"doc_id" * 37) % 20000).as("x_start"),
-            (($"doc_id" * 37) % 20000 + 50 + $"n_chars" % 150).as("x_end"))
-        val reads = Tables.events(s, d)
-          .select($"event_id".as("read_id"), ($"event_id" % 64).as("contig"),
-            (($"event_id" * 13) % 20000).as("r_start"))
-          .withColumn("r_end", $"r_start" + 80)
-        val rb = reads.withColumn("bin",
-          explode(sequence(expr("r_start div 256"), expr("r_end div 256"))))
-        val xb = exons.withColumn("bin",
-          explode(sequence(expr("x_start div 256"), expr("x_end div 256"))))
-        rb.join(xb, Seq("contig", "bin"))
-          .filter($"r_start" <= $"x_end" && $"x_start" <= $"r_end" &&
-            $"bin" === expr("greatest(r_start, x_start) div 256"))
-          .groupBy($"exon_id")
-          .agg(count(lit(1)).as("n_reads"),
-            sum(least($"r_end", $"x_end") - greatest($"r_start", $"x_start") + 1)
-              .as("overlap_bp"))
-          .orderBy($"exon_id")
-      },
+      (s, d) => regionJoinFrame(s, d, contigs = 64),
       Some("""WITH exons AS (
              |  SELECT doc_id AS exon_id, doc_id % 64 AS contig,
              |    (doc_id * 37) % 20000 AS x_start,

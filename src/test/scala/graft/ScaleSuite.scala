@@ -121,6 +121,43 @@ class ScaleSuite extends SparkSuite {
     assert(dup64 === 0L)
   }
 
+  test("contig-scaled region join matches a brute-force overlap oracle") {
+    // the Scale probe substitutes q178 with regionJoinFrame(contigs ∝
+    // corpus); the parameterized path is only probe evidence if it is
+    // CORRECT at a non-default genome size. Brute force at sf0.001:
+    // 500 docs × 1000 events pair checks, contigs=128 (≠ the registered
+    // 64, so the parameter provably reaches the join key).
+    import spark.implicits._
+    val contigs = 128L
+    val exons = Tables.documents(spark, src)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)].collect().map { case (id, nc) =>
+        (id, id % contigs, (id * 37) % 20000, (id * 37) % 20000 + 50 + nc % 150)
+      }
+    val reads = Tables.events(spark, src).select($"event_id".cast("long"))
+      .as[Long].collect().map { id =>
+        (id % contigs, (id * 13) % 20000, (id * 13) % 20000 + 80)
+      }
+    val expected = exons.map { case (eid, ec, xs, xe) =>
+      val hits = reads.filter { case (rc, rs, re) =>
+        rc == ec && rs <= xe && xs <= re }
+      (eid, hits.length.toLong,
+        hits.map { case (_, rs, re) => math.min(re, xe) - math.max(rs, xs) + 1 }.sum)
+    }.filter(_._2 > 0).toSet
+    val got = relational.GenomicsQueries.regionJoinFrame(spark, src, contigs)
+      .select($"exon_id".cast("long"), $"n_reads".cast("long"),
+        $"overlap_bp".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("regionJoinFrame at contigs=64 is exactly the registered q178") {
+    val reg = SparkEntry.queries("q178_region_join")(spark, src).collect()
+    val par = relational.GenomicsQueries.regionJoinFrame(spark, src, 64)
+      .collect()
+    assert(par.toSeq === reg.toSeq)
+  }
+
   test("re-keying keeps lineitem->orders FK closure") {
     import spark.implicits._
     val dangling = Tables.lineitem(spark, dst).select($"l_orderkey")
