@@ -113,7 +113,11 @@ object PlanAudit {
     "q148_ab_lift" -> 1,
     "q150_benford" -> 1,
     "q152_hll_audit" -> 2,
-    "q154_pareto" -> 2,
+    // r12: was 2 — the ordered window's SP exchange vanished when the
+    // input was reduced to top-500 via TakeOrderedAndProject (itself
+    // single-partition-producing, no exchange); the 1 left is the scalar
+    // revenue-total combine
+    "q154_pareto" -> 1,
     "q158_rrf_fusion" -> 1,
     "q159_jl_projection" -> 1,
     "q160_kn_bigram" -> 1,

@@ -66,7 +66,7 @@ object Scale {
       System.err.println(
         "usage: graft.Scale synth <srcDir> <dstDir> <copies>\n" +
         "       graft.Scale time <dirA> <dirB> <all|q1,q2,...> <outJson>\n" +
-        "       graft.Scale shuffle <rankDir> <runDir> <topN|q1,q2,...> <outJson>")
+        "       graft.Scale shuffle <rankDir> <runDir> <all|topN|q1,q2,...> <outJson>")
       sys.exit(2)
   }
 
@@ -401,7 +401,17 @@ object Scale {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val fams = SparkEntry.familyOf
     val chosen: Seq[String] =
-      if (sel.startsWith("top")) {
+      // `all` = every batch query: because the probe executes via toRdd,
+      // it EVALUATES every output column — a materialization audit the
+      // count()-based bench/time probes structurally cannot be (Catalyst
+      // prunes unreferenced columns under count(), which hid q166's
+      // sum-of-squares long overflow until this probe ran at sf1).
+      // Streaming queries stay out of scope: their returned frame is the
+      // memory-sink tail, fully materialized by the fn itself.
+      if (sel == "all")
+        SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(n => fams.get(n).contains("streaming"))
+      else if (sel.startsWith("top")) {
         val n = sel.stripPrefix("top").toInt
         val ranked = audit0(spark, rankDir)
           .filterNot { case (name, _) => fams.get(name).contains("streaming") }

@@ -698,10 +698,17 @@ object Similarity {
           // mean in exact integers: Spark's `div` and DuckDB's `//` both
           // truncate toward zero (verified: -9//2 = -4 in DuckDB), so the
           // same half-up expression matches bit-for-bit on either sign;
-          // variance numerator squ·n − su² is ≥ 0 regardless
+          // variance numerator squ·n − su² is ≥ 0 regardless. The
+          // numerator terms leave 64 bits at ~20k rows/dim (squ reads
+          // 2e16 at sf1, ×n = 4e20 — the r12 materialization probe caught
+          // the ANSI overflow), so they accumulate in decimal(38,0),
+          // mirrored HUGEINT in the oracle — exact at any corpus size up
+          // to 38 digits, and IntegralDivide lands back in a long.
           .select($"dim", $"n",
             (expr("(2*su + n) div (2*n)") / 1e6).as("mean"),
-            (expr("(2*(squ*n - su*su) + n*n*1000000L) div (2*n*n*1000000L)") / 1e6)
+            (expr("(2*(cast(squ as decimal(38,0))*n - cast(su as decimal(38,0))*su) " +
+              "+ cast(n as decimal(38,0))*n*1000000) div " +
+              "(2*cast(n as decimal(38,0))*n*1000000)") / 1e6)
               .as("variance"),
             round($"n_zero" / $"n".cast("double"), 6).as("zero_frac"))
           .orderBy($"dim")
@@ -716,7 +723,9 @@ object Similarity {
              |    CAST(sum(CASE WHEN u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
              |  FROM u GROUP BY dim)
              |SELECT dim, n, ((2*su + n) // (2*n)) / 1e6 AS mean,
-             |  ((2*(squ*n - su*su) + n*n*1000000) // (2*n*n*1000000)) / 1e6
+             |  CAST((2*(CAST(squ AS HUGEINT)*n - CAST(su AS HUGEINT)*su)
+             |      + CAST(n AS HUGEINT)*n*1000000)
+             |    // (2*CAST(n AS HUGEINT)*n*1000000) AS BIGINT) / 1e6
              |    AS variance,
              |  round(n_zero * 1.0 / n, 6) AS zero_frac
              |FROM m ORDER BY dim""".stripMargin)),

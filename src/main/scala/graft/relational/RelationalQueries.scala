@@ -1947,10 +1947,15 @@ object RelationalQueries {
     // Revenue concentration (Pareto/ABC) — cumulative revenue share of
     // the top-k parts, reported at k ∈ {10, 50, 100, 250, 500}. Revenue
     // quantizes to exact 1e-4 fixed-point BEFORE any aggregation, so the
-    // cumulative sums are integers and the single ordered window runs on
-    // the PART-level aggregate (dimension cardinality, not fact rows) —
-    // the one place a single-partition sort is legitimate because the
-    // input is already reduced. Ties rank deterministically by part key.
+    // cumulative sums are integers. The report only ever reads ranks
+    // ≤ 500, so the part-level aggregate is reduced to its top 500 via
+    // limit — planned as TakeOrderedAndProject, a per-partition top-k
+    // merge — BEFORE the ordered window, which then sorts 500 rows
+    // instead of the whole part dimension. (The r12 shuffle-bytes probe
+    // measured the unreduced version moving |parts| rows — 200k at sf1 —
+    // through its SinglePartition exchange; part cardinality grows with
+    // the corpus, so that window was data-sized, not dimension-bounded.)
+    // Ties rank deterministically by part key.
     Q("q154_pareto",
       (s, d) => {
         import s.implicits._
@@ -1960,9 +1965,10 @@ object RelationalQueries {
             "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)")
             .as("cents"))
           .groupBy($"l_partkey").agg(sum($"cents").as("cents"))
+        val top = rev.orderBy($"cents".desc, $"l_partkey").limit(500)
         val w = Window.orderBy($"cents".desc, $"l_partkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev
+        top
           .withColumn("rk", row_number().over(
             Window.orderBy($"cents".desc, $"l_partkey")))
           .withColumn("cum", sum($"cents").over(w))
@@ -2071,8 +2077,17 @@ object RelationalQueries {
           .select(expr("(rk - 1) div 8").as("seg"), $"rev", $"k")
           .groupBy($"seg", $"k")
           .agg(sum($"rev").as("ss"), count(lit(1)).as("n_days"))
+        // s2 must be exact AND unbounded: sum(ss*ss) over long reads
+        // 4.69e18 at sf0.1 — HALF of Long.MaxValue — and overflows ANSI
+        // long summation at 10× data (found by the r12 materialization
+        // probe; count()-pruned benches never evaluate the column).
+        // decimal(38,0) keeps the sum exact to 38 digits, mirroring the
+        // oracle's HUGEINT: both engines then convert the same exact
+        // integer to double at the σ division, so 4dp-rounded z stays
+        // hash-identical.
         val mom = segs.groupBy($"k")
-          .agg(sum($"ss").as("s1"), sum($"ss" * $"ss").as("s2"))
+          .agg(sum($"ss").as("s1"),
+            sum($"ss".cast("decimal(38,0)") * $"ss").as("s2"))
           .select($"k", ($"s1" / ($"k" * 8.0)).as("mu"),
             sqrt(($"s2" / ($"k" * 64.0)) - pow($"s1" / ($"k" * 8.0), 2)).as("sigma"))
         segs.join(broadcast(mom), "k")
@@ -2097,7 +2112,7 @@ object RelationalQueries {
              |  FROM rk, k WHERE rk <= k.k * 8 GROUP BY 1),
              |mom AS (
              |  SELECT k.k, CAST(sum(ss) AS BIGINT) / (k.k * 8.0) AS mu,
-             |    sqrt(CAST(sum(ss * ss) AS BIGINT) / (k.k * 64.0)
+             |    sqrt(sum(CAST(ss AS HUGEINT) * ss) / (k.k * 64.0)
              |      - pow(CAST(sum(ss) AS BIGINT) / (k.k * 8.0), 2)) AS sigma
              |  FROM segs, k GROUP BY k.k)
              |SELECT seg, n_days, round(ss / 8.0, 2) AS seg_mean,
@@ -2370,14 +2385,22 @@ object RelationalQueries {
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_chars").as("n_chars"),
-            sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
-              "':', lang, ':', text)), 1, 14), 16, 10) as bigint)")).as("fp_sum"))
+            // modular content checksum: the md5₅₆ prefixes are summed in
+            // exact decimal(38,0) and reduced mod 10¹⁵ — a naive long sum
+            // overflows ANSI once a source holds ~128k rows (found by the
+            // r12 sf1 materialization probe; count()-pruned runs never
+            // evaluated the column). Order-free and corruption-sensitive
+            // exactly like the full sum; DuckDB mirrors via HUGEINT.
+            (sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+              "':', lang, ':', text)), 1, 14), 16, 10) as decimal(38,0))"))
+              % lit(1000000000000000L)).cast("long").as("fp_sum"))
           .orderBy($"source")
       },
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
              |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-             |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
+             |    lang || ':' || text), 1, 14))::BIGINT) % 1000000000000000
+             |    AS BIGINT) AS fp_sum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // Schema drift across parquet vintages — the lakehouse reality of a
@@ -2549,14 +2572,17 @@ object RelationalQueries {
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_chars").as("n_chars"),
-            sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
-              "':', lang, ':', text)), 1, 14), 16, 10) as bigint)")).as("fp_sum"))
+            // modular content checksum — see the q182 fp_sum comment
+            (sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+              "':', lang, ':', text)), 1, 14), 16, 10) as decimal(38,0))"))
+              % lit(1000000000000000L)).cast("long").as("fp_sum"))
           .orderBy($"source")
       },
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
              |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-             |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
+             |    lang || ':' || text), 1, 14))::BIGINT) % 1000000000000000
+             |    AS BIGINT) AS fp_sum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // ORC round trip — same losslessness gate through the columnar ORC
@@ -2572,14 +2598,17 @@ object RelationalQueries {
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_chars").as("n_chars"),
-            sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
-              "':', lang, ':', text)), 1, 14), 16, 10) as bigint)")).as("fp_sum"))
+            // modular content checksum — see the q182 fp_sum comment
+            (sum(expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+              "':', lang, ':', text)), 1, 14), 16, 10) as decimal(38,0))"))
+              % lit(1000000000000000L)).cast("long").as("fp_sum"))
           .orderBy($"source")
       },
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
              |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-             |    lang || ':' || text), 1, 14))::BIGINT) AS BIGINT) AS fp_sum
+             |    lang || ':' || text), 1, 14))::BIGINT) % 1000000000000000
+             |    AS BIGINT) AS fp_sum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // l-diversity — k-anonymity's complement: a quasi-identifier class can
