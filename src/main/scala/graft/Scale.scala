@@ -62,11 +62,14 @@ object Scale {
       time(dirA, dirB, resolved, out)
     case "shuffle" :: rankDir :: runDir :: sel :: out :: Nil =>
       shuffleProbe(rankDir, runDir, sel, out)
+    case "cluster" :: dir :: master :: sel :: out :: Nil =>
+      clusterProbe(dir, master, sel, out)
     case _ =>
       System.err.println(
         "usage: graft.Scale synth <srcDir> <dstDir> <copies>\n" +
         "       graft.Scale time <dirA> <dirB> <all|q1,q2,...> <outJson>\n" +
-        "       graft.Scale shuffle <rankDir> <runDir> <all|topN|q1,q2,...> <outJson>")
+        "       graft.Scale shuffle <rankDir> <runDir> <all|topN|q1,q2,...> <outJson>\n" +
+        "       graft.Scale cluster <dir> <masterUrl> <all|q1,q2,...> <outJson>")
       sys.exit(2)
   }
 
@@ -348,6 +351,78 @@ object Scale {
     Files.writeString(Paths.get(out), line + "\n")
     println(line)
     spark.stop()
+  }
+
+  // --- multi-executor probe (cluster effects, measured) --------------------
+
+  /** Run the selected queries under an arbitrary master URL — the point is
+    * `local-cluster[n,cores,mem]`, Spark's multi-process test master: REAL
+    * executor JVMs launched from SPARK_HOME, so shuffles serialize and
+    * cross process boundaries over localhost TCP, broadcasts actually
+    * transfer (torrent blocks, not a same-process reference), task binaries
+    * and our custom expressions/plans deserialize on executors, and the
+    * driver schedules over RPC. Everything the single-JVM probes
+    * structurally CANNOT exercise — until now the repo's one argued-only
+    * scale claim (SCALE.md §8's caveat). Run the same selection twice —
+    * once with `local[32]`, once with `local-cluster[4,8,4096]` (same 32
+    * total cores, same shuffle.partitions, same page cache) — and the
+    * per-query delta isolates the process-boundary cost. What this still
+    * does not measure (stated in SCALE.md §10): real network latency
+    * (localhost loopback ≠ datacenter fabric) and stragglers from
+    * heterogeneous nodes.
+    *
+    * Methodology is the bench's: byte-level page-cache warm-up, best-of-2
+    * per query, clearCache+GC between queries, errors recorded not fatal. */
+  def clusterProbe(dir: String, master: String, sel: String,
+      out: String): Unit = {
+    val names =
+      if (sel == "all") SparkEntry.queries.keys.toSeq.sorted
+      else sel.split(',').toSeq
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    val spark = Sessions.forMaster(master, "32")
+    // executor JVMs register asynchronously after session start; wait for
+    // the advertised count so the first queries aren't timed on a
+    // partially-provisioned cluster (on local[*] this passes immediately:
+    // the map holds exactly the driver)
+    val wantExecs = "local-cluster\\[(\\d+)".r.findFirstMatchIn(master)
+      .map(_.group(1).toInt).getOrElse(0)
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (spark.sparkContext.getExecutorMemoryStatus.size < wantExecs + 1 &&
+           System.nanoTime() < deadline) Thread.sleep(200)
+    val execs = spark.sparkContext.getExecutorMemoryStatus.size
+    println(s"[cluster] master=$master executors(incl driver)=$execs " +
+      s"defaultParallelism=${spark.sparkContext.defaultParallelism}")
+    warm(spark, dir)
+    val results = names.zipWithIndex.map { case (n, i) =>
+      val r = bestOf2(spark, dir, n, Map.empty)
+      println(s"[cluster] ${i + 1}/${names.size} $n: " +
+        r.fold(e => s"ERROR $e", t => f"$t%.3f s"))
+      n -> r
+    }
+    ops.Memo.evictAll()
+    val fams = SparkEntry.familyOf
+    val famTotals = results.collect { case (n, Right(t)) =>
+      fams.getOrElse(n, "other") -> t }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val qJson = results.map {
+      case (n, Right(t)) => f"${jstr(n)}:$t%.3f"
+      case (n, Left(e)) => s"${jstr(n)}:${jstr("ERROR " + e)}"
+    }
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val errs = results.count(_._2.isLeft)
+    val line =
+      s"""{"dir":${jstr(dir)},"master":${jstr(master)},""" +
+      s""""executorsInclDriver":$execs,""" +
+      s""""defaultParallelism":${spark.sparkContext.defaultParallelism},""" +
+      f""""total":$total%.3f,"errors":$errs,""" +
+      s""""families":{${famTotals.map { case (f, t) =>
+        f"${jstr(f)}:$t%.3f" }.mkString(",")}},""" +
+      s""""queries":{${qJson.mkString(",")}}}"""
+    Files.writeString(Paths.get(out), line + "\n")
+    println(line)
+    spark.stop()
+    if (errs > 0) sys.exit(1)
   }
 
   // --- measured shuffle bytes (round-11 verdict #3) -----------------------

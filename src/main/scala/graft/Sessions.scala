@@ -15,15 +15,29 @@ import org.apache.spark.sql.SparkSession
   *   vintage, where the flag is simply inert).
   */
 object Sessions {
-  def local(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+  def local(cpus: String): SparkSession = forMaster(s"local[$cpus]", cpus)
+
+  /** Same config surface as [[local]] for an arbitrary master URL — the
+    * Scale cluster probe passes `local-cluster[n,cores,mem]` here to run
+    * the same queries through REAL executor JVMs (separate processes,
+    * serialized shuffle/broadcast over localhost) instead of local mode's
+    * in-process shortcut. Executors are launched from SPARK_HOME and see
+    * only its jars, so the library's own classes are shipped via
+    * `spark.executor.extraClassPath` (the compiled classes dir — on a
+    * real cluster this is the application jar `spark-submit` distributes). */
+  def forMaster(master: String, shufflePartitions: String): SparkSession = {
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      builder.config("spark.executor.extraClassPath", classes)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the library's optimizer extension (a cluster would set
     // spark.sql.extensions=graft.functions.GraftExtensions instead);
