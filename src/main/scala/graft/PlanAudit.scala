@@ -75,9 +75,8 @@ object PlanAudit {
     * (scalar-aggregate final combines, or global sorts/windows over
     * already-aggregated frames whose size is fixed by construction:
     * percentile grids, per-class panels, convergence scalars — the
-    * spot-checked worst owners are q184's 10, all final combines
-    * directly above partial HashAggregates, and q146's 15, the
-    * power-iteration axis scalars of a driver loop).
+    * spot-checked worst owner is q184's 10, all final combines
+    * directly above partial HashAggregates).
     * PlanAuditSuite asserts equality against a fresh
     * [[Plans.audit]] run, so a NEW single-partition exchange — the
     * thing that serializes a data-sized stream through one task at
@@ -109,7 +108,9 @@ object PlanAudit {
     "q141_silhouette" -> 1,
     "q142_ann_recall" -> 1,
     "q143_market_basket" -> 1,
-    "q146_scatter_axis" -> 15,
+    // q146 dropped out in r12: the power iteration moved driver-side
+    // over the collected d²-row scatter matrix, so its returned frame
+    // is a 64-row local relation — zero exchanges to audit
     "q148_ab_lift" -> 1,
     "q150_benford" -> 1,
     "q152_hll_audit" -> 2,

@@ -740,10 +740,13 @@ object Similarity {
     // deviations d_ci = n·Σ_c uᵢ − n_c·Σuᵢ are exact BIGINTs, and the
     // d²-sized scatter B = Σ_c d_c·d_cᵀ accumulates in DECIMAL(38,0)
     // (HUGEINT in the oracle) so summation order cannot move a bit. The
-    // ONLY corpus-sized pass is the per-(label,dim) partial aggregate; B
-    // (64×64 rows) is cached and each matvec iteration is a constant-size
-    // job — at 100 TB the plan is one map-side-combined aggregate plus
-    // d²-bounded driver-scale algebra, independent of row count. Each
+    // only corpus-sized passes are the two partial aggregates (per-dim
+    // totals g and per-(label,dim) totals cl) feeding B's build; B itself
+    // is d² = 64×64 rows by the embedding schema, so the power iteration
+    // runs driver-side over the collected matrix (bounded-collect, the
+    // Tare-OLS pattern) — at 100 TB the plan is two map-side-combined
+    // aggregates plus d²-bounded driver-scale algebra, independent of
+    // row count (see the in-body comment for the measured history). Each
     // iteration renormalizes by max|w| rounded to 1e-6 identically on both
     // engines, so the 4-step unroll is bit-reproducible.
     Q("q146_scatter_axis",
@@ -761,21 +764,53 @@ object Similarity {
         val b = dv.join(dv.select($"label", $"i".as("j"), $"dv".as("dw")), "label")
           .groupBy($"i", $"j")
           .agg(sum($"dv".cast("decimal(19,0)") * $"dw".cast("decimal(19,0)")).as("c"))
-          .cache() // d² rows, read by all four matvec iterations
-        var v = g.select($"i".as("dim"), lit(1000000L).as("vq"))
-        for (_ <- 1 to 3) {
-          val w = b.join(v, b("j") === v("dim"))
-            .groupBy($"i").agg(sum($"c" * $"vq").as("w"))
-          v = w.crossJoin(broadcast(w.agg(max(abs($"w")).as("mx"))))
-            .select($"i".as("dim"),
-              expr("cast(round(cast(w as double) / cast(mx as double) * 1e6) as bigint)")
-                .as("vq"))
+        // The matvec unroll runs DRIVER-SIDE over the collected scatter
+        // matrix — the same sanctioned bounded-collect pattern as Tare's
+        // driver-side OLS (I4): B is exactly d² = 64×64 rows by the
+        // embedding schema, independent of corpus row count, and each
+        // iteration is d² exact BigInt multiplies. The lazy-DataFrame
+        // unroll this replaces was measurably wrong BOTH ways at scale:
+        // every iteration's broadcast-max subquery replayed the
+        // exploded-corpus aggregate through its own v-chain (O(k²) corpus
+        // passes — surfaced by the multi-executor probe, where q146 was
+        // the one query whose cluster/local ratio GREW with data, 2.3× at
+        // sf0.1 → 4.1× at sf1), and patching that with caches/broadcast
+        // hints just moved the cost into cache-build and per-iteration
+        // broadcast jobs (isolated sf1 wall 2.5 s → 4.0 s). Distributed
+        // work is now exactly the two corpus-sized partial aggregates
+        // feeding B, as the 100 TB claim above requires. Arithmetic
+        // mirrors the replaced column expressions bit-for-bit: BigInt is
+        // exact like decimal(38,0), BigInt.toDouble rounds-to-nearest
+        // like cast(decimal as double), and the 1e6 renormalization uses
+        // BigDecimal.valueOf(...).setScale(0, HALF_UP) — the same path
+        // Spark's Round takes for DoubleType.
+        val bLocal = b.collect().map { r =>
+          (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))
         }
-        val w4 = b.join(v, b("j") === v("dim"))
-          .groupBy($"i").agg(sum($"c" * $"vq").as("w"))
-        w4.crossJoin(broadcast(w4.agg(max(abs($"w")).as("mx"))))
-          .select($"i".as("dim"),
-            round($"w".cast("double") / $"mx".cast("double"), 6).as("loading"))
+        val dims = bLocal.map(_._1).distinct.sorted
+        def matvec(vq: Map[Int, BigInt]): Map[Int, BigInt] =
+          bLocal.groupBy(_._1).map { case (i, row) =>
+            i -> row.iterator.map { case (_, j, c) => c * vq(j) }.sum
+          }
+        def halfUp(x: Double): Long =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        var vq = dims.map(_ -> BigInt(1000000L)).toMap
+        for (_ <- 1 to 3) {
+          val w = matvec(vq)
+          val mx = w.valuesIterator.map(_.abs).max
+          vq = w.map { case (i, wi) =>
+            i -> BigInt(halfUp(wi.toDouble / mx.toDouble * 1e6))
+          }
+        }
+        val w4 = matvec(vq)
+        val mx4 = w4.valuesIterator.map(_.abs).max
+        val out = dims.map { i =>
+          val q = java.math.BigDecimal.valueOf(w4(i).toDouble / mx4.toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          (i, q)
+        }
+        s.createDataFrame(out.toIndexedSeq).toDF("dim", "loading")
           .orderBy($"dim")
       },
       Some("""WITH u AS (
