@@ -787,30 +787,34 @@ object Similarity {
         val bLocal = b.collect().map { r =>
           (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))
         }
-        val dims = bLocal.map(_._1).distinct.sorted
-        def matvec(vq: Map[Int, BigInt]): Map[Int, BigInt] =
-          bLocal.groupBy(_._1).map { case (i, row) =>
-            i -> row.iterator.map { case (_, j, c) => c * vq(j) }.sum
+        // empty corpus → empty axis, matching the replaced lazy plan's
+        // behavior (an empty-collection .max would throw instead)
+        val out: Seq[(Int, Double)] = if (bLocal.isEmpty) Seq.empty else {
+          val dims = bLocal.map(_._1).distinct.sorted
+          def matvec(vq: Map[Int, BigInt]): Map[Int, BigInt] =
+            bLocal.groupBy(_._1).map { case (i, row) =>
+              i -> row.iterator.map { case (_, j, c) => c * vq(j) }.sum
+            }
+          def halfUp(x: Double): Long =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          var vq = dims.map(_ -> BigInt(1000000L)).toMap
+          for (_ <- 1 to 3) {
+            val w = matvec(vq)
+            val mx = w.valuesIterator.map(_.abs).max
+            vq = w.map { case (i, wi) =>
+              i -> BigInt(halfUp(wi.toDouble / mx.toDouble * 1e6))
+            }
           }
-        def halfUp(x: Double): Long =
-          java.math.BigDecimal.valueOf(x)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-        var vq = dims.map(_ -> BigInt(1000000L)).toMap
-        for (_ <- 1 to 3) {
-          val w = matvec(vq)
-          val mx = w.valuesIterator.map(_.abs).max
-          vq = w.map { case (i, wi) =>
-            i -> BigInt(halfUp(wi.toDouble / mx.toDouble * 1e6))
-          }
+          val w4 = matvec(vq)
+          val mx4 = w4.valuesIterator.map(_.abs).max
+          dims.map { i =>
+            val q = java.math.BigDecimal.valueOf(w4(i).toDouble / mx4.toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+            (i, q)
+          }.toIndexedSeq
         }
-        val w4 = matvec(vq)
-        val mx4 = w4.valuesIterator.map(_.abs).max
-        val out = dims.map { i =>
-          val q = java.math.BigDecimal.valueOf(w4(i).toDouble / mx4.toDouble)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-          (i, q)
-        }
-        s.createDataFrame(out.toIndexedSeq).toDF("dim", "loading")
+        s.createDataFrame(out).toDF("dim", "loading")
           .orderBy($"dim")
       },
       Some("""WITH u AS (
