@@ -213,15 +213,29 @@ object Bench {
     // bands from the canary block above.
     val streamRatio = canaryLast(0) / canaryMid(0)
     val batchRatio = canaryLast(1) / canaryMid(1)
-    val trips = Seq(
+    // direction matters: a canary ABOVE its band means the back half ran
+    // slower (the contention signature — per-query numbers are inflated);
+    // BELOW the band means the back half ran faster (a warming/quieting
+    // drift — totals are honest-or-conservative, never inflated). Both
+    // r12 quiet runs (120.8/120.3 s, the fastest recorded) tripped only
+    // the low side, which the old single-word "degraded" mislabeled.
+    val slowTrips = Seq(
       Option.when(streamRatio > 1.3)(f"q70 last/mid $streamRatio%.2f > 1.3"),
-      Option.when(batchRatio < 0.9 || batchRatio > 1.1)(
-        f"q03 last/mid $batchRatio%.2f outside [0.9, 1.1]")).flatten
+      Option.when(batchRatio > 1.1)(
+        f"q03 last/mid $batchRatio%.2f > 1.1")).flatten
+    val fastTrips = Seq(
+      Option.when(batchRatio < 0.9)(
+        f"q03 last/mid $batchRatio%.2f < 0.9")).flatten
     val contextVerdict =
-      if (trips.isEmpty) "ok: both canaries in-band"
-      else "degraded (" + trips.mkString("; ") +
-        "): context shifted across the run - believe per-query deltas " +
-        "with suspicion; see contextAttr for contention vs GC"
+      if (slowTrips.nonEmpty)
+        "degraded (" + (slowTrips ++ fastTrips).mkString("; ") +
+          "): back half ran slower - believe per-query deltas with " +
+          "suspicion; see contextAttr for contention vs GC"
+      else if (fastTrips.nonEmpty)
+        "shifted-faster (" + fastTrips.mkString("; ") +
+          "): back half ran faster than mid-run - totals are honest or " +
+          "conservative, not inflated"
+      else "ok: both canaries in-band"
     val onlyField =
       only.map(o => s""""only":${jstr(o.mkString(","))},""").getOrElse("")
     val line =
