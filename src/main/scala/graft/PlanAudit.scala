@@ -108,9 +108,10 @@ object PlanAudit {
     "q141_silhouette" -> 1,
     "q142_ann_recall" -> 1,
     "q143_market_basket" -> 1,
-    // q146 dropped out in r12: the power iteration moved driver-side
-    // over the collected d²-row scatter matrix, so its returned frame
-    // is a 64-row local relation — zero exchanges to audit
+    // q146 is absent since r12: the power iteration moved driver-side,
+    // so the audit substitutes the query's distributed scatter-build
+    // frame (Plans.auditSubstitutes) — two partial+final aggregate
+    // exchange pairs and three broadcast joins, zero SinglePartition
     "q148_ab_lift" -> 1,
     "q150_benford" -> 1,
     "q152_hll_audit" -> 2,

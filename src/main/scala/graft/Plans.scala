@@ -30,6 +30,21 @@ object Plans {
       }
   }
 
+  /** Frames audited IN PLACE of a query's registered fn. q146's fn runs
+    * its power iteration driver-side over the collected scatter matrix,
+    * so (a) merely CONSTRUCTING its frame executes the two corpus-sized
+    * scatter-build jobs as a side effect — at a scale-SF dir the audit
+    * would silently pay the query's heaviest pass — and (b) the returned
+    * frame is a 64-row local relation with zero exchanges, so a
+    * regression inside the distributed aggregates could never trip
+    * PlanAuditSuite's allowlist (the gate's declared purpose). Auditing
+    * the scatter frame itself restores both: plan construction is lazy
+    * again, and the fence row counts the query's REAL distributed work.
+    * The shuffle-bytes probe (Scale.shuffleProbe) substitutes the same
+    * frame for the same reason. */
+  val auditSubstitutes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q146_scatter_axis" -> ((s, d) => ops.Similarity.scatterFrame(s, d)))
+
   /** Build every declared query's DataFrame against `sfDir`, scan its
     * `explain("formatted")` output with [[PlanAudit.scan]], and return
     * per-query counts plus per-query PLANNING ERRORS. Errors are a
@@ -59,7 +74,8 @@ object Plans {
          if q.name != "q70_stream_hourly" && keep(q.name)) {
       if (collectText) sb.append(s"\n========== ${q.name} ==========\n")
       try {
-        val df = q.fn(spark, sfDir)
+        val df = auditSubstitutes.get(q.name)
+          .map(_(spark, sfDir)).getOrElse(q.fn(spark, sfDir))
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         perQuery(q.name) = PlanAudit.scan(formatted)

@@ -248,27 +248,36 @@ object Scale {
     *    density; the fixed-genome run is kept in SCALE.md §4.3 as the
     *    documented output-geometry boundary.
     */
-  private def probeSubstitutions(spark: SparkSession, dirs: Seq[String])
+  private def probeSubstitutions(spark: SparkSession, dirs: Seq[String],
+      names: Seq[String])
       : (Map[String, (SparkSession, String) => Unit], Map[String, String]) = {
-    val docCounts = dirs.map(d => d -> Tables.load(spark, d, "documents").count()).toMap
-    val base = docCounts(dirs.head).toDouble
-    val contigsFor: Map[String, Long] =
-      docCounts.view.mapValues(n => 64L * math.max(1L, math.round(n / base))).toMap
-    val subs = Map[String, (SparkSession, String) => Unit](
+    val q72 = Map[String, (SparkSession, String) => Unit](
       "q72_stream_join" -> ((s, d) =>
         streaming.StreamTuning.withStatePartitions(s)(
-          streaming.StreamingQueries.q72CountRows(s, d): Unit)),
-      "q178_region_join" -> ((s, d) =>
-        relational.GenomicsQueries.regionJoinFrame(s, d, contigsFor(d)).count(): Unit))
-    val notes = Map(
+          streaming.StreamingQueries.q72CountRows(s, d): Unit)))
+    val q72Note = Map(
       "q72_stream_join" -> ("counting foreachBatch sink - the memory sink " +
         "measures driver materialization of a semantically quadratic " +
-        "output, not the join (SCALE.md 4.2)"),
-      "q178_region_join" -> ("contig-scaled genome, density bounded at " +
-        "dirA's level: " + dirs.map(d => s"$d -> ${contigsFor(d)} contigs")
-          .mkString("; ") + " (fixed 64-contig genome = quadratic output " +
-        "geometry, SCALE.md 4.3)"))
-    (subs, notes)
+        "output, not the join (SCALE.md 4.2)"))
+    // the contig ratio costs a documents.count() per dir (cold, before
+    // warm-up) — only pay it when q178 is actually in the selection
+    if (!names.contains("q178_region_join")) (q72, q72Note)
+    else {
+      val docCounts =
+        dirs.map(d => d -> Tables.load(spark, d, "documents").count()).toMap
+      val base = docCounts(dirs.head).toDouble
+      val contigsFor: Map[String, Long] =
+        docCounts.view.mapValues(n => 64L * math.max(1L, math.round(n / base))).toMap
+      val subs = q72 + ("q178_region_join" ->
+        ((s: SparkSession, d: String) =>
+          relational.GenomicsQueries.regionJoinFrame(s, d, contigsFor(d)).count(): Unit))
+      val notes = q72Note + ("q178_region_join" ->
+        ("contig-scaled genome, density bounded at " +
+          "dirA's level: " + dirs.map(d => s"$d -> ${contigsFor(d)} contigs")
+            .mkString("; ") + " (fixed 64-contig genome = quadratic output " +
+          "geometry, SCALE.md 4.3)"))
+      (subs, notes)
+    }
   }
 
   /** best-of-2 seconds for one query at one dir (Bench methodology);
@@ -304,7 +313,7 @@ object Scale {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val missing = names.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
-    val (subs, subNotes) = probeSubstitutions(spark, Seq(dirA, dirB))
+    val (subs, subNotes) = probeSubstitutions(spark, Seq(dirA, dirB), names)
 
     // per-query progress on stdout: a full-surface run is an hour-plus of
     // wall-clock — the log must show where it is and what each leg cost
@@ -393,9 +402,18 @@ object Scale {
     val execs = spark.sparkContext.getExecutorMemoryStatus.size
     println(s"[cluster] master=$master executors(incl driver)=$execs " +
       s"defaultParallelism=${spark.sparkContext.defaultParallelism}")
+    // same probe substitutions as time(): q72's memory sink measures the
+    // driver's materialization ceiling and dies in maxResultSize at sf1+
+    // — which would also fail the probe's errs>0 exit — so it runs the
+    // counting sink on BOTH legs of the A/B. With one dir the q178
+    // substitution degenerates to the registered 64-contig query (its
+    // contig ratio vs itself is 1), so the A/B legs stay comparable.
+    // (The committed sf0.1 §10 run predates this and timed q72's memory
+    // sink; the artifact's `substituted` field disambiguates.)
+    val (subs, subNotes) = probeSubstitutions(spark, Seq(dir), names)
     warm(spark, dir)
     val results = names.zipWithIndex.map { case (n, i) =>
-      val r = bestOf2(spark, dir, n, Map.empty)
+      val r = bestOf2(spark, dir, n, subs)
       println(s"[cluster] ${i + 1}/${names.size} $n: " +
         r.fold(e => s"ERROR $e", t => f"$t%.3f s"))
       n -> r
@@ -416,6 +434,10 @@ object Scale {
       s""""executorsInclDriver":$execs,""" +
       s""""defaultParallelism":${spark.sparkContext.defaultParallelism},""" +
       f""""total":$total%.3f,"errors":$errs,""" +
+      s""""substituted":${subNotes.filter { case (n, _) => names.contains(n) }
+        .toSeq.sortBy(_._1)
+        .map { case (n, note) => s"${jstr(n)}:${jstr(note)}" }
+        .mkString("{", ",", "}")},""" +
       s""""families":{${famTotals.map { case (f, t) =>
         f"${jstr(f)}:$t%.3f" }.mkString(",")}},""" +
       s""""queries":{${qJson.mkString(",")}}}"""
@@ -487,7 +509,11 @@ object Scale {
         SparkEntry.queries.keys.toSeq.sorted
           .filterNot(n => fams.get(n).contains("streaming"))
       else if (sel.startsWith("top")) {
-        val n = sel.stripPrefix("top").toInt
+        val nStr = sel.stripPrefix("top")
+        require(nStr.nonEmpty && nStr.forall(_.isDigit),
+          s"selection '$sel' — expected topN (e.g. top20), 'all', or a " +
+            "comma-separated query list")
+        val n = nStr.toInt
         val ranked = audit0(spark, rankDir)
           .filterNot { case (name, _) => fams.get(name).contains("streaming") }
         val bySp = ranked.sortBy { case (n0, c) =>
@@ -495,11 +521,24 @@ object Scale {
         val byEx = ranked.sortBy { case (n0, c) =>
           (-c.exchanges, n0) }.map(_._1)
         (bySp.take(n / 2) ++ byEx).distinct.take(n)
-      } else sel.split(',').toSeq
+      } else {
+        // fail fast on a typo, like time()/clusterProbe — otherwise it
+        // surfaces only as a per-query error row after the warm-up ran
+        val explicit = sel.split(',').toSeq
+        val missing = explicit.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+        explicit
+      }
     warm(spark, runDir)
     val rows = chosen.zipWithIndex.map { case (name, i) =>
       val r = try {
-        val df = SparkEntry.queries(name)(spark, runDir)
+        // q146 substitutes its distributed scatter frame: the registered
+        // fn collects driver-side, so its returned frame is a local
+        // relation that would read 0 shuffle bytes while the real work
+        // ran in driver-discarded jobs (see Plans.auditSubstitutes)
+        val df = Plans.auditSubstitutes.get(name)
+          .map(_(spark, runDir))
+          .getOrElse(SparkEntry.queries(name)(spark, runDir))
         // execute the frame itself (df.count() would execute a DIFFERENT
         // plan — the count aggregate — leaving this plan's metrics empty)
         val nRows = df.queryExecution.toRdd.count()

@@ -34,7 +34,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
-      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      // resolve the classes dir from this class's own code source, not the
+      // CWD: launched from any other directory, a relative path would hand
+      // executors a nonexistent classpath and every task would die in an
+      // opaque ClassNotFoundException far from the cause
+      val classes = Option(getClass.getProtectionDomain.getCodeSource)
+        .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+        .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       builder.config("spark.executor.extraClassPath", classes)
     }
     val spark = builder.getOrCreate()

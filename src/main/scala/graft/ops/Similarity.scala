@@ -100,6 +100,34 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.cv)").as("ce"))
 
+  /** q146's DISTRIBUTED portion: the d²-row between-class scatter matrix
+    * B = Σ_c d_c·d_cᵀ over 1e-4-quantized embedding components — two
+    * corpus-sized partial aggregates (per-dim totals g, per-(label,dim)
+    * totals cl) and a label-keyed self-join of the d·#labels deviation
+    * rows. q146's registered fn collects this frame (d² = 64×64 rows by
+    * the embedding schema) and runs the power iteration driver-side, so
+    * its RETURNED frame is a local relation with nothing distributed left
+    * to audit; the plan audit and the shuffle-bytes probe audit THIS
+    * frame instead (Plans.auditSubstitutes) — the audit gate keeps
+    * watching the query's real distributed work, and constructing the
+    * audited plan no longer executes the corpus-sized jobs as a side
+    * effect. */
+  def scatterFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("i", "v")))
+      .select($"label", $"i",
+        expr("cast(round(cast(v as double) * 1e4) as bigint)").as("u"))
+    val g = u.groupBy($"i").agg(sum($"u").as("m"), count(lit(1)).as("n"))
+    val cl = u.groupBy($"label", $"i")
+      .agg(sum($"u").as("sc"), count(lit(1)).as("nc"))
+    val dv = cl.join(g, "i")
+      .select($"label", $"i", ($"n" * $"sc" - $"nc" * $"m").as("dv"))
+    dv.join(dv.select($"label", $"i".as("j"), $"dv".as("dw")), "label")
+      .groupBy($"i", $"j")
+      .agg(sum($"dv".cast("decimal(19,0)") * $"dw".cast("decimal(19,0)")).as("c"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q50_knn_brute",
       (s, d) => {
@@ -752,18 +780,7 @@ object Similarity {
     Q("q146_scatter_axis",
       (s, d) => {
         import s.implicits._
-        val u = Tables.embeddings(s, d)
-          .select($"label", posexplode($"embedding").as(Seq("i", "v")))
-          .select($"label", $"i",
-            expr("cast(round(cast(v as double) * 1e4) as bigint)").as("u"))
-        val g = u.groupBy($"i").agg(sum($"u").as("m"), count(lit(1)).as("n"))
-        val cl = u.groupBy($"label", $"i")
-          .agg(sum($"u").as("sc"), count(lit(1)).as("nc"))
-        val dv = cl.join(g, "i")
-          .select($"label", $"i", ($"n" * $"sc" - $"nc" * $"m").as("dv"))
-        val b = dv.join(dv.select($"label", $"i".as("j"), $"dv".as("dw")), "label")
-          .groupBy($"i", $"j")
-          .agg(sum($"dv".cast("decimal(19,0)") * $"dw".cast("decimal(19,0)")).as("c"))
+        val b = scatterFrame(s, d)
         // The matvec unroll runs DRIVER-SIDE over the collected scatter
         // matrix — the same sanctioned bounded-collect pattern as Tare's
         // driver-side OLS (I4): B is exactly d² = 64×64 rows by the

@@ -56,11 +56,16 @@ object StreamingQueries {
     // function with the SAME batchId, so a bare accumulator would
     // double-count exactly the pairs StreamingSuite pins equal to the
     // memory sink. Same batch-id idempotence the q206 mview sink uses.
+    // The id is marked seen only AFTER the count succeeded — marking on
+    // entry would make the retry of a failed count skip the batch,
+    // turning a possible double-count into silent loss. (Micro-batch
+    // invocations are serialized by the stream execution thread, so
+    // contains-then-add does not race.)
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
     val query = q72Joined(s, d).writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (seen.add(batchId)) acc.add(batch.count())
+        if (!seen.contains(batchId)) { acc.add(batch.count()); seen.add(batchId); () }
       }
       .start()
     try query.processAllAvailable()
