@@ -24,6 +24,9 @@ import statistics
 import sys
 
 QUERY_RE = re.compile(r'"(q\d+_[A-Za-z0-9_]+)":([0-9]+\.[0-9]+)')
+# per-query attribution (r12): "name":[cpuPerWall,gcSec,loadAvg]
+QATTR_RE = re.compile(
+    r'"(q\d+_[A-Za-z0-9_]+)":\[([0-9.]+),([0-9.]+),(-?[0-9.]+)\]')
 CANARY_RE = re.compile(r'"(canary(?:Batch)?)":\{"query":"([^"]+)"'
                        r'[^}]*?"ratio":([0-9.]+)')
 VERDICT_RE = re.compile(r'"contextVerdict":"([^"]*)"')
@@ -51,8 +54,12 @@ def load(path):
     canaries = {m.group(1): (m.group(2), float(m.group(3)))
                 for m in CANARY_RE.finditer(text)}
     verdict = VERDICT_RE.search(text)
+    qattr = {m.group(1): (float(m.group(2)), float(m.group(3)),
+                          float(m.group(4)))
+             for m in QATTR_RE.finditer(text)}
     return {
         "queries": queries,
+        "qattr": qattr,
         "total": float(total.group(1)) if total else None,
         "families": fam,
         "canaries": canaries,
@@ -97,6 +104,22 @@ def main():
     for q in movers:
         print(f"  {q:28s} {qa[q]:7.3f} -> {qb[q]:7.3f}  "
               f"delta {qb[q] - qa[q]:+7.3f}  ratio {qb[q] / qa[q]:.2f}")
+    # starvation screen (r12 queryAttr): a query whose wall grew while its
+    # cpu/wall RATIO fell is starved by the measuring context, not slowed
+    # by code — no code regression lowers a fixed plan's cpu/wall. Only
+    # meaningful when both artifacts carry queryAttr.
+    aa, ab = a["qattr"], b["qattr"]
+    both = [q for q in shared if q in aa and q in ab and qa[q] > 0]
+    starved = [q for q in both
+               if qb[q] / qa[q] > 1.5 and aa[q][0] > 0
+               and ab[q][0] / aa[q][0] < 0.67]
+    if both:
+        print(f"queryAttr present in both for {len(both)} queries; "
+              f"starved (wall >1.5x while cpuPerWall <0.67x): {len(starved)}")
+        for q in starved[:10]:
+            print(f"  {q:28s} wall {qa[q]:.2f}->{qb[q]:.2f}  "
+                  f"cpuPerWall {aa[q][0]:.2f}->{ab[q][0]:.2f}  "
+                  f"loadAvg {aa[q][2]:.1f}->{ab[q][2]:.1f}  -> context, not code")
 
 
 if __name__ == "__main__":
