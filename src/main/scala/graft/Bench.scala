@@ -230,8 +230,13 @@ object Bench {
       s""""cpus":${jstr(cpus)}}"""
     // per-query attribution series, compact: name -> [cpuPerWall, gcSec,
     // loadAvg] over that query's timed window (both best-of-2 runs).
-    // Placed near the END of the line so the driver's truncated-tail
-    // artifact wrapper keeps it. loadAvg is a 1-min average so it lags
+    // Placed at the FRONT of the line, before the queries map: the
+    // driver's artifact wrapper keeps only the LAST 2000 bytes of the
+    // line (measured across BENCH_r09-r11), and this series is ~9 KB —
+    // at the end it would evict every query time, family subtotal, and
+    // canary from the preserved tail. Up front it is the sacrificial
+    // field; the full line survives in BENCH.json and any committed
+    // bench_runs/ anchor. loadAvg is a 1-min average so it lags
     // short queries — read it as a series, not per-row truth; the crisp
     // per-row signal is cpuPerWall (a starved query's wall grows while
     // its cpuPerWall drops, which no code regression can produce).
@@ -294,10 +299,11 @@ object Bench {
     val onlyField =
       only.map(o => s""""only":${jstr(o.mkString(","))},""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$onlyField"queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",$onlyField""" +
+      s""""queryAttr":$queryAttrJson,"queries":$qs,""" +
       s""""families":$famJson,"canary":$canaryJson,""" +
       s""""canaryBatch":$canaryBatchJson,"contextAttr":$attrJson,""" +
-      s""""queryAttr":$queryAttrJson,"loadPeak":$loadPeakJson,""" +
+      s""""loadPeak":$loadPeakJson,""" +
       s""""contextVerdict":${jstr(contextVerdict)},"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
