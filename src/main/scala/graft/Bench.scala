@@ -135,99 +135,218 @@ object Bench {
       System.gc()
       (ts, attr)
     }
-    canaryNames.foreach(canaryOnce) // one-time machinery (state-store, staging)
-    val (canaryFirst, attrFirst) = canaryLeg()
-    var canaryMid = canaryFirst // overwritten at the halfway mark below
-    var attrMid = attrFirst
 
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val timed = SparkEntry.queries.toSeq.filter(t => keep(t._1)).sortBy(_._1)
     val midAt = timed.size / 2
-    val results = timed.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == midAt) {
-        val (ts, attr) = canaryLeg()
-        canaryMid = ts
-        attrMid = attr
+
+    /** One full measurement pass over the surface, with its own canary
+      * legs and verdict inputs — factored out so a context-degraded pass
+      * can be retried once (round-12 verdict #2). */
+    final case class Run(
+        results: Seq[(String, Double, Option[String], LegAttr)],
+        canaryFirst: Seq[Double], canaryMid: Seq[Double],
+        canaryLast: Seq[Double],
+        attrFirst: LegAttr, attrMid: LegAttr, attrLast: LegAttr) {
+      val ok: Seq[(String, Double, Option[String], LegAttr)] =
+        results.filter(_._3.isEmpty)
+      val failed: Seq[(String, String)] =
+        results.collect { case (n, _, Some(m), _) => n -> m }
+      val total: Double = ok.map(_._2).sum
+      val streamRatio: Double = canaryLast(0) / canaryMid(0)
+      val batchRatio: Double = canaryLast(1) / canaryMid(1)
+      // direction matters: a canary ABOVE its band means the back half ran
+      // slower (the contention signature — per-query numbers are inflated);
+      // BELOW the band means the back half ran faster (a warming/quieting
+      // drift — totals are honest-or-conservative, never inflated). Both
+      // r12 quiet runs (120.8/120.3 s, the fastest recorded) tripped only
+      // the low side, which the old single-word "degraded" mislabeled.
+      val slowTrips: Seq[String] = Seq(
+        Option.when(streamRatio > 1.3)(f"q70 last/mid $streamRatio%.2f > 1.3"),
+        Option.when(batchRatio > 1.1)(
+          f"q03 last/mid $batchRatio%.2f > 1.1")).flatten
+      val fastTrips: Seq[String] = Seq(
+        Option.when(batchRatio < 0.9)(
+          f"q03 last/mid $batchRatio%.2f < 0.9")).flatten
+      // loadavg spike locator: the canary legs sample context at exactly
+      // three instants, and a contention burst strictly between legs is
+      // invisible to them (measured mid-round-12: genomics block 2-3×
+      // inflated, both canaries in-band). The per-query series is the
+      // evidence; this field names the peak so a judge starts there.
+      // Threshold (peak > 2×median + 2) is a heuristic calibrated on that
+      // incident: quiet series median ≈1-2, contended block read 3-6.
+      val loads: Seq[Double] = results.map(_._4.load).filter(_ >= 0)
+      val loadMedian: Double =
+        if (loads.isEmpty) 0.0 else loads.sorted.apply(loads.size / 2)
+      val loadPeakIdx: Int =
+        if (loads.isEmpty) -1 else results.indices.maxBy(results(_)._4.load)
+      val loadSpike: Boolean = loadPeakIdx >= 0 &&
+        results(loadPeakIdx)._4.load > 2 * loadMedian + 2
+      val spikeNote: String = if (!loadSpike) "" else {
+        val (n, _, _, a) = results(loadPeakIdx)
+        // the in-band clause is only claimable when no canary tripped
+        // (ADVICE r12: the old unconditional text contradicted a
+        // degraded/shifted-faster verdict it was appended to)
+        val canaryState =
+          if (slowTrips.isEmpty && fastTrips.isEmpty)
+            " even though the canary legs sat in-band"
+          else ""
+        f"; loadavg spike mid-run at $n (${a.load}%.1f vs median " +
+          f"$loadMedian%.1f) - queries near it may be inflated$canaryState" +
+          "; see queryAttr"
       }
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      // per-query attribution (the canary legs alone have a blind spot,
-      // measured mid-round-12: a contention spike strictly BETWEEN the
-      // mid and last legs inflated one query block 3× — q24 13.7 s vs
-      // 4.1 s isolated, genomics family 2× — while both canary ratios
-      // sat in-band and the whole-run verdict read healthy). Recording
-      // this JVM's cpu/wall ratio, GC time, and the host load average
-      // across each query's timed window lets the artifact localize a
-      // spike to the block it hit: a starved query shows wall up with
-      // cpuPerWall DOWN vs its round-over-round self, which no honest
-      // code regression can produce.
-      val qw0 = System.nanoTime(); val qc0 = procCpuSec; val qg0 = gcSec
-      // best-of-2, the two runs BACK-TO-BACK with no hygiene between: the
-      // min is the code's warm cost — run 2 reuses run 1's internal
-      // caches, the still-resident codegen classes, and JIT-hot generated
-      // code. This is load-bearing and was re-measured this round: an
-      // interleaved two-pass variant (each query's samples a full pass
-      // apart, tried to decorrelate contention bursts) read 300 s vs this
-      // design's 165 s on the same tree — 244 intervening queries flush
-      // the codegen LRU (spark.sql.codegen.cache.maxEntries = 100) and
-      // every internal cache, so BOTH samples go cold and the min stops
-      // measuring the code. Burst-contention robustness comes from the
-      // queryAttr series instead, which localizes a spike after the fact.
-      // Failures are not retried — a crash must stay loud.
-      val (t1, e1) = once()
-      val (t, e) = if (e1.isDefined) (t1, e1) else {
-        val (t2, e2) = once(); (math.min(t1, t2), e2)
-      }
-      val qWall = (System.nanoTime() - qw0) / 1e9
-      val qAttr = LegAttr(qWall, procCpuSec - qc0, gcSec - qg0, loadAvg)
-      // Inter-query hygiene: queries cache/localCheckpoint frames internally
-      // and nothing drops them once the query's DataFrames go out of scope
-      // until a GC lets the ContextCleaner run. Across 89 queries the
-      // accumulated blocks crowd the storage pool and the LATER queries pay
-      // in GC/eviction — observed as q46 drifting 5.4 s → 11.6 s as the
-      // surface grew. Each query is measured against an empty cache
-      // (best-of-2 still captures its own internal reuse).
-      spark.catalog.clearCache()
-      System.gc()
-      (name, t, e, qAttr)
+      // auto-verdict (round-11 verdict #1): the artifact states whether its
+      // own measuring context held, so adjudicating a round-over-round
+      // delta never needs repo folklore. Thresholds are the calibrated
+      // bands from the canary block above.
+      val contextVerdict: String =
+        (if (slowTrips.nonEmpty)
+          "degraded (" + (slowTrips ++ fastTrips).mkString("; ") +
+            "): back half ran slower - believe per-query deltas with " +
+            "suspicion; see contextAttr for contention vs GC"
+        else if (fastTrips.nonEmpty)
+          "shifted-faster (" + fastTrips.mkString("; ") +
+            "): back half ran faster than mid-run - totals are honest or " +
+            "conservative, not inflated"
+        else "ok: both canaries in-band") + spikeNote
+      // health order for the keep decision: ok < shifted-faster < degraded
+      // (a crashed pass is worst of all); ties break on the lower total —
+      // on equal context evidence the smaller sum is the less-contended one
+      def healthRank: (Int, Int, Double) =
+        (failed.size,
+          if (slowTrips.nonEmpty) 2 else if (fastTrips.nonEmpty) 1 else 0,
+          total)
     }
-    val ok = results.filter(_._3.isEmpty)
-    val failed = results.collect { case (n, _, Some(m), _) => n -> m }
-    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+
+    def measureSurface(): Run = {
+      canaryNames.foreach(canaryOnce) // one-time machinery (state-store, staging)
+      val (canaryFirst, attrFirst) = canaryLeg()
+      var canaryMid = canaryFirst // overwritten at the halfway mark below
+      var attrMid = attrFirst
+      val results = timed.zipWithIndex.map { case ((name, fn), qi) =>
+        if (qi == midAt) {
+          val (ts, attr) = canaryLeg()
+          canaryMid = ts
+          attrMid = attr
+        }
+        def once(): (Double, Option[String]) = {
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None } catch {
+            case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
+        // per-query attribution (the canary legs alone have a blind spot,
+        // measured mid-round-12: a contention spike strictly BETWEEN the
+        // mid and last legs inflated one query block 3× — q24 13.7 s vs
+        // 4.1 s isolated, genomics family 2× — while both canary ratios
+        // sat in-band and the whole-run verdict read healthy). Recording
+        // this JVM's cpu/wall ratio, GC time, and the host load average
+        // across each query's timed window lets the artifact localize a
+        // spike to the block it hit: a starved query shows wall up with
+        // cpuPerWall DOWN vs its round-over-round self, which no honest
+        // code regression can produce.
+        val qw0 = System.nanoTime(); val qc0 = procCpuSec; val qg0 = gcSec
+        // best-of-2, the two runs BACK-TO-BACK with no hygiene between: the
+        // min is the code's warm cost — run 2 reuses run 1's internal
+        // caches, the still-resident codegen classes, and JIT-hot generated
+        // code. This is load-bearing and was re-measured in round 12: an
+        // interleaved two-pass variant (each query's samples a full pass
+        // apart, tried to decorrelate contention bursts) read 300 s vs this
+        // design's 165 s on the same tree — 244 intervening queries flush
+        // the codegen LRU (spark.sql.codegen.cache.maxEntries = 100) and
+        // every internal cache, so BOTH samples go cold and the min stops
+        // measuring the code. Burst-contention robustness comes from the
+        // queryAttr series instead, which localizes a spike after the fact.
+        // Failures are not retried — a crash must stay loud.
+        val (t1, e1) = once()
+        val (t, e) = if (e1.isDefined) (t1, e1) else {
+          val (t2, e2) = once(); (math.min(t1, t2), e2)
+        }
+        val qWall = (System.nanoTime() - qw0) / 1e9
+        val qAttr = LegAttr(qWall, procCpuSec - qc0, gcSec - qg0, loadAvg)
+        // Inter-query hygiene: queries cache/localCheckpoint frames internally
+        // and nothing drops them once the query's DataFrames go out of scope
+        // until a GC lets the ContextCleaner run. Across 89 queries the
+        // accumulated blocks crowd the storage pool and the LATER queries pay
+        // in GC/eviction — observed as q46 drifting 5.4 s → 11.6 s as the
+        // surface grew. Each query is measured against an empty cache
+        // (best-of-2 still captures its own internal reuse).
+        spark.catalog.clearCache()
+        System.gc()
+        (name, t, e, qAttr)
+      }
+      // context canaries, last leg (first and mid were timed inline above)
+      val (canaryLast, attrLast) = canaryLeg()
+      Run(results, canaryFirst, canaryMid, canaryLast,
+        attrFirst, attrMid, attrLast)
+    }
+
+    val first = measureSurface()
+    // auto-rerun on a tripped verdict (round-12 verdict #2): rounds 11 and
+    // 12 both sampled contended windows (r12: loadPeak 11.14 vs median
+    // 4.82, verdict "degraded") while the same binary's quiet band sat at
+    // 120-121 s — the official series measured the host, not the code.
+    // The instrumentation above PROVES contention in-artifact; this is the
+    // recovery: when the first pass reads degraded on the slow side and
+    // nothing crashed, measure the whole surface once more (bounded — one
+    // retry) and keep the healthier pass. Both verdicts land in the
+    // artifact so the series stays auditable. A crashed pass is never
+    // retried — failures must stay loud, not be rerolled.
+    val retried: Option[Run] =
+      if (first.slowTrips.nonEmpty && first.failed.isEmpty) {
+        println(s"[bench] first pass context verdict: ${first.contextVerdict}")
+        println("[bench] degraded measuring context - rerunning the surface once")
+        spark.catalog.clearCache()
+        System.gc()
+        Some(measureSurface())
+      } else None
+    val run = retried match {
+      case Some(second) =>
+        if (Ordering[(Int, Int, Double)].lt(second.healthRank, first.healthRank))
+          second
+        else first
+      case None => first
+    }
+    val rerunJson = retried match {
+      case None => "null"
+      case Some(second) =>
+        val keptName = if (run eq first) "first" else "rerun"
+        f"""{"kept":${jstr(keptName)},""" +
+        f""""firstTotal":${first.total}%.3f,""" +
+        s""""firstVerdict":${jstr(first.contextVerdict)},""" +
+        f""""rerunTotal":${second.total}%.3f,""" +
+        s""""rerunVerdict":${jstr(second.contextVerdict)},""" +
+        s""""rerunErrors":${second.failed.size}}"""
+    }
+
+    val qs = run.ok.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = run.failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     // per-family subtotals: a run-context drift that taxes one family
     // (round 8: pinned memo blocks made the streaming family ~2× its
     // isolated cost) should be legible in the JSON, not require a
     // per-query diff against the previous round
     val fams = SparkEntry.familyOf
-    val famTotals = ok.groupBy { case (n, _, _, _) => fams.getOrElse(n, "other") }
+    val famTotals = run.ok.groupBy { case (n, _, _, _) => fams.getOrElse(n, "other") }
       .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     val famJson = famTotals.map { case (f, t) => jstr(f) + ":" + t }
       .mkString("{", ",", "}")
-    // context canaries, last legs (first and mid were timed inline above);
     // "canary" stays the streaming probe (cross-round comparability),
     // "canaryBatch" is the calibrated instrument — see the block above.
     // "ratioDef" is written into the artifact because the key's meaning
     // changed in round 11 (rounds ≤10 wrote last/first): cross-round
     // tooling must not compare the two silently (ADVICE r11).
-    val (canaryLast, attrLast) = canaryLeg()
     def canaryJsonFor(i: Int): String =
-      s"""{"query":${jstr(canaryNames(i))},"first":${canaryFirst(i)},""" +
-      s""""mid":${canaryMid(i)},"last":${canaryLast(i)},""" +
-      s""""ratio":${canaryLast(i) / canaryMid(i)},""" +
+      s"""{"query":${jstr(canaryNames(i))},"first":${run.canaryFirst(i)},""" +
+      s""""mid":${run.canaryMid(i)},"last":${run.canaryLast(i)},""" +
+      s""""ratio":${run.canaryLast(i) / run.canaryMid(i)},""" +
       s""""ratioDef":"last/mid (since r11; rounds <=10 wrote last/first)",""" +
-      s""""ratioVsFirst":${canaryLast(i) / canaryFirst(i)}}"""
+      s""""ratioVsFirst":${run.canaryLast(i) / run.canaryFirst(i)}}"""
     val canaryJson = canaryJsonFor(0)
     val canaryBatchJson = canaryJsonFor(1)
     val attrJson =
-      s"""{"first":${attrFirst.json},"mid":${attrMid.json},"last":${attrLast.json},""" +
-      s""""cpus":${jstr(cpus)}}"""
+      s"""{"first":${run.attrFirst.json},"mid":${run.attrMid.json},""" +
+      s""""last":${run.attrLast.json},"cpus":${jstr(cpus)}}"""
     // per-query attribution series, compact: name -> [cpuPerWall, gcSec,
     // loadAvg] over that query's timed window (both best-of-2 runs).
     // Placed at the FRONT of the line, before the queries map: the
@@ -240,80 +359,34 @@ object Bench {
     // short queries — read it as a series, not per-row truth; the crisp
     // per-row signal is cpuPerWall (a starved query's wall grows while
     // its cpuPerWall drops, which no code regression can produce).
-    val queryAttrJson = results.map { case (n, _, _, a) =>
+    val queryAttrJson = run.results.map { case (n, _, _, a) =>
       jstr(n) + ":" + f"[${if (a.wall > 0) a.cpu / a.wall else 0.0}%.2f," +
         f"${a.gc}%.3f,${a.load}%.2f]"
     }.mkString("{", ",", "}")
-    // loadavg spike locator: the canary legs sample context at exactly
-    // three instants, and a contention burst strictly between legs is
-    // invisible to them (measured mid-round-12: genomics block 2-3×
-    // inflated, both canaries in-band). The per-query series above is
-    // the evidence; this field names the peak so a judge starts there.
-    // Threshold (peak > 2×median + 2) is a heuristic calibrated on that
-    // incident: quiet series median ≈1-2, contended block read 3-6.
-    val loads = results.map(_._4.load).filter(_ >= 0)
-    val loadMedian =
-      if (loads.isEmpty) 0.0 else loads.sorted.apply(loads.size / 2)
-    val loadPeakIdx = if (loads.isEmpty) -1 else results.indices.maxBy(results(_)._4.load)
-    val loadPeakJson = if (loadPeakIdx < 0) "null" else {
-      val (n, _, _, a) = results(loadPeakIdx)
-      f"""{"query":${jstr(n)},"loadAvg":${a.load}%.2f,"median":$loadMedian%.2f}"""
+    val loadPeakJson = if (run.loadPeakIdx < 0) "null" else {
+      val (n, _, _, a) = run.results(run.loadPeakIdx)
+      f"""{"query":${jstr(n)},"loadAvg":${a.load}%.2f,"median":${run.loadMedian}%.2f}"""
     }
-    val loadSpike = loadPeakIdx >= 0 &&
-      results(loadPeakIdx)._4.load > 2 * loadMedian + 2
-    // auto-verdict (round-11 verdict #1): the artifact states whether its
-    // own measuring context held, so adjudicating a round-over-round
-    // delta never needs repo folklore. Thresholds are the calibrated
-    // bands from the canary block above.
-    val streamRatio = canaryLast(0) / canaryMid(0)
-    val batchRatio = canaryLast(1) / canaryMid(1)
-    // direction matters: a canary ABOVE its band means the back half ran
-    // slower (the contention signature — per-query numbers are inflated);
-    // BELOW the band means the back half ran faster (a warming/quieting
-    // drift — totals are honest-or-conservative, never inflated). Both
-    // r12 quiet runs (120.8/120.3 s, the fastest recorded) tripped only
-    // the low side, which the old single-word "degraded" mislabeled.
-    val slowTrips = Seq(
-      Option.when(streamRatio > 1.3)(f"q70 last/mid $streamRatio%.2f > 1.3"),
-      Option.when(batchRatio > 1.1)(
-        f"q03 last/mid $batchRatio%.2f > 1.1")).flatten
-    val fastTrips = Seq(
-      Option.when(batchRatio < 0.9)(
-        f"q03 last/mid $batchRatio%.2f < 0.9")).flatten
-    val spikeNote = if (!loadSpike) "" else {
-      val (n, _, _, a) = results(loadPeakIdx)
-      f"; loadavg spike mid-run at $n (${a.load}%.1f vs median " +
-        f"$loadMedian%.1f) - queries near it may be inflated even though " +
-        "the canary legs sat in-band; see queryAttr"
-    }
-    val contextVerdict =
-      (if (slowTrips.nonEmpty)
-        "degraded (" + (slowTrips ++ fastTrips).mkString("; ") +
-          "): back half ran slower - believe per-query deltas with " +
-          "suspicion; see contextAttr for contention vs GC"
-      else if (fastTrips.nonEmpty)
-        "shifted-faster (" + fastTrips.mkString("; ") +
-          "): back half ran faster than mid-run - totals are honest or " +
-          "conservative, not inflated"
-      else "ok: both canaries in-band") + spikeNote
     val onlyField =
       only.map(o => s""""only":${jstr(o.mkString(","))},""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$onlyField""" +
+      s"""{"metric":"total","value":${run.total},"unit":"sec",$onlyField""" +
       s""""queryAttr":$queryAttrJson,"queries":$qs,""" +
       s""""families":$famJson,"canary":$canaryJson,""" +
       s""""canaryBatch":$canaryBatchJson,"contextAttr":$attrJson,""" +
       s""""loadPeak":$loadPeakJson,""" +
-      s""""contextVerdict":${jstr(contextVerdict)},"errors":$errs,"sf":"$sfDir"}"""
+      s""""contextVerdict":${jstr(run.contextVerdict)},""" +
+      s""""rerun":$rerunJson,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
-    println(s"[bench] context verdict: $contextVerdict")
+    println(s"[bench] context verdict: ${run.contextVerdict}")
     // exercise the memo eviction hook (long-lived-session hygiene): all
     // shared-stage temp-parquet memos are dropped before shutdown
     ops.Memo.evictAll()
     spark.stop()
-    if (failed.nonEmpty) {
-      failed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
+    val anyFailed = first.failed ++ retried.map(_.failed).getOrElse(Nil)
+    if (anyFailed.nonEmpty) {
+      anyFailed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
       sys.exit(1)
     }
   }

@@ -265,24 +265,53 @@ object Scale {
       "q72_stream_join" -> ("counting foreachBatch sink - the memory sink " +
         "measures driver materialization of a semantically quadratic " +
         "output, not the join (SCALE.md 4.2)"))
-    // the contig ratio costs a documents.count() per dir (cold, before
-    // warm-up) — only pay it when q178 is actually in the selection
-    if (!names.contains("q178_region_join")) (q72, q72Note)
+    // the q178 contig ratio costs a documents.count() per dir and the
+    // q135 cell ratio an embeddings.count() per dir (cold, before
+    // warm-up) — only pay each when its query is actually in the selection
+    val withQ178 =
+      if (!names.contains("q178_region_join")) (q72, q72Note)
+      else {
+        val docCounts =
+          dirs.map(d => d -> Tables.load(spark, d, "documents").count()).toMap
+        val base = docCounts(dirs.head).toDouble
+        val contigsFor: Map[String, Long] =
+          docCounts.view.mapValues(n => 64L * math.max(1L, math.round(n / base))).toMap
+        val subs = q72 + ("q178_region_join" ->
+          ((s: SparkSession, d: String) =>
+            relational.GenomicsQueries.regionJoinFrame(s, d, contigsFor(d)).count(): Unit))
+        val notes = q72Note + ("q178_region_join" ->
+          ("contig-scaled genome, density bounded at " +
+            "dirA's level: " + dirs.map(d => s"$d -> ${contigsFor(d)} contigs")
+              .mkString("; ") + " (fixed 64-contig genome = quadratic output " +
+            "geometry, SCALE.md 4.3)"))
+        (subs, notes)
+      }
+    // q135: the registered query trains a FIXED CoarseCells k-means (the
+    // oracle unrolls it, so C must be constant there), which makes
+    // cell-local pair volume N²/C — the §4.4 output-geometry boundary,
+    // 19.2× measured at sf1→sf10. The SemDeDup paper's own operating
+    // regime scales k ∝ N (per-cell density constant, pair volume
+    // linear); the probe measures the operator THERE: cells =
+    // CoarseCells × the embeddings-count ratio vs the probe's own dirA,
+    // so dirA runs the registered cell count exactly and the legs stay
+    // comparable. The fixed-C run stays documented as the boundary.
+    if (!names.contains("q135_semdedup")) withQ178
     else {
-      val docCounts =
-        dirs.map(d => d -> Tables.load(spark, d, "documents").count()).toMap
-      val base = docCounts(dirs.head).toDouble
-      val contigsFor: Map[String, Long] =
-        docCounts.view.mapValues(n => 64L * math.max(1L, math.round(n / base))).toMap
-      val subs = q72 + ("q178_region_join" ->
+      val vecCounts =
+        dirs.map(d => d -> Tables.load(spark, d, "embeddings").count()).toMap
+      val base = vecCounts(dirs.head).toDouble
+      val cellsFor: Map[String, Int] =
+        vecCounts.view.mapValues(n => ops.Similarity.CoarseCells *
+          math.max(1L, math.round(n / base)).toInt).toMap
+      val (subs, notes) = withQ178
+      (subs + ("q135_semdedup" ->
         ((s: SparkSession, d: String) =>
-          relational.GenomicsQueries.regionJoinFrame(s, d, contigsFor(d)).count(): Unit))
-      val notes = q72Note + ("q178_region_join" ->
-        ("contig-scaled genome, density bounded at " +
-          "dirA's level: " + dirs.map(d => s"$d -> ${contigsFor(d)} contigs")
-            .mkString("; ") + " (fixed 64-contig genome = quadratic output " +
-          "geometry, SCALE.md 4.3)"))
-      (subs, notes)
+          ops.Dedup.semDedupFrame(s, d, cellsFor(d)).count(): Unit)),
+       notes + ("q135_semdedup" ->
+        ("cell-scaled k-means (k prop. to N, the SemDeDup paper's regime; " +
+          "per-cell density bounded at dirA's level): " +
+          dirs.map(d => s"$d -> ${cellsFor(d)} cells").mkString("; ") +
+          " (fixed CoarseCells = N^2/C pair-volume geometry, SCALE.md 4.4)")))
     }
   }
 

@@ -343,6 +343,39 @@ object Dedup {
     labels
   }
 
+  /** q135's dataflow with the trained cell count as a parameter: cluster
+    * the embedding space with the shared deterministic k-means
+    * ([[Similarity.trainedCells]]), compare pairs ONLY within a cell,
+    * drop every vector with a lower-id neighbor above [[SemDedupTau]].
+    *
+    * The registered query passes the oracle-locked
+    * [[Similarity.CoarseCells]] (the DuckDB oracle unrolls the same
+    * training, so C must be a constant there). At a FIXED C, per-cell
+    * density grows linearly with the corpus and cell-local pair volume
+    * as N²/C — the documented SCALE.md §4.4 output-geometry boundary.
+    * The SemDeDup paper's own operating regime scales k ∝ N (per-cell
+    * density constant, pair volume linear); the scale probe measures the
+    * operator there by passing cells = CoarseCells × the corpus ratio. */
+  def semDedupFrame(s: SparkSession, d: String, cells: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val assign = Similarity.trainedCells(e, cells)._2
+      .withColumn("nrm", Similarity.norm($"embedding"))
+      .cache() // both sides of the cell-local pair join read this
+    val u = assign.select($"cid", $"vec_id".as("a"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val v = assign.select($"cid", $"vec_id".as("b"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    u.join(v, "cid").filter($"a" < $"b")
+      .select($"cid", $"a", $"b",
+        round(Similarity.dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cos"))
+      .filter($"cos" >= SemDedupTau)
+      .groupBy($"b", $"cid")
+      .agg(min($"a").as("dup_of"), max($"cos").as("max_cos"))
+      .select($"b".as("vec_id"), $"cid", $"dup_of", $"max_cos")
+      .orderBy($"vec_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact",
       (s, d) => {
@@ -1367,25 +1400,7 @@ object Dedup {
     // average, and a pathological hot cell is AQE-skew-splittable), the
     // centroid set is a constant-size broadcast, and nothing all-pairs.
     Q("q135_semdedup",
-      (s, d) => {
-        import s.implicits._
-        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val assign = Similarity.trainedCells(e)._2
-          .withColumn("nrm", Similarity.norm($"embedding"))
-          .cache() // both sides of the cell-local pair join read this
-        val u = assign.select($"cid", $"vec_id".as("a"),
-          $"embedding".as("ea"), $"nrm".as("na"))
-        val v = assign.select($"cid", $"vec_id".as("b"),
-          $"embedding".as("eb"), $"nrm".as("nb"))
-        u.join(v, "cid").filter($"a" < $"b")
-          .select($"cid", $"a", $"b",
-            round(Similarity.dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cos"))
-          .filter($"cos" >= SemDedupTau)
-          .groupBy($"b", $"cid")
-          .agg(min($"a").as("dup_of"), max($"cos").as("max_cos"))
-          .select($"b".as("vec_id"), $"cid", $"dup_of", $"max_cos")
-          .orderBy($"vec_id")
-      },
+      (s, d) => semDedupFrame(s, d, Similarity.CoarseCells),
       Some(Similarity.kmeansTrainSql(2) + s"""
              |,pr AS (
              |  SELECT u.cid, u.vec_id AS a, v.vec_id AS b,

@@ -69,20 +69,43 @@ object Similarity {
     * centroid-id tiebreak — deterministic in both engines). Norms are
     * projected BELOW the cross join, so each is computed once per vector /
     * centroid — not once per (vector, centroid) pair.
+    *
+    * The argmax is a `max_by` AGGREGATION, not a `row_number` window: the
+    * window formulation shuffles and per-task SORTS all n·C scored rows
+    * (each carrying the embedding) — measured pathological at the k ∝ N
+    * probe regime (sf10 × 640 cells = 128M rows × ~300 B through ONE
+    * WindowGroupLimit sort task, >10 min single-core before it was
+    * killed). The aggregation collapses each vector's C candidates
+    * map-side — the shuffle carries n rows, never n·C — and the ordering
+    * struct (cc, −cid) is strictly total (cid is unique), so the result
+    * is the window's exact argmax row regardless of combine order.
     * @param e    DataFrame(vec_id, embedding)
     * @param cent DataFrame(cid, ce) — centroids, broadcast (≪ vectors)
     * @return DataFrame(vec_id, embedding, cid)
     */
-  def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
-    e.withColumn("vnrm", norm(col("embedding")))
+  def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    // the n·C scoring work is the stage's cost, and its parallelism is
+    // capped by the SCAN's split count. A probe corpus is one ~20 MB
+    // parquet file = one split, which would run the whole crossJoin on
+    // one core (the same small-file artifact the skew probe documents);
+    // a production-sized scan has thousands of splits and takes the
+    // no-shuffle branch, so nothing is re-shuffled at scale. The guard
+    // costs one physical planning of `e` (no job).
+    val sc = e.sparkSession.sparkContext
+    val ee =
+      if (e.rdd.getNumPartitions >= sc.defaultParallelism) e
+      else e.repartition(sc.defaultParallelism)
+    ee.withColumn("vnrm", norm(col("embedding")))
       .crossJoin(broadcast(cent.withColumn("cnrm", norm(col("ce")))))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(dot(col("embedding"), col("ce")) /
           (col("vnrm") * col("cnrm")), 4).as("cc"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("cc"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
+  }
 
   /** One Lloyd (k-means) update: each centroid becomes the component-wise
     * mean of its cell's members. Components are rounded to 6 dp so the
@@ -1280,12 +1303,19 @@ object Similarity {
 
   /** Trained-cell Spark-side pipeline shared by q51 and Dedup's q135: seeds
     * → 2 Lloyd updates → final cell assignment. The trained-centroid frame
-    * is CoarseCells rows but its lineage is two passes over the corpus and
+    * is `cells` rows but its lineage is two passes over the corpus and
     * it is referenced at least twice by every caller, so it is cached here.
+    *
+    * `cells` defaults to the oracle-locked CoarseCells constant (the
+    * DuckDB oracle unrolls the same training with the same seed count);
+    * the scale probe passes cells ∝ corpus size — the SemDeDup paper's
+    * own k ∝ N operating regime, which holds per-cell density (and so
+    * cell-local pair volume per vector) constant as the corpus grows.
     * @return (trained centroids (cid, ce), assignment (vec_id, embedding, cid))
     */
-  private[ops] def trainedCells(e: DataFrame): (DataFrame, DataFrame) = {
-    val cent0 = seedCentroids(e, CoarseCells)
+  private[ops] def trainedCells(e: DataFrame,
+      cells: Int = CoarseCells): (DataFrame, DataFrame) = {
+    val cent0 = seedCentroids(e, cells)
     val cent = lloydUpdate(assignCells(e, lloydUpdate(assignCells(e, cent0))))
       .cache()
     (cent, assignCells(e, cent))

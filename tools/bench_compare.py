@@ -31,6 +31,13 @@ CANARY_RE = re.compile(r'"(canary(?:Batch)?)":\{"query":"([^"]+)"'
                        r'[^}]*?"ratio":([0-9.]+)')
 VERDICT_RE = re.compile(r'"contextVerdict":"([^"]*)"')
 TOTAL_RE = re.compile(r'"metric":"total","value":([0-9.]+)')
+# Cluster-probe artifacts (r12_cluster_sf1_*.json) carry their sum under
+# a bare "total" key instead of the Bench metric/value shape — without
+# this fallback they were mislabeled "TRUNCATED artifact" with no
+# total-ratio line (ADVICE r12). Scale `time` A/B artifacts (totalA/
+# totalB in ONE file) stay out of scope: they are already a comparison,
+# not one leg of one.
+SCALE_TOTAL_RE = re.compile(r'"total":([0-9.]+)')
 FAMILIES_RE = re.compile(r'"families":\{([^}]*)\}')
 FAMILY_PAIR_RE = re.compile(r'"([A-Za-z_]+)":([0-9.]+)')
 
@@ -45,7 +52,7 @@ def load(path):
     except ValueError:
         pass  # not a JSON wrapper; treat as raw text
     queries = {m.group(1): float(m.group(2)) for m in QUERY_RE.finditer(text)}
-    total = TOTAL_RE.search(text)
+    total = TOTAL_RE.search(text) or SCALE_TOTAL_RE.search(text)
     fam = {}
     fm = FAMILIES_RE.search(text)
     if fm:
