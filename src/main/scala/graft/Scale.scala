@@ -286,16 +286,20 @@ object Scale {
             "geometry, SCALE.md 4.3)"))
         (subs, notes)
       }
-    // q135: the registered query trains a FIXED CoarseCells k-means (the
-    // oracle unrolls it, so C must be constant there), which makes
-    // cell-local pair volume N²/C — the §4.4 output-geometry boundary,
-    // 19.2× measured at sf1→sf10. The SemDeDup paper's own operating
-    // regime scales k ∝ N (per-cell density constant, pair volume
-    // linear); the probe measures the operator THERE: cells =
-    // CoarseCells × the embeddings-count ratio vs the probe's own dirA,
-    // so dirA runs the registered cell count exactly and the legs stay
-    // comparable. The fixed-C run stays documented as the boundary.
-    if (!names.contains("q135_semdedup")) withQ178
+    // q135/q45: both registered queries use a FIXED CoarseCells quantizer
+    // (the oracles unroll it, so C must be constant there), which makes
+    // cell-local pair volume N²/C — the §4.4 output-geometry boundary
+    // (q135 measured 19.2× at sf1→sf10; q45's top-2 blocking variant
+    // filled the disk with SMJ spill on its (2N)²/C candidates). The
+    // SemDeDup paper's own operating regime scales k ∝ N (per-cell
+    // density constant, pair volume linear); the probe measures the
+    // operators THERE: cells = CoarseCells × the embeddings-count ratio
+    // vs the probe's own dirA, so dirA runs the registered cell count
+    // exactly and the legs stay comparable. The fixed-C runs stay
+    // documented as the boundary.
+    val cellScaled = Seq("q135_semdedup", "q45_embed_neardup")
+      .filter(names.contains)
+    if (cellScaled.isEmpty) withQ178
     else {
       val vecCounts =
         dirs.map(d => d -> Tables.load(spark, d, "embeddings").count()).toMap
@@ -303,15 +307,18 @@ object Scale {
       val cellsFor: Map[String, Int] =
         vecCounts.view.mapValues(n => ops.Similarity.CoarseCells *
           math.max(1L, math.round(n / base)).toInt).toMap
+      val note = "cell-scaled quantizer (k prop. to N, the SemDeDup " +
+        "paper's regime; per-cell density bounded at dirA's level): " +
+        dirs.map(d => s"$d -> ${cellsFor(d)} cells").mkString("; ") +
+        " (fixed CoarseCells = N^2/C pair-volume geometry, SCALE.md 4.4)"
+      val frameFor: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
+        "q135_semdedup" -> (ops.Dedup.semDedupFrame _),
+        "q45_embed_neardup" -> (ops.Dedup.embedNearDupFrame _))
       val (subs, notes) = withQ178
-      (subs + ("q135_semdedup" ->
+      (subs ++ cellScaled.map(q => q ->
         ((s: SparkSession, d: String) =>
-          ops.Dedup.semDedupFrame(s, d, cellsFor(d)).count(): Unit)),
-       notes + ("q135_semdedup" ->
-        ("cell-scaled k-means (k prop. to N, the SemDeDup paper's regime; " +
-          "per-cell density bounded at dirA's level): " +
-          dirs.map(d => s"$d -> ${cellsFor(d)} cells").mkString("; ") +
-          " (fixed CoarseCells = N^2/C pair-volume geometry, SCALE.md 4.4)")))
+          frameFor(q)(s, d, cellsFor(d)).count(): Unit)),
+       notes ++ cellScaled.map(q => q -> note))
     }
   }
 

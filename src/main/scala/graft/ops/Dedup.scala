@@ -376,6 +376,70 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** q45's dataflow with the blocking cell count as a parameter: each
+    * vector lands in its top-2 nearest quantizer cells (so boundary pairs
+    * aren't lost), candidates meet on the cell key, exact rounded cosine
+    * verifies. The registered query passes the oracle-locked
+    * [[Similarity.CoarseCells]]; like q135 (§4.4), a FIXED C makes the
+    * blocked candidate volume (2N)²/C — the r13 probe measured exactly
+    * that geometry filling the disk with SMJ spill at sf10 — and the
+    * scale probe passes cells ∝ corpus size, holding per-cell density
+    * (and so candidates per vector) constant. */
+  def embedNearDupFrame(s: SparkSession, d: String, cellCount: Int): DataFrame = {
+    import s.implicits._
+    import graft.ops.Similarity.{dot, norm}
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    // parallelism guard, as in Similarity.assignCells: the n·C scoring
+    // stage inherits the SCAN's split count, and a probe corpus is one
+    // parquet file = one split; production scans take the no-op branch
+    val sc = s.sparkContext
+    val ee =
+      if (e.rdd.getNumPartitions >= sc.defaultParallelism) e
+      else e.repartition(sc.defaultParallelism)
+    // fixed-size hash-sampled quantizer: C is corpus-independent in the
+    // registered query, so the centroid broadcast and the n·C assignment
+    // cost don't grow with the corpus
+    val cent = Similarity.seedCentroids(e, cellCount)
+    // the top-2 window's input is (vec_id, cid, cc) — 24-byte rows, no
+    // embedding carried, so unlike the assignCells argmax this window is
+    // shuffle-narrow and WindowGroupLimit prunes it map-side
+    val cells = ee.withColumn("vnrm", norm($"embedding"))
+      .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
+      .select($"vec_id", $"cid",
+        round(dot($"embedding", $"ce") / ($"vnrm" * $"cnrm"), 4).as("cc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
+      .filter($"rn" <= 2)
+      .select($"vec_id", $"cid")
+    // attach embedding + norm to each block row with ONE narrow
+    // vec_id-keyed join (2n cell rows ⋈ n vectors), then verify INSIDE
+    // the cell-local pair join, exactly q135's shape: the cosine filter
+    // consumes candidate pairs as the join streams them, so the
+    // candidate set is never materialized. The previous shape built a
+    // DISTINCT (a, b) candidate list and re-joined embeddings per side —
+    // at the k ∝ N probe regime the second SMJ sorted 125M rows each
+    // carrying a 64-float embedding (~37 GB; the fixed-C run spilled
+    // (2N)²/C such rows until the disk filled). The blocked join's
+    // shuffle is 2n embedding-carrying rows, keyed by cid, at any scale.
+    val blocks = cells
+      .join(e.withColumn("nrm", norm($"embedding")), "vec_id")
+      // cached: both sides of the blocking self-join read this frame —
+      // uncached, the n·C assignment + top-2 window would run twice
+      .cache()
+    val u = blocks.select($"cid", $"vec_id".as("a"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val v = blocks.select($"cid", $"vec_id".as("b"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    u.join(v, "cid").filter($"a" < $"b")
+      .select($"a", $"b",
+        round(dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cosine"))
+      .filter($"cosine" >= 0.42)
+      // a pair sharing BOTH its cells meets twice with the same rounded
+      // cosine; distinct runs over the tiny survivor set, not candidates
+      .distinct()
+      .orderBy($"a", $"b")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_dedup_exact",
       (s, d) => {
@@ -671,41 +735,7 @@ object Dedup {
     // — so 0.42 plays the "near duplicate" role the 0.95+ band plays for
     // real embedding corpora).
     Q("q45_embed_neardup",
-      (s, d) => {
-        import s.implicits._
-        import graft.ops.Similarity.{dot, norm}
-        val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        // fixed-size hash-sampled quantizer (Similarity.CoarseCells): C is
-        // corpus-INDEPENDENT, so the centroid broadcast and the n·C
-        // assignment cost don't grow with the corpus
-        val cent = Similarity.seedCentroids(e, Similarity.CoarseCells)
-        val cells = e.withColumn("vnrm", norm($"embedding"))
-          .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
-          .select($"vec_id", $"cid",
-            round(dot($"embedding", $"ce") / ($"vnrm" * $"cnrm"), 4).as("cc"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"vec_id").orderBy($"cc".desc, $"cid")))
-          .filter($"rn" <= 2)
-          .select($"vec_id", $"cid")
-          // cached: both sides of the blocking self-join read this frame —
-          // uncached, the n·C assignment + top-2 window would run twice
-          .cache()
-        val cand = cells.as("x").join(cells.as("y"),
-            $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
-          .select($"x.vec_id".as("a"), $"y.vec_id".as("b"))
-          .distinct()
-        // norms projected once per vector, below the candidate joins —
-        // a vector in k candidate pairs must not pay k norm evaluations
-        val ea = e.select($"vec_id".as("a"), $"embedding".as("ea"),
-          norm($"embedding").as("na"))
-        val eb = e.select($"vec_id".as("b"), $"embedding".as("eb"),
-          norm($"embedding").as("nb"))
-        cand.join(ea, "a").join(eb, "b")
-          .select($"a", $"b",
-            round(dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("cosine"))
-          .filter($"cosine" >= 0.42)
-          .orderBy($"a", $"b")
-      },
+      (s, d) => embedNearDupFrame(s, d, Similarity.CoarseCells),
       Some(s"""WITH e AS (
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              |    generate_subscripts(embedding, 1) AS i

@@ -305,10 +305,22 @@ object TextAnalysis {
     Q("q49_quality_funnel",
       (s, d) => {
         import s.implicits._
+        // mean_wlen is computed BELOW the doc-keyed join, so the join
+        // carries (doc_id, source, n_tokens, mean_wlen) — ~32-byte rows.
+        // Computing it from `text` after the join (the naive shape) kept
+        // the full document text as a join-input column, and when the rep
+        // side outgrows the broadcast threshold the SMJ then SORTS
+        // text-bearing rows — measured as the dominant cost at the sf10
+        // probe (the r13 probe's 21× flag on this query). Catalyst prunes
+        // unused columns but does not move expression evaluation below a
+        // join on its own.
         val base = Tables.documents(s, d)
           .select($"doc_id", $"source", $"text",
             size(split($"text", " ")).cast("long").as("n_tokens"))
-        val rep = base
+          .select($"doc_id", $"source", $"n_tokens",
+            round((length($"text") - $"n_tokens" + 1) / $"n_tokens".cast("double"), 6)
+              .as("mean_wlen"))
+        val rep = Tables.documents(s, d)
           .select($"doc_id", split($"text", " ").as("w"))
           .select($"doc_id", explode(expr(
             "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
@@ -316,9 +328,7 @@ object TextAnalysis {
           .groupBy($"doc_id")
           .agg(round(max($"cnt") / sum($"cnt").cast("double"), 6).as("rep_share"))
         base.join(rep, Seq("doc_id"))
-          .select($"doc_id", $"source", $"n_tokens", $"rep_share",
-            round((length($"text") - $"n_tokens" + 1) / $"n_tokens".cast("double"), 6)
-              .as("mean_wlen"))
+          .select($"doc_id", $"source", $"n_tokens", $"rep_share", $"mean_wlen")
           .groupBy($"source")
           .agg(
             count(lit(1)).as("n_all"),
