@@ -12,6 +12,25 @@ import java.nio.file.{Files, Paths}
   * exits non-zero so the failure is loud.
   */
 object Bench {
+  /** Committed quiet anchor for the ABSOLUTE context checks (r13 verdict
+    * #1b): first-leg canary medians and the full-surface total from the
+    * committed quiet-window run of this tree
+    * (`bench_runs/r14_head_quiet_baseline.json`, ambient 1-min load at
+    * launch < 0.5). Three consecutive official rounds (r11-r13) sampled
+    * externally contended windows, and r13's slipped past the ratio-only
+    * rerun trigger because UNIFORM contention inflates first/mid/last legs
+    * together — last/mid stays in-band while every absolute number is 2x
+    * the same binary's quiet cost (206.6 s recorded vs a 115-117 s quiet
+    * band). Absolutes are only comparable under the anchor's own
+    * conditions, so the checks apply IFF sf dir and core count match and
+    * no SPARK_GRAFT_ONLY filter is set; re-anchor these whenever a new
+    * quiet run is committed under bench_runs/. */
+  private val AnchorSfSuffix = "sf0.1"
+  private val AnchorCpus = "32"
+  private val AnchorQ70First = 1.45 // q70_stream_hourly first-leg median, s
+  private val AnchorQ03First = 0.80 // q03_shipping_priority first-leg median, s
+  private val AnchorTotal = 117.0   // full-surface best-of-2 sum, s
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -36,6 +55,27 @@ object Bench {
     val defaultOut =
       if (only.isEmpty) "/root/repo/BENCH.json" else "/tmp/BENCH_only.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    // Pre-flight load gate (r13 verdict #1a): at this point the process
+    // has submitted no work, so the host 1-min load is pure AMBIENT
+    // signal — if neighbors are already above the threshold, starting now
+    // measures them, not the code (the r13 official run launched into
+    // first-leg loadavg 11.7 and recorded 206.6 s against a 115-117 s
+    // quiet band). Wait in bounded steps for a quiet window; a
+    // never-quiet host still produces an artifact, with the gate's
+    // outcome recorded in the `preflight` field either way.
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX", "2.5").toDouble
+    val gateCapSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_SEC", "600").toInt
+    val loadAtLaunch = loadAvg
+    var gateWaitedSec = 0
+    while (loadAvg > gateMax && gateWaitedSec < gateCapSec) {
+      println(f"[bench] pre-flight: ambient 1-min load $loadAvg%.2f > " +
+        f"$gateMax%.1f before any work - waiting ($gateWaitedSec/$gateCapSec s)")
+      Thread.sleep(30000L)
+      gateWaitedSec += 30
+    }
+    val loadAtStart = loadAvg
     val spark = Sessions.local(cpus)
     // warm-up: pull every table's BYTES through the page cache (count()
     // alone reads only footers/metadata, leaving the first timed queries
@@ -97,8 +137,6 @@ object Bench {
     // external contention (loadavg ≫ allotted cores while the leg's
     // cpu/wall ratio drops), GC pressure (gc/wall rises), and a real
     // code regression (neither moves, the ratio still does).
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    def loadAvg: Double = osBean.getSystemLoadAverage
     def procCpuSec: Double = osBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
       case _ => -1.0 // not the HotSpot bean; field reads -1 rather than lying
@@ -168,6 +206,35 @@ object Bench {
       val fastTrips: Seq[String] = Seq(
         Option.when(batchRatio < 0.9)(
           f"q03 last/mid $batchRatio%.2f < 0.9")).flatten
+      // ABSOLUTE anchor checks (r13 verdict #1b): uniform contention keeps
+      // the last/mid ratios in-band because every leg is inflated alike —
+      // the r13 official run read canary ratios 0.75/0.92 ("ok") while its
+      // absolutes sat at 2-10x the same binary's quiet values. Against the
+      // committed quiet anchor, two independent trips: (a) BOTH first-leg
+      // canary medians above 1.3x their anchor (one canary alone can bounce
+      // — q70 carries ±15% micro-batch jitter); (b) the whole-run total
+      // above 1.25x the anchor total (catches a burst that hits mid-run
+      // blocks after healthy first legs — the r12 incident shape — at the
+      // only resolution that matters, the recorded headline). Either trip
+      // marks the pass degraded and arms the one bounded rerun. Only
+      // meaningful under the anchor's own conditions (sf/cpus match, full
+      // surface); a genuine >25% code regression reruns once and keeps the
+      // still-slow pass — both verdicts land in the artifact, so the
+      // series stays auditable. A loadavg spike ALONE (self-load from a
+      // fully-parallel block reads 10+ on quiet runs, e.g. r12's q26 peak
+      // 10.3 at median 3.4) stays a post-hoc queryAttr adjudication: it
+      // cannot distinguish self-load from neighbors, but any spike big
+      // enough to matter moves the total through trip (b).
+      val anchorApplicable: Boolean = only.isEmpty && cpus == AnchorCpus &&
+        sfDir.stripSuffix("/").endsWith(AnchorSfSuffix)
+      val anchorTrips: Seq[String] = if (!anchorApplicable) Nil else Seq(
+        Option.when(canaryFirst(0) > 1.3 * AnchorQ70First &&
+            canaryFirst(1) > 1.3 * AnchorQ03First)(
+          f"both first-leg canaries >1.3x quiet anchor " +
+            f"(q70 ${canaryFirst(0)}%.2f vs $AnchorQ70First%.2f, " +
+            f"q03 ${canaryFirst(1)}%.2f vs $AnchorQ03First%.2f)"),
+        Option.when(total > 1.25 * AnchorTotal)(
+          f"total $total%.1f s >1.25x quiet anchor $AnchorTotal%.1f s")).flatten
       // loadavg spike locator: the canary legs sample context at exactly
       // three instants, and a contention burst strictly between legs is
       // invisible to them (measured mid-round-12: genomics block 2-3×
@@ -201,9 +268,13 @@ object Bench {
       // bands from the canary block above.
       val contextVerdict: String =
         (if (slowTrips.nonEmpty)
-          "degraded (" + (slowTrips ++ fastTrips).mkString("; ") +
+          "degraded (" + (slowTrips ++ fastTrips ++ anchorTrips).mkString("; ") +
             "): back half ran slower - believe per-query deltas with " +
             "suspicion; see contextAttr for contention vs GC"
+        else if (anchorTrips.nonEmpty)
+          "degraded-absolute (" + (anchorTrips ++ fastTrips).mkString("; ") +
+            "): ratios in-band but the run sits far above the committed " +
+            "quiet anchor - uniform contention; see contextAttr/queryAttr"
         else if (fastTrips.nonEmpty)
           "shifted-faster (" + fastTrips.mkString("; ") +
             "): back half ran faster than mid-run - totals are honest or " +
@@ -214,7 +285,8 @@ object Bench {
       // on equal context evidence the smaller sum is the less-contended one
       def healthRank: (Int, Int, Double) =
         (failed.size,
-          if (slowTrips.nonEmpty) 2 else if (fastTrips.nonEmpty) 1 else 0,
+          if (slowTrips.nonEmpty || anchorTrips.nonEmpty) 2
+          else if (fastTrips.nonEmpty) 1 else 0,
           total)
     }
 
@@ -288,13 +360,17 @@ object Bench {
     // 4.82, verdict "degraded") while the same binary's quiet band sat at
     // 120-121 s — the official series measured the host, not the code.
     // The instrumentation above PROVES contention in-artifact; this is the
-    // recovery: when the first pass reads degraded on the slow side and
-    // nothing crashed, measure the whole surface once more (bounded — one
-    // retry) and keep the healthier pass. Both verdicts land in the
-    // artifact so the series stays auditable. A crashed pass is never
-    // retried — failures must stay loud, not be rerolled.
+    // recovery: when the first pass reads degraded on the slow side —
+    // within-run canary drift OR (since r14) the absolute anchor checks,
+    // which catch the uniform contention that r13 proved slips past
+    // ratio-only triggers — and nothing crashed, measure the whole surface
+    // once more (bounded — one retry) and keep the healthier pass. Both
+    // verdicts land in the artifact so the series stays auditable. A
+    // crashed pass is never retried — failures must stay loud, not be
+    // rerolled.
     val retried: Option[Run] =
-      if (first.slowTrips.nonEmpty && first.failed.isEmpty) {
+      if ((first.slowTrips.nonEmpty || first.anchorTrips.nonEmpty) &&
+          first.failed.isEmpty) {
         println(s"[bench] first pass context verdict: ${first.contextVerdict}")
         println("[bench] degraded measuring context - rerunning the surface once")
         spark.catalog.clearCache()
@@ -317,7 +393,12 @@ object Bench {
         s""""firstVerdict":${jstr(first.contextVerdict)},""" +
         f""""rerunTotal":${second.total}%.3f,""" +
         s""""rerunVerdict":${jstr(second.contextVerdict)},""" +
-        s""""rerunErrors":${second.failed.size}}"""
+        s""""rerunErrors":${second.failed.size},""" +
+        // names, not just a count (ADVICE r13): a clean-but-degraded first
+        // pass followed by a crashing rerun exits 1 with errors:{} — the
+        // loud exit must be explainable from the artifact alone
+        s""""rerunErrorNames":${
+          second.failed.map(f => jstr(f._1)).mkString("[", ",", "]")}}"""
     }
 
     val qs = run.ok.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -375,6 +456,13 @@ object Bench {
       s""""families":$famJson,"canary":$canaryJson,""" +
       s""""canaryBatch":$canaryBatchJson,"contextAttr":$attrJson,""" +
       s""""loadPeak":$loadPeakJson,""" +
+      f""""preflight":{"loadAtLaunch":$loadAtLaunch%.2f,""" +
+      f""""loadAtStart":$loadAtStart%.2f,"waitedSec":$gateWaitedSec,""" +
+      f""""threshold":$gateMax%.2f},""" +
+      s""""anchor":{"applicable":${run.anchorApplicable},""" +
+      f""""q70First":$AnchorQ70First%.3f,"q03First":$AnchorQ03First%.3f,""" +
+      f""""total":$AnchorTotal%.1f,""" +
+      s""""tripped":${run.anchorTrips.nonEmpty}},""" +
       s""""contextVerdict":${jstr(run.contextVerdict)},""" +
       s""""rerun":$rerunJson,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")

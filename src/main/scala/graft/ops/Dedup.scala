@@ -1514,6 +1514,11 @@ object Dedup {
           .select($"doc_id",
             (size(array_distinct(split($"text", " "))).cast("double") /
               size(split($"text", " "))).as("uniq_ratio"))
+        // window-then-aggregate kept over a single max_by aggregate (r14
+        // A/B, measured): both share the one component-keyed exchange, the
+        // cluster frame is |dup docs| ≪ corpus, and the codegen'd window
+        // measured slightly ahead of the max_by replan (struct ordering ⇒
+        // non-codegen SortAggregate) — see OPTIMIZATION_r14.md
         val ranked = comp.join(qual, comp("id") === qual("doc_id"))
           .select($"component", $"doc_id", $"uniq_ratio")
           .withColumn("rk", row_number().over(Window.partitionBy($"component")
@@ -1645,7 +1650,6 @@ object Dedup {
     Q("q162_label_prop",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val sym = documentPairs(s, d).select($"a", $"b")
           .select(explode(array(
             struct($"a".as("src"), $"b".as("dst")),
@@ -1658,6 +1662,12 @@ object Dedup {
           val votes = sym
             .join(labels.select($"id".as("src"), $"lbl"), "src")
             .groupBy($"dst".as("id"), $"lbl").agg(count(lit(1)).as("n"))
+          // the per-node argmax stays a rank-1 window (r14 A/B, measured):
+          // the vote frame is already aggregated (≤ degree rows per node,
+          // no payload), partial WindowGroupLimit prunes it map-side, and
+          // the codegen'd window measured at par with the min_by replan
+          // (struct ordering ⇒ non-codegen SortAggregate) — see
+          // OPTIMIZATION_r14.md on when the argmax-as-aggregate pays
           labels = votes
             .withColumn("rk", row_number().over(Window.partitionBy($"id")
               .orderBy($"n".desc, $"lbl".asc)))

@@ -101,8 +101,18 @@ object Similarity {
         round(dot(col("embedding"), col("ce")) /
           (col("vnrm") * col("cnrm")), 4).as("cc"))
       .groupBy(col("vec_id"))
+      // coalesce(cc, -2.0) in the ordering (ADVICE r13): max_by SKIPS rows
+      // whose ordering value is null, so a vector whose cosine is null
+      // against every centroid (zero-norm or null embedding → division
+      // null) would yield a null cid/embedding row where the old
+      // row_number formulation kept a concrete assignment. Cosine lives in
+      // [-1, 1], so -2.0 orders strictly below every real score: non-null
+      // scores still win exactly as before (bit-identical on any input
+      // with at least one scorable centroid), and the all-null edge case
+      // now deterministically takes the lowest cid instead of null rows.
       .agg(max_by(struct(col("cid"), col("embedding")),
-        struct(col("cc"), (-col("cid")).as("nc"))).as("best"))
+        struct(coalesce(col("cc"), lit(-2.0)).as("cc"),
+          (-col("cid")).as("nc"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.cid").as("cid"))
   }
@@ -470,6 +480,14 @@ object Similarity {
           .cache() // probed three times: init, refine, final assign
         val cent0 = e.filter($"vec_id" < 4)
           .select($"vec_id".as("cid"), $"sub", $"j", $"v".as("cv"))
+        // the argmin stays a rank-1 window (r14 A/B, measured): the input
+        // is the POST-aggregate (vec, sub, cid) distance frame — 4 narrow
+        // rows per group — and Spark 4's partial WindowGroupLimit prunes
+        // it to one row per group per map task before the exchange, so
+        // the codegen'd window beat the min_by replan (struct ordering ⇒
+        // non-codegen SortAggregate ×2 assign stages, ~+0.4 s). Contrast
+        // assignCells, where the replan pays because rows carry the
+        // embedding — see OPTIMIZATION_r14.md.
         def assign(cent: DataFrame) =
           e.join(broadcast(cent), Seq("sub", "j"))
             .groupBy($"vec_id", $"sub", $"cid")

@@ -115,6 +115,13 @@ object TextAnalysis {
         val scores = tri.join(broadcast(prof), "g")
           .groupBy($"doc_id", $"lang".as("actual"), $"cand")
           .agg(countDistinct($"g").as("score"))
+        // the rank-1 window stays a window (r14 A/B, measured): Spark 4's
+        // partial WindowGroupLimit already prunes to one row per
+        // (doc, rank-key) per map task BEFORE the exchange, so the shuffle
+        // is as narrow as an aggregate's partials, and the codegen'd
+        // window beat the min_by replan (whose struct ordering forces a
+        // non-codegen SortAggregate) by ~0.5 s here — see
+        // OPTIMIZATION_r14.md on when the argmax-as-aggregate replan pays
         val pred = scores
           .withColumn("rn", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
@@ -2143,11 +2150,16 @@ object TextAnalysis {
           .groupBy($"doc_id", $"source", $"cls").agg(sum($"n" * $"lw").as("ll"))
           .join(broadcast(prior), "cls")
           .select($"doc_id", $"source", $"cls", round($"ll" + $"lp", 4).as("score"))
-        val rnW = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"score".desc, $"cls")
+        // argmax as a min_by aggregate over the strictly-total (−score,
+        // cls) ordering (r14, the assignCells replan): the rank-1 window
+        // shuffled and sorted all |test docs|·|classes| scored rows, the
+        // aggregate collapses each doc's candidates map-side — identical
+        // row kept (score DESC, cls ASC ⇔ min over (−score, cls); score is
+        // a non-null sum+prior, so min_by can never skip a group's rows)
         val pred = scored
-          .withColumn("rn", row_number().over(rnW)).filter($"rn" === 1)
-          .select($"doc_id", $"source", $"cls".as("predicted"))
+          .groupBy($"doc_id", $"source")
+          .agg(min_by($"cls", struct((-$"score").as("ns"), $"cls"))
+            .as("predicted"))
         pred.groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"predicted" === $"source", 1L).otherwise(0L)).as("n_correct"))

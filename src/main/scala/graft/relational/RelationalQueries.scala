@@ -1138,22 +1138,25 @@ object RelationalQueries {
 
     // Latest-snapshot per key — the CDC/SCD collapse: of all events per
     // (user, type), keep exactly the newest (event-time, then event_id as
-    // the deterministic tie-break). One window pass after a single
-    // shuffle on the key — the upsert-compaction every incremental
-    // ingest pipeline runs; at 100 TB the window state is one row per
-    // key per partition.
+    // the deterministic tie-break). The argmax is a `max_by` AGGREGATE,
+    // not a rank-1 window (r14, same replan as assignCells): the window
+    // shuffles and SORTS the whole event log per key, while the aggregate
+    // collapses each key to one row map-side — the shuffle carries one
+    // row per (user, type) per map task, no sort anywhere. The ordering
+    // struct (us, event_id) is strictly total (event_id unique), so the
+    // kept row is the window's exact argmax; at 100 TB the upsert
+    // compaction becomes a partial-agg pass instead of a full log sort.
     Q("q96_latest_snapshot",
       (s, d) => {
         import s.implicits._
-        val byKey = Window.partitionBy($"user_id", $"event_type")
-          .orderBy($"us".desc, $"event_id".desc)
         Tables.events(s, d)
           .select($"user_id", $"event_type", $"event_id",
             unix_micros($"ts").as("us"), $"value")
-          .withColumn("rk", row_number().over(byKey))
-          .filter($"rk" === 1)
-          .select($"user_id", $"event_type", $"event_id", $"us",
-            round($"value", 4).as("value"))
+          .groupBy($"user_id", $"event_type")
+          .agg(max_by(struct($"event_id", $"us", $"value"),
+            struct($"us", $"event_id")).as("top"))
+          .select($"user_id", $"event_type", $"top.event_id".as("event_id"),
+            $"top.us".as("us"), round($"top.value", 4).as("value"))
           .orderBy($"user_id", $"event_type")
       },
       Some("""SELECT user_id, event_type, event_id, us, value FROM (
@@ -1998,25 +2001,23 @@ object RelationalQueries {
     // event type) at two cutoffs over the append-only log and classify
     // the drift: added (new user between snapshots), changed, unchanged.
     // Cutoffs compare in exact epoch microseconds, so no timezone or
-    // parse semantics can diverge between engines. Both snapshots are
-    // one filtered window pass partitioned by the entity key; the diff
-    // is a full outer join on that same key (co-partitioned, no extra
-    // shuffle) rolled up into a bounded (status, state_a, state_b) grid.
+    // parse semantics can diverge between engines. Each snapshot's
+    // latest-state lookup is a `max_by` aggregate over the strictly-total
+    // (us, event_id) ordering (r14 — the q96 replan: map-side argmax, no
+    // per-key sort of the log); the diff is a full outer join on the same
+    // key the aggregates hash on (co-partitioned, no extra shuffle)
+    // rolled up into a bounded (status, state_a, state_b) grid.
     Q("q155_snapshot_diff",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        def stateAt(cutUs: Long): DataFrame = {
-          val w = Window.partitionBy($"user_id")
-            .orderBy($"us".desc, $"event_id".desc)
+        def stateAt(cutUs: Long): DataFrame =
           Tables.events(s, d)
             .select($"user_id", $"event_type",
               unix_micros($"ts").as("us"), $"event_id")
             .filter($"us" <= cutUs)
-            .withColumn("rn", row_number().over(w))
-            .filter($"rn" === 1)
-            .select($"user_id", $"event_type")
-        }
+            .groupBy($"user_id")
+            .agg(max_by($"event_type", struct($"us", $"event_id"))
+              .as("event_type"))
         val a = stateAt(1704844800000000L).withColumnRenamed("event_type", "state_a")
         val b = stateAt(1705708800000000L).withColumnRenamed("event_type", "state_b")
         a.join(b, Seq("user_id"), "full_outer")
