@@ -24,6 +24,43 @@ object GenomicsQueries {
   private def docSeqs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id").as("id"), col("text").as("sequence"))
 
+  /** Session-memoized deterministic EC index over [[docSeqs]] (r14, guide
+    * §2.4 "don't recompute what a prior stage already built"): q21 and q22
+    * consume the IDENTICAL (corpus, K, deterministic-id) index, and each
+    * was re-deriving it from raw text — the family's dominant cost. Same
+    * discipline as the dedup family's pairs/trigram memos, and literally
+    * what the production pipeline does at 100 TB: `cli runIndex` writes
+    * the index parquet ONCE and every quantify run reads it. Materialized
+    * through [[graft.ops.Memo]] (temp parquet, stats-bearing scans,
+    * nothing pinned in the block manager, evicted with every other memo);
+    * oracle SQL is untouched — each query's WITH-chain still derives the
+    * index from scratch, so the memo is provably output-invisible.
+    * q24 deliberately does NOT share it: its Quantify.apply contract
+    * takes string transcript ids, and coercing the memo's long tids would
+    * change join semantics mid-library. ecToKmers is left lazy (no
+    * registered consumer). */
+  private val idxMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Indexer.Result]()
+  /** Session-memoized corpus k-mer counts (q20's histogram source and
+    * q22's read-side counts — the same `countKmers(documents, K)` pass). */
+  private val kcMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.ops.Memo.registerClearHook { () => idxMemo.clear(); kcMemo.clear() }
+
+  private def sharedIndex(s: SparkSession, d: String): Indexer.Result =
+    idxMemo.computeIfAbsent((s, d), _ => {
+      val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
+      Indexer.Result(
+        kmerToEc = graft.ops.Memo.materialize(idx.kmerToEc),
+        ecToKmers = idx.ecToKmers,
+        ecToTx = graft.ops.Memo.materialize(idx.ecToTx))
+    })
+
+  private def sharedKmerCounts(s: SparkSession, d: String): DataFrame =
+    kcMemo.computeIfAbsent((s, d), _ => graft.ops.Memo.materialize(
+      Quantify.countKmers(
+        Tables.documents(s, d).select(col("text").as("sequence")), K)))
+
   /** q178's interval-overlap join with the GENOME SIZE as a parameter: the
     * synthetic intervals spread over `contigs` contigs of 20 kb. The
     * registered query fixes contigs = 64 (the oracle mirrors the literal);
@@ -137,8 +174,7 @@ object GenomicsQueries {
     Q("q20_kmer_histogram",
       (s, d) => {
         import s.implicits._
-        Quantify.countKmers(
-            Tables.documents(s, d).select($"text".as("sequence")), K)
+        sharedKmerCounts(s, d)
           .filter($"count" >= 3)
           .orderBy($"count".desc, $"kmer")
           .limit(100)
@@ -153,7 +189,7 @@ object GenomicsQueries {
     Q("q21_ec_summary",
       (s, d) => {
         import s.implicits._
-        val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
+        val idx = sharedIndex(s, d)
         idx.kmerToEc.join(idx.ecToTx, "ec")
           .groupBy($"tid".as("doc_id"))
           .agg(count(lit(1)).as("n_kmers"),
@@ -170,9 +206,8 @@ object GenomicsQueries {
     Q("q22_em_init_round",
       (s, d) => {
         import s.implicits._
-        val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
-        val kmerCounts = Quantify.countKmers(
-          Tables.documents(s, d).select($"text".as("sequence")), K)
+        val idx = sharedIndex(s, d)
+        val kmerCounts = sharedKmerCounts(s, d)
         val ecCounts = Quantify.mapKmersToClasses(kmerCounts, idx.kmerToEc).cache()
         val relEc = ecCounts
           .crossJoin(broadcast(ecCounts.agg(sum("count").as("tc"))))
