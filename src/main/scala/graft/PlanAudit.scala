@@ -84,9 +84,10 @@ object PlanAudit {
     * added here with its boundedness argument.
     *
     * Regenerate with `runMain graft.Plans <sfDir> <out>` and paste
-    * `<out>.sp.json` here (last regenerated from /tmp/plans9.txt,
-    * sf0.001, round 9 — identical to round 8's fresh audit plus the
-    * q245 entry; the round-9 memo→parquet switch moved no SP counts).
+    * `<out>.sp.json` here (last regenerated round 14 at sf0.001 after
+    * the trainedCellsShared memo: q51/q135/q141/q142 dropped to 0 and
+    * q177 to 4 — their training-subtree scalar combines now execute once
+    * at memo build; rounds ≤13 matched round 8's audit plus q245).
     */
   val singlePartitionAllowlist: Map[String, Int] = Map(
     "q06_forecast_revenue" -> 1,
@@ -101,12 +102,15 @@ object PlanAudit {
     "q125_ppl_buckets" -> 3,
     "q126_skew_audit" -> 1,
     "q132_autocorr" -> 7,
-    "q135_semdedup" -> 1,
+    // q135/q141/q142/q51's single scalar combines (and one of q177's five)
+    // moved INSIDE the r14 trainedCellsShared memo build: the consumers
+    // now plan against the memo's parquet scans, so the k-means training
+    // subtree — where those combines lived — appears in no registered
+    // query's plan (it executes once, at memo build, off the audit
+    // surface exactly like the pairs/components memos since r9).
     "q136_dsir" -> 2,
     "q138_ks_drift" -> 2,
     "q140_incremental_agg" -> 2,
-    "q141_silhouette" -> 1,
-    "q142_ann_recall" -> 1,
     "q143_market_basket" -> 1,
     // q146 is absent since r12: the power iteration moved driver-side,
     // so the audit substitutes the query's distributed scatter-build
@@ -129,7 +133,7 @@ object PlanAudit {
     "q170_quantile_sketch" -> 3,
     "q174_cms_join_size" -> 4,
     "q176_hll_set_algebra" -> 6,
-    "q177_knn_graph" -> 5,
+    "q177_knn_graph" -> 4,
     "q184_dq_audit" -> 10,
     "q188_event_pattern" -> 1,
     "q193_naive_bayes" -> 2,
@@ -156,7 +160,6 @@ object PlanAudit {
     "q40_dedup_exact" -> 1,
     "q45_embed_neardup" -> 1,
     "q47_unigram_quality" -> 1,
-    "q51_knn_ivf" -> 1,
     "q54_tfidf" -> 1,
     "q81_gap_fill" -> 1,
     "q86_funnel" -> 4,

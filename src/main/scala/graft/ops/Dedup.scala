@@ -358,8 +358,7 @@ object Dedup {
     * operator there by passing cells = CoarseCells × the corpus ratio. */
   def semDedupFrame(s: SparkSession, d: String, cells: Int): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    val assign = Similarity.trainedCells(e, cells)._2
+    val assign = Similarity.trainedCellsShared(s, d, cells)._2
       .withColumn("nrm", Similarity.norm($"embedding"))
       .cache() // both sides of the cell-local pair join read this
     val u = assign.select($"cid", $"vec_id".as("a"),

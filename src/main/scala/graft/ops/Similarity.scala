@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -215,7 +215,7 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val (cent, assign0) = trainedCells(e)
+        val (cent, assign0) = trainedCellsShared(s, d)
         val assign = assign0.cache()
         // query side: top-nprobe cells by (rounded) centroid cosine
         val qcells = e.filter($"vec_id" < 8)
@@ -615,7 +615,7 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val cent = trainedCells(e)._1
+        val cent = trainedCellsShared(s, d)._1
         val scored = e.withColumn("vnrm", norm($"embedding"))
           .crossJoin(broadcast(cent.withColumn("cnrm", norm($"ce"))))
           .select($"vec_id", $"cid",
@@ -675,7 +675,7 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val (cent, assign0) = trainedCells(e)
+        val (cent, assign0) = trainedCellsShared(s, d)
         val assign = assign0.cache()
         val q = e.filter($"vec_id" < 8)
           .select($"vec_id".as("qid"), $"embedding".as("qe"),
@@ -1264,7 +1264,7 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val assign = trainedCells(e)._2
+        val assign = trainedCellsShared(s, d)._2
           .withColumn("nrm", norm($"embedding")).cache()
         val u = assign.select($"cid", $"vec_id".as("a"),
           $"embedding".as("ea"), $"nrm".as("na"))
@@ -1338,6 +1338,33 @@ object Similarity {
       .cache()
     (cent, assignCells(e, cent))
   }
+
+  /** Session-memoized [[trainedCells]] over the standard `embeddings`
+    * table (r14, guide §2.4): five registered queries (q51/q135/q141/
+    * q142/q177) consume the IDENTICAL (corpus, cells) k-means training —
+    * each was re-running the 2-round Lloyd loop plus the final assignment
+    * (three n·C scoring passes over the corpus) from scratch. Keyed on
+    * (session, dir, cells) and materialized through [[Memo]] (temp
+    * parquet: stats-bearing scans, nothing pinned in the block manager,
+    * evicted with every other memo) — the same run-retrieval-once,
+    * fan-consumers-out discipline as the dedup pairs/components memos,
+    * and what an ANN deployment does anyway: the quantizer is TRAINED
+    * once and persisted, then every index/query path loads it. Oracle SQL
+    * unaffected — each query's WITH-chain still unrolls the training, so
+    * the memo is provably output-invisible. The scale probe's k ∝ N
+    * variants pass different `cells` and memoize separately. */
+  private val cellsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame)]()
+  Memo.registerClearHook { () => cellsMemo.clear() }
+
+  private[ops] def trainedCellsShared(s: SparkSession, d: String,
+      cells: Int = CoarseCells): (DataFrame, DataFrame) =
+    cellsMemo.computeIfAbsent((s, d, cells), _ => {
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val (cent, assign) = trainedCells(e, cells)
+      (Memo.materialize(cent), Memo.materialize(assign))
+    })
 
   /** Unrolled deterministic-k-means WITH-prefix shared by the q51 and
     * Dedup-q135 oracles: CTEs `e` (exploded vectors), `nrm` (norms), seeds →
