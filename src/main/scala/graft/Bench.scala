@@ -13,23 +13,58 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   /** Committed quiet anchor for the ABSOLUTE context checks (r13 verdict
-    * #1b): first-leg canary medians and the full-surface total from the
-    * committed quiet-window run of this tree
-    * (`bench_runs/r14_head_quiet_baseline.json`, ambient 1-min load at
-    * launch < 0.5). Three consecutive official rounds (r11-r13) sampled
-    * externally contended windows, and r13's slipped past the ratio-only
-    * rerun trigger because UNIFORM contention inflates first/mid/last legs
-    * together — last/mid stays in-band while every absolute number is 2x
-    * the same binary's quiet cost (206.6 s recorded vs a 115-117 s quiet
-    * band). Absolutes are only comparable under the anchor's own
-    * conditions, so the checks apply IFF sf dir and core count match and
-    * no SPARK_GRAFT_ONLY filter is set; re-anchor these whenever a new
-    * quiet run is committed under bench_runs/. */
+    * #1b): first-leg canary medians and the full-surface total, READ AT
+    * RUNTIME from a committed bench_runs artifact whose own
+    * `contextVerdict` is "ok" (r14 verdict #2: the r14 constants were
+    * hard-coded from SCALE.md prose and matched no committed file — an
+    * unauditable anchor that tripped on every official run). Three
+    * consecutive official rounds (r11-r13) sampled externally contended
+    * windows, and r13's slipped past the ratio-only rerun trigger because
+    * UNIFORM contention inflates first/mid/last legs together — last/mid
+    * stays in-band while every absolute number is 2x the same binary's
+    * quiet cost. Absolutes are only comparable under the anchor's own
+    * conditions, so the checks apply IFF the anchor file parses with an
+    * "ok" verdict, sf dir and core count match, and no SPARK_GRAFT_ONLY
+    * filter is set; re-point SPARK_GRAFT_ANCHOR_FILE (or the default
+    * below) whenever a newer quiet run is committed under bench_runs/. */
   private val AnchorSfSuffix = "sf0.1"
   private val AnchorCpus = "32"
-  private val AnchorQ70First = 1.45 // q70_stream_hourly first-leg median, s
-  private val AnchorQ03First = 0.80 // q03_shipping_priority first-leg median, s
-  private val AnchorTotal = 117.0   // full-surface best-of-2 sum, s
+  private val DefaultAnchorFile =
+    "/root/repo/bench_runs/r15_head_quiet_32c.json"
+
+  final case class Anchor(file: String, q70First: Double, q03First: Double,
+      total: Double)
+
+  /** Parse the three anchor values out of a committed bench artifact.
+    * Left(reason) when the file is missing, unparseable, from the wrong
+    * sf, or its own contextVerdict is not "ok" — an anchor that cannot be
+    * traced to a committed clean run is recorded as inapplicable rather
+    * than silently trusted. */
+  private def loadAnchor(path: String): Either[String, Anchor] = try {
+    if (!Files.isRegularFile(Paths.get(path)))
+      return Left(s"anchor file not found: $path")
+    val line = Files.readString(Paths.get(path)).linesIterator
+      .find(_.trim.startsWith("{")).getOrElse("")
+    def num(re: String): Option[Double] =
+      re.r.findFirstMatchIn(line).map(_.group(1).toDouble)
+    val verdict = "\"contextVerdict\":\"([^\"]*)".r
+      .findFirstMatchIn(line).map(_.group(1))
+    val sf = "\"sf\":\"([^\"]*)".r.findFirstMatchIn(line).map(_.group(1))
+    (num("\"value\":([0-9.Ee+-]+)"),
+      num("\"canary\":\\{\"query\":\"q70_stream_hourly\",\"first\":([0-9.Ee+-]+)"),
+      num("\"canaryBatch\":\\{\"query\":\"q03_shipping_priority\",\"first\":([0-9.Ee+-]+)"),
+      verdict, sf) match {
+      case (_, _, _, Some(v), _) if !v.startsWith("ok") =>
+        Left(s"anchor file's own contextVerdict is not ok: $path ($v)")
+      case (_, _, _, _, Some(s)) if !s.stripSuffix("/").endsWith(AnchorSfSuffix) =>
+        Left(s"anchor file is not an $AnchorSfSuffix run: $path ($s)")
+      case (Some(t), Some(q70), Some(q03), Some(_), Some(_)) =>
+        Right(Anchor(path, q70, q03, t))
+      case _ => Left(s"anchor file missing value/canary/verdict fields: $path")
+    }
+  } catch { case e: Throwable =>
+    Left(s"anchor file unreadable: $path (${e.getClass.getSimpleName})")
+  }
 
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -55,6 +90,22 @@ object Bench {
     val defaultOut =
       if (only.isEmpty) "/root/repo/BENCH.json" else "/tmp/BENCH_only.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    // anchor resolution: explicit env override, else the newest committed
+    // quiet run of this tree, else the r12 committed quiet run (the only
+    // "ok"-verdict full-surface 32c artifact older rounds produced). A
+    // Left at every step records the anchor as inapplicable-with-reason
+    // instead of inventing constants (r14 verdict #2).
+    val anchor: Either[String, Anchor] =
+      sys.env.get("SPARK_GRAFT_ANCHOR_FILE").map(loadAnchor).getOrElse {
+        loadAnchor(DefaultAnchorFile).left.flatMap(firstErr =>
+          loadAnchor("/root/repo/bench_runs/r12_builder_146s.json")
+            .left.map(r12Err => s"$firstErr; fallback: $r12Err"))
+      }
+    anchor match {
+      case Right(a) => println(s"[bench] anchor from ${a.file}: " +
+        f"total ${a.total}%.1f s, q70First ${a.q70First}%.2f, q03First ${a.q03First}%.2f")
+      case Left(reason) => println(s"[bench] anchor inapplicable: $reason")
+    }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadAvg: Double = osBean.getSystemLoadAverage
     // Pre-flight load gate (r13 verdict #1a): at this point the process
@@ -185,7 +236,13 @@ object Bench {
         results: Seq[(String, Double, Option[String], LegAttr)],
         canaryFirst: Seq[Double], canaryMid: Seq[Double],
         canaryLast: Seq[Double],
-        attrFirst: LegAttr, attrMid: LegAttr, attrLast: LegAttr) {
+        attrFirst: LegAttr, attrMid: LegAttr, attrLast: LegAttr,
+        // wall seconds spent building shared-stage memos DURING this pass
+        // (r14 verdict #3: best-of-2 + end-of-run eviction means the build
+        // cost lands in no per-query min and no total; this field makes
+        // the pass's true wall work reconstructible as total + Σ values,
+        // and per-query claims for memo consumers auditable)
+        memoBuild: Map[String, Double]) {
       val ok: Seq[(String, Double, Option[String], LegAttr)] =
         results.filter(_._3.isEmpty)
       val failed: Seq[(String, String)] =
@@ -225,16 +282,26 @@ object Bench {
       // 10.3 at median 3.4) stays a post-hoc queryAttr adjudication: it
       // cannot distinguish self-load from neighbors, but any spike big
       // enough to matter moves the total through trip (b).
-      val anchorApplicable: Boolean = only.isEmpty && cpus == AnchorCpus &&
-        sfDir.stripSuffix("/").endsWith(AnchorSfSuffix)
-      val anchorTrips: Seq[String] = if (!anchorApplicable) Nil else Seq(
-        Option.when(canaryFirst(0) > 1.3 * AnchorQ70First &&
-            canaryFirst(1) > 1.3 * AnchorQ03First)(
-          f"both first-leg canaries >1.3x quiet anchor " +
-            f"(q70 ${canaryFirst(0)}%.2f vs $AnchorQ70First%.2f, " +
-            f"q03 ${canaryFirst(1)}%.2f vs $AnchorQ03First%.2f)"),
-        Option.when(total > 1.25 * AnchorTotal)(
-          f"total $total%.1f s >1.25x quiet anchor $AnchorTotal%.1f s")).flatten
+      // Trip (a) is a FIRST-PASS-ONLY signal (ADVICE r14): on a rerun pass
+      // the first legs are measured post-surface-warm (q70 plateaus ~0.9 s
+      // vs ~1.2-1.4 s fresh), so they sit far below a fresh-leg anchor and
+      // (a) is nearly unreachable there — trip (b), the total, carries all
+      // the rerun-pass signal. That is fine: (a) exists to catch a
+      // contended LAUNCH before 240 queries get paid for, which only the
+      // first pass experiences.
+      val anchorApplicable: Boolean = anchor.isRight && only.isEmpty &&
+        cpus == AnchorCpus && sfDir.stripSuffix("/").endsWith(AnchorSfSuffix)
+      val anchorTrips: Seq[String] = anchor match {
+        case Right(a) if anchorApplicable => Seq(
+          Option.when(canaryFirst(0) > 1.3 * a.q70First &&
+              canaryFirst(1) > 1.3 * a.q03First)(
+            f"both first-leg canaries >1.3x quiet anchor " +
+              f"(q70 ${canaryFirst(0)}%.2f vs ${a.q70First}%.2f, " +
+              f"q03 ${canaryFirst(1)}%.2f vs ${a.q03First}%.2f)"),
+          Option.when(total > 1.25 * a.total)(
+            f"total $total%.1f s >1.25x quiet anchor ${a.total}%.1f s")).flatten
+        case _ => Nil
+      }
       // loadavg spike locator: the canary legs sample context at exactly
       // three instants, and a contention burst strictly between legs is
       // invisible to them (measured mid-round-12: genomics block 2-3×
@@ -291,6 +358,7 @@ object Bench {
     }
 
     def measureSurface(): Run = {
+      val memoSec0 = ops.Memo.buildSecSnapshot
       canaryNames.foreach(canaryOnce) // one-time machinery (state-store, staging)
       val (canaryFirst, attrFirst) = canaryLeg()
       var canaryMid = canaryFirst // overwritten at the halfway mark below
@@ -350,8 +418,13 @@ object Bench {
       }
       // context canaries, last leg (first and mid were timed inline above)
       val (canaryLast, attrLast) = canaryLeg()
+      // memo builds charged to THIS pass: cumulative snapshot delta
+      val memoSec1 = ops.Memo.buildSecSnapshot
+      val memoBuild = memoSec1.map { case (k, v) =>
+        k -> (v - memoSec0.getOrElse(k, 0.0))
+      }.filter(_._2 > 1e-3)
       Run(results, canaryFirst, canaryMid, canaryLast,
-        attrFirst, attrMid, attrLast)
+        attrFirst, attrMid, attrLast, memoBuild)
     }
 
     val first = measureSurface()
@@ -374,6 +447,12 @@ object Bench {
         println(s"[bench] first pass context verdict: ${first.contextVerdict}")
         println("[bench] degraded measuring context - rerunning the surface once")
         spark.catalog.clearCache()
+        // evict memos too (ADVICE r14): without this the rerun inherits the
+        // first pass's temp-parquet memo builds, skips their cost entirely,
+        // and its total is systematically below the first pass's
+        // independent of contention — the two passes must measure the same
+        // work for healthRank's smaller-total tiebreak to mean anything
+        ops.Memo.evictAll()
         System.gc()
         Some(measureSurface())
       } else None
@@ -398,7 +477,11 @@ object Bench {
         // pass followed by a crashing rerun exits 1 with errors:{} — the
         // loud exit must be explainable from the artifact alone
         s""""rerunErrorNames":${
-          second.failed.map(f => jstr(f._1)).mkString("[", ",", "]")}}"""
+          second.failed.map(f => jstr(f._1)).mkString("[", ",", "]")},""" +
+        // r14 verdict #2: when the bounded rerun ALSO trips the anchor the
+        // series should say the anchor was unmeetable in this window (a
+        // persistently loud host), not just record two degraded verdicts
+        s""""anchorUnmeetable":${second.anchorTrips.nonEmpty}}"""
     }
 
     val qs = run.ok.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -450,6 +533,22 @@ object Bench {
     }
     val onlyField =
       only.map(o => s""""only":${jstr(o.mkString(","))},""").getOrElse("")
+    // memo-build accounting (r14 verdict #3): per-label wall seconds the
+    // KEPT pass spent building shared-stage memos. These costs are outside
+    // every per-query best-of-2 min by construction, so the pass's true
+    // wall work = value + memoBuildTotalSec, and any per-query claim for a
+    // memo consumer must be read alongside its family's build charge.
+    val memoJson = run.memoBuild.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val memoTotal = run.memoBuild.values.sum
+    val anchorJson = anchor match {
+      case Right(a) =>
+        s"""{"applicable":${run.anchorApplicable},"file":${jstr(a.file)},""" +
+        f""""q70First":${a.q70First}%.3f,"q03First":${a.q03First}%.3f,""" +
+        f""""total":${a.total}%.1f,"tripped":${run.anchorTrips.nonEmpty}}"""
+      case Left(reason) =>
+        s"""{"applicable":false,"reason":${jstr(reason)},"tripped":false}"""
+    }
     val line =
       s"""{"metric":"total","value":${run.total},"unit":"sec",$onlyField""" +
       s""""queryAttr":$queryAttrJson,"queries":$qs,""" +
@@ -459,10 +558,9 @@ object Bench {
       f""""preflight":{"loadAtLaunch":$loadAtLaunch%.2f,""" +
       f""""loadAtStart":$loadAtStart%.2f,"waitedSec":$gateWaitedSec,""" +
       f""""threshold":$gateMax%.2f},""" +
-      s""""anchor":{"applicable":${run.anchorApplicable},""" +
-      f""""q70First":$AnchorQ70First%.3f,"q03First":$AnchorQ03First%.3f,""" +
-      f""""total":$AnchorTotal%.1f,""" +
-      s""""tripped":${run.anchorTrips.nonEmpty}},""" +
+      s""""anchor":$anchorJson,""" +
+      s""""memoBuildSec":$memoJson,""" +
+      f""""memoBuildTotalSec":$memoTotal%.3f,""" +
       s""""contextVerdict":${jstr(run.contextVerdict)},""" +
       s""""rerun":$rerunJson,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")

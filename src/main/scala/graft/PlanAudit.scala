@@ -90,6 +90,13 @@ object PlanAudit {
     * at memo build; rounds ≤13 matched round 8's audit plus q245).
     */
   val singlePartitionAllowlist: Map[String, Int] = Map(
+    // memo-build audit rows (r15, ADVICE r14): the k-means training
+    // subtree re-entered the audit surface via Plans.memoBuildFrames.
+    // Each row's single SP exchange is seedCentroids' global
+    // `orderBy(md5).limit(C)` — bounded at C = CoarseCells rows by
+    // construction. The genomics memo rows audit at 0.
+    "memo:cells.centroids" -> 1,
+    "memo:cells.assign" -> 1,
     "q06_forecast_revenue" -> 1,
     "q100_curation_pipeline" -> 6,
     "q101_kl_mixture" -> 1,

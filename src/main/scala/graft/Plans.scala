@@ -45,6 +45,22 @@ object Plans {
   val auditSubstitutes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("q146_scatter_axis" -> ((s, d) => ops.Similarity.scatterFrame(s, d)))
 
+  /** Memo-BUILD frames audited in ADDITION to the registered queries
+    * (ADVICE r14): a stage that moves inside a session memo leaves every
+    * consumer's plan — its training/index subtree then executes once per
+    * run completely off the audit surface, and a partitioning regression
+    * there (a new data-sized SinglePartition exchange, a cartesian) would
+    * trip nothing. These rows audit the build DataFrames
+    * pre-materialization. Only the LAZY builds are listed: the dedup
+    * pairs/components and BPE memos run eager driver-side loops during
+    * construction (localCheckpoint rounds), so their formatted explains
+    * would show only checkpoint-truncated tails — nothing join- or
+    * partition-shaped left to check (same reason q70 is excluded). */
+  def memoBuildFrames(s: SparkSession, d: String)
+      : Seq[(String, org.apache.spark.sql.DataFrame)] =
+    relational.GenomicsQueries.memoAuditFrames(s, d) ++
+      ops.Similarity.trainedCellsAuditFrames(s, d)
+
   /** Build every declared query's DataFrame against `sfDir`, scan its
     * `explain("formatted")` output with [[PlanAudit.scan]], and return
     * per-query counts plus per-query PLANNING ERRORS. Errors are a
@@ -70,22 +86,28 @@ object Plans {
     // round series counts the same 243-query surface. q70 is also the
     // bench's streaming context canary; its runtime behavior is measured
     // there, not here.
-    for (q <- SparkEntry.allQueries
-         if q.name != "q70_stream_hourly" && keep(q.name)) {
-      if (collectText) sb.append(s"\n========== ${q.name} ==========\n")
+    def auditOne(name: String, mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (collectText) sb.append(s"\n========== $name ==========\n")
       try {
-        val df = auditSubstitutes.get(q.name)
-          .map(_(spark, sfDir)).getOrElse(q.fn(spark, sfDir))
-        val formatted = df.queryExecution.explainString(
+        val formatted = mk.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        perQuery(q.name) = PlanAudit.scan(formatted)
+        perQuery(name) = PlanAudit.scan(formatted)
         if (collectText) sb.append(formatted)
       } catch {
         case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           if (collectText) sb.append(s"ERROR: ${e.getMessage}\n")
       }
     }
+    for (q <- SparkEntry.allQueries
+         if q.name != "q70_stream_hourly" && keep(q.name))
+      auditOne(q.name, auditSubstitutes.get(q.name)
+        .map(_(spark, sfDir)).getOrElse(q.fn(spark, sfDir)))
+    // memo-build rows LAST: constructing them must not leave session
+    // state a registered query's plan could pick up (they don't — lazy,
+    // uncached — but ordering makes the audit robust to that changing)
+    for ((name, df) <- memoBuildFrames(spark, sfDir) if keep(name))
+      auditOne(name, df)
     Audit(perQuery.toMap, errors.toMap, sb.toString)
   }
 

@@ -84,27 +84,29 @@ object Dedup {
     * <3 words — Spark's unguarded `sequence(1, n)` would count DOWN and
     * emit null shingles there). */
   def wordTrigrams(s: SparkSession, d: String): DataFrame =
-    trigramMemo.computeIfAbsent((s, d), _ => materializeShared(
+    trigramMemo.computeIfAbsent((s, d), _ =>
+      Memo.timedBuild("dedup.trigrams")(materializeShared(
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           """case when size(w) < 3 then cast(array() as array<string>)
             |else transform(sequence(1, size(w) - 2),
             |  i -> concat_ws(' ', slice(w, i, 3))) end""".stripMargin)).as("s"))
-        .distinct()))
+        .distinct())))
 
   /** Memoized [[minhashPairs]] over the standard `documents` table —
     * DataFrame(a, b, est_j), materialized once per (session, sfDir). */
   def documentPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.computeIfAbsent((s, d), _ =>
-      materializeShared(minhashPairs(Tables.documents(s, d))))
+      Memo.timedBuild("dedup.pairs")(
+        materializeShared(minhashPairs(Tables.documents(s, d)))))
 
   /** Memoized [[connectedComponents]] over [[documentPairs]] —
     * DataFrame(id, component), materialized once per (session, sfDir). */
   def documentComponents(s: SparkSession, d: String): DataFrame =
     compMemo.computeIfAbsent((s, d), _ =>
-      materializeShared(connectedComponents(
-        documentPairs(s, d).select(col("a"), col("b")))))
+      Memo.timedBuild("dedup.components")(materializeShared(connectedComponents(
+        documentPairs(s, d).select(col("a"), col("b"))))))
 
   /** Character shingles of length `k`, distinct per doc:
     * DataFrame(doc_id, s). Shingling streams through the native
@@ -1717,19 +1719,37 @@ object Dedup {
         var auth = edges.select($"c").distinct().withColumn("a", lit(1.0))
         var hub = edges.select($"s").distinct().withColumn("h", lit(1.0))
         for (_ <- 1 to 2) {
-          // checkpoint the RAW aggregate first: the max-normalizer's
-          // broadcast subtree and the normalized frame both read the
-          // materialized result, so the edge join executes ONCE per
-          // half-round — un-materialized, the crossJoin(broadcast(agg))
-          // shape re-evaluates the join inside the broadcast stage
-          val hraw = edges.join(auth, "c").groupBy($"s")
+          // checkpoint ONLY the raw aggregate (r15, guide §2.4; r14 verdict
+          // #6): the max-normalizer's broadcast subtree and the normalized
+          // frame both read the materialized result, so the edge join
+          // executes once per half-round — un-materialized, the
+          // crossJoin(broadcast(agg)) shape re-evaluates the join inside
+          // the broadcast stage. The NORMALIZED frame stays lazy: its plan
+          // is a checkpointed-scan × 1-row broadcast max, so the next
+          // half-round's single checkpoint job absorbs it as one tiny
+          // broadcast stage instead of paying a separate materialization
+          // job per half-round (was 2 jobs/half-round, now 1 + an absorbed
+          // broadcast; values identical — hr/ar are FIXED in the
+          // checkpoint, max over them is exact, round(·,6) unchanged).
+          // broadcast the NODE-sized score frame into each edge join
+          // (guide §3.1): the checkpointed frames carry no usable stats,
+          // so the planner was sort-merge-joining — shuffling AND sorting
+          // the edge list once per half-round to meet a frame that is one
+          // row per graph node (≤ |suppliers| / |customers|, orders of
+          // magnitude below the edge list on any real supply graph; A/B
+          // and plan diff in OPTIMIZATION_r15.md). With the hint the edge
+          // list never moves: every half-round is scan → broadcast join →
+          // partial agg. At a scale where a node frame outgrew the
+          // broadcast cap the hint would need a size gate — that bound is
+          // documented, not load-bearing at any bench/probe SF.
+          val hraw = edges.join(broadcast(auth), "c").groupBy($"s")
             .agg(sum($"a").as("hr")).localCheckpoint()
           hub = hraw.crossJoin(broadcast(hraw.agg(max($"hr").as("mx"))))
-            .select($"s", round($"hr" / $"mx", 6).as("h")).localCheckpoint()
-          val araw = edges.join(hub, "s").groupBy($"c")
+            .select($"s", round($"hr" / $"mx", 6).as("h"))
+          val araw = edges.join(broadcast(hub), "s").groupBy($"c")
             .agg(sum($"h").as("ar")).localCheckpoint()
           auth = araw.crossJoin(broadcast(araw.agg(max($"ar").as("mx"))))
-            .select($"c", round($"ar" / $"mx", 6).as("a")).localCheckpoint()
+            .select($"c", round($"ar" / $"mx", 6).as("a"))
         }
         val topHub = hub.orderBy($"h".desc, $"s").limit(15)
           .select(lit("hub").as("role"), $"s".cast("long").as("node_id"),

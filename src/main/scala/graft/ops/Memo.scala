@@ -30,6 +30,43 @@ object Memo {
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
   private val clearHooks =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  // Per-label wall-clock spent building memoized stages (r14 verdict #3:
+  // with best-of-2 timing and end-of-run eviction, a memo's one-time build
+  // cost lands in NO recorded bench number — leg 1 of the first consumer
+  // pays it, leg 2 wins the min, and the total sums the mins. Charging the
+  // builds here lets Bench emit a `memoBuildSec` map so recorded total +
+  // memo builds reconstructs the actual wall work of a pass.)
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  // builds can nest (documentComponents builds documentPairs on a cold
+  // memo); each label is charged its EXCLUSIVE time so the map's values
+  // sum to the true combined build wall-clock instead of double-counting
+  private val nestedSec = new ThreadLocal[java.lang.Double] {
+    override def initialValue: java.lang.Double = 0.0
+  }
+
+  /** Wrap a memoized stage's WHOLE build (derivation + materialization) so
+    * its wall cost is attributed to `label`. Costs accumulate across
+    * rebuilds (e.g. the bench rerun pass after [[evictAll]]). */
+  def timedBuild[T](label: String)(build: => T): T = {
+    val saved = nestedSec.get.doubleValue
+    nestedSec.set(0.0)
+    val t0 = System.nanoTime()
+    try build finally {
+      val wall = (System.nanoTime() - t0) / 1e9
+      val self = wall - nestedSec.get.doubleValue
+      buildSecs.merge(label, self, (a, b) => Double.box(a + b))
+      nestedSec.set(saved + wall)
+    }
+  }
+
+  /** Cumulative per-label build seconds since JVM start (or snapshot
+    * deltas caller-side for per-pass attribution). */
+  def buildSecSnapshot: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
 
   // temp dirs are JVM-scratch: reclaim them at exit so repeated
   // Verify/Bench/test runs don't accumulate parquet junk under /tmp

@@ -1357,14 +1357,35 @@ object Similarity {
     (SparkSession, String, Int), (DataFrame, DataFrame)]()
   Memo.registerClearHook { () => cellsMemo.clear() }
 
+  /** The k-means training frames PRE-materialization, for the plan audit
+    * (ADVICE r14): the trainedCellsShared memo moved the training
+    * subtree's scalar combines off every registered query's plan —
+    * q51/q135/q141/q142 dropped out of the single-partition allowlist and
+    * q177 shrank, so a partitioning regression in the training subtree
+    * would no longer trip any audit. These frames put the subtree back
+    * under the budget check. Construction is lazy (no cache, no memo
+    * side effects — the memo map is untouched). */
+  private[graft] def trainedCellsAuditFrames(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
+    val e = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val cent = lloydUpdate(assignCells(e,
+      lloydUpdate(assignCells(e, seedCentroids(e, CoarseCells)))))
+    Seq("memo:cells.centroids" -> cent,
+      "memo:cells.assign" -> assignCells(e, cent))
+  }
+
   private[ops] def trainedCellsShared(s: SparkSession, d: String,
       cells: Int = CoarseCells): (DataFrame, DataFrame) =
-    cellsMemo.computeIfAbsent((s, d, cells), _ => {
-      val e = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      val (cent, assign) = trainedCells(e, cells)
-      (Memo.materialize(cent), Memo.materialize(assign))
-    })
+    cellsMemo.computeIfAbsent((s, d, cells), _ =>
+      Memo.timedBuild("similarity.trainedCells") {
+        val e = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val (cent, assign) = trainedCells(e, cells)
+        val out = (Memo.materialize(cent), Memo.materialize(assign))
+        cent.unpersist()
+        out
+      })
 
   /** Unrolled deterministic-k-means WITH-prefix shared by the q51 and
     * Dedup-q135 oracles: CTEs `e` (exploded vectors), `nrm` (norms), seeds →

@@ -2445,7 +2445,8 @@ object TextAnalysis {
     * instead of one per query. */
   private def bpeLoop(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) =
-    bpeMemo.computeIfAbsent((s, d), _ => bpeLoopImpl(s, d))
+    bpeMemo.computeIfAbsent((s, d), _ =>
+      Memo.timedBuild("text.bpeLoop")(bpeLoopImpl(s, d)))
 
   private def bpeLoopImpl(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {

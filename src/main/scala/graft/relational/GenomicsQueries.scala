@@ -48,18 +48,33 @@ object GenomicsQueries {
   graft.ops.Memo.registerClearHook { () => idxMemo.clear(); kcMemo.clear() }
 
   private def sharedIndex(s: SparkSession, d: String): Indexer.Result =
-    idxMemo.computeIfAbsent((s, d), _ => {
-      val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
-      Indexer.Result(
-        kmerToEc = graft.ops.Memo.materialize(idx.kmerToEc),
-        ecToKmers = idx.ecToKmers,
-        ecToTx = graft.ops.Memo.materialize(idx.ecToTx))
-    })
+    idxMemo.computeIfAbsent((s, d), _ =>
+      graft.ops.Memo.timedBuild("genomics.index") {
+        val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
+        Indexer.Result(
+          kmerToEc = graft.ops.Memo.materialize(idx.kmerToEc),
+          ecToKmers = idx.ecToKmers,
+          ecToTx = graft.ops.Memo.materialize(idx.ecToTx))
+      })
 
   private def sharedKmerCounts(s: SparkSession, d: String): DataFrame =
-    kcMemo.computeIfAbsent((s, d), _ => graft.ops.Memo.materialize(
-      Quantify.countKmers(
-        Tables.documents(s, d).select(col("text").as("sequence")), K)))
+    kcMemo.computeIfAbsent((s, d), _ =>
+      graft.ops.Memo.timedBuild("genomics.kmerCounts")(graft.ops.Memo.materialize(
+        Quantify.countKmers(
+          Tables.documents(s, d).select(col("text").as("sequence")), K))))
+
+  /** The index/k-mer-count build frames PRE-materialization, for the plan
+    * audit (ADVICE r14, same rationale as
+    * [[graft.ops.Similarity.trainedCellsAuditFrames]]): the r14 memo moved
+    * these subtrees off q20–q22's audited plans. Lazy construction; the
+    * memo maps are untouched. */
+  def memoAuditFrames(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val idx = Indexer(docSeqs(s, d), K, deterministicIds = true)
+    Seq("memo:genomics.kmerToEc" -> idx.kmerToEc,
+      "memo:genomics.ecToTx" -> idx.ecToTx,
+      "memo:genomics.kmerCounts" -> Quantify.countKmers(
+        Tables.documents(s, d).select(col("text").as("sequence")), K))
+  }
 
   /** q178's interval-overlap join with the GENOME SIZE as a parameter: the
     * synthetic intervals spread over `contigs` contigs of 20 kb. The
