@@ -18,10 +18,16 @@ import org.apache.spark.sql.SparkSession
   * 16-query family (isolated family bench, back-to-back legs, canary
   * firsts quoted): p=8 → 34.3 s (1.75/0.76), p=6 → 27.3 s (1.94/0.87),
   * p=4 → 23.0 s (1.13/0.73), p=2 → 48.2 s (q72 9.2 s, q74 6.3 s —
-  * under-parallelized within batches), so the harness default is now 4:
-  * per-store fixed commit cost still dominates at 8 on these
-  * mostly-empty stores, and the curve's floor sits where per-batch
-  * overhead and in-batch parallelism cross. This is a DEPLOYMENT knob
+  * under-parallelized within batches). That sweep ran on the contended
+  * r14 host; re-swept in r15 behind the bench's pre-flight load gate
+  * (ADVICE r14): p=4 → {31.5, 45.2} s across two reps, p=6 → {27.5,
+  * 29.6} s, p=8 → 37.3 s — p=6 is both fastest and far more stable on
+  * a quiet host (the transformWithState pair q211/q217 and the canary
+  * q70 read uniformly lower at 6 in every rep; p=4's r14 floor was an
+  * artifact of the loud window it was measured in), so the harness
+  * default is 6: per-store fixed commit cost still dominates at 8 on
+  * these mostly-empty stores, and 4 under-parallelizes the stateful
+  * batches. This is a DEPLOYMENT knob
   * sized to the harness corpus, not a constant for production — a
   * cluster sizes it to sustained state volume/throughput (hundreds+ at
   * 100 TB rates) via the conf override below. The RocksDB provider was
@@ -41,12 +47,12 @@ import org.apache.spark.sql.SparkSession
 object StreamTuning {
 
   /** Run `body` with `spark.sql.shuffle.partitions` set for stream
-    * starts (default 4 — the r14 family-sweep floor, see above; override
-    * `spark.graft.streaming.statePartitions`); always restores the
-    * previous value. */
+    * starts (default 6 — the r15 quiet-window family-sweep floor, see
+    * above; override `spark.graft.streaming.statePartitions`); always
+    * restores the previous value. */
   def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val n = s.conf.getOption("spark.graft.streaming.statePartitions")
-      .getOrElse("4")
+      .getOrElse("6")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n)
     try body
