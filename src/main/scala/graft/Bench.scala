@@ -29,8 +29,13 @@ object Bench {
     * below) whenever a newer quiet run is committed under bench_runs/. */
   private val AnchorSfSuffix = "sf0.1"
   private val AnchorCpus = "32"
+  // the newest committed full-surface 32c artifact whose own verdict is
+  // "ok" — still the r12 run: r14 and r15 each sampled only contended
+  // windows (r15's best, bench_runs/r15_32c_157s_best_degraded.json,
+  // reads "degraded" and loadAnchor would reject it). Re-point this
+  // when a genuinely quiet capture lands under bench_runs/.
   private val DefaultAnchorFile =
-    "/root/repo/bench_runs/r15_head_quiet_32c.json"
+    "/root/repo/bench_runs/r12_builder_146s.json"
 
   final case class Anchor(file: String, q70First: Double, q03First: Double,
       total: Double)
@@ -90,17 +95,13 @@ object Bench {
     val defaultOut =
       if (only.isEmpty) "/root/repo/BENCH.json" else "/tmp/BENCH_only.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    // anchor resolution: explicit env override, else the newest committed
-    // quiet run of this tree, else the r12 committed quiet run (the only
-    // "ok"-verdict full-surface 32c artifact older rounds produced). A
-    // Left at every step records the anchor as inapplicable-with-reason
-    // instead of inventing constants (r14 verdict #2).
+    // anchor resolution: explicit env override, else the committed
+    // default above. A Left records the anchor as
+    // inapplicable-with-reason instead of inventing constants
+    // (r14 verdict #2).
     val anchor: Either[String, Anchor] =
-      sys.env.get("SPARK_GRAFT_ANCHOR_FILE").map(loadAnchor).getOrElse {
-        loadAnchor(DefaultAnchorFile).left.flatMap(firstErr =>
-          loadAnchor("/root/repo/bench_runs/r12_builder_146s.json")
-            .left.map(r12Err => s"$firstErr; fallback: $r12Err"))
-      }
+      sys.env.get("SPARK_GRAFT_ANCHOR_FILE").map(loadAnchor)
+        .getOrElse(loadAnchor(DefaultAnchorFile))
     anchor match {
       case Right(a) => println(s"[bench] anchor from ${a.file}: " +
         f"total ${a.total}%.1f s, q70First ${a.q70First}%.2f, q03First ${a.q03First}%.2f")

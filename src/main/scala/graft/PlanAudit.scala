@@ -135,6 +135,12 @@ object PlanAudit {
     "q159_jl_projection" -> 1,
     "q160_kn_bigram" -> 1,
     "q161_token_budget" -> 1,
+    // r15: the final hub/auth max-normalizers became part of the
+    // RETURNED frame's plan when the per-half-round normalization went
+    // lazy — two 1-row scalar max combines over node-sized checkpointed
+    // aggregates (previously they executed inside the loop's
+    // materialization jobs, off the audit tail)
+    "q163_hits" -> 2,
     "q166_sax" -> 4,
     "q169_bloom_fpr" -> 4,
     "q170_quantile_sketch" -> 3,
